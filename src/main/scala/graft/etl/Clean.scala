@@ -1,0 +1,57 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cleaning transforms — the reference ETL's scalar surface (SURVEY.md
+  * §2.8, F1–F6), re-expressed as pure `Column => Column` / `DataFrame =>
+  * DataFrame` compositions of built-ins so everything stays inside
+  * whole-stage codegen. No UDFs.
+  */
+object Clean {
+
+  /** The reference's 4-format date-parse order
+    * (/root/reference/spark_etl_job.py:33-34). */
+  val dateFormats: Seq[String] =
+    Seq("MM/dd/yyyy", "yyyy-MM-dd", "dd-MM-yyyy", "dd/MM/yyyy")
+
+  /** Multi-format date parse (F1): try each format in order, first
+    * non-null wins. `try_to_date` (not `to_date`) keeps the
+    * null-on-mismatch semantics the coalesce idiom requires even under
+    * ANSI mode (SURVEY.md §7.4.2). */
+  def parseDateMulti(c: Column, formats: Seq[String] = dateFormats): Column =
+    coalesce(formats.map(f => try_to_date(c, f)): _*)
+
+  /** NaN→null scrub (F2, spark_etl_job.py:52-55) over numeric columns.
+    * `isnan` only applies to floating types; other columns pass through. */
+  def nanToNull(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val floating = Set("double", "float")
+    cols.foldLeft(df) { (d, c) =>
+      if (floating.contains(d.schema(c).dataType.typeName))
+        d.withColumn(c, when(isnan(col(c)), lit(null)).otherwise(col(c)))
+      else d
+    }
+  }
+
+  /** Null-fill defaults (F3 — the *intended* semantics of the reference's
+    * unassigned na.fill at spark_etl_job.py:57-62): booleans→false,
+    * numerics→-1, strings→"-1". */
+  def fillDefaults(df: DataFrame): DataFrame = {
+    val byType = df.schema.fields.groupBy(_.dataType.typeName)
+    val d1 = byType.get("boolean").map(fs => df.na.fill(false, fs.map(_.name))).getOrElse(df)
+    val numeric = Seq("integer", "long", "double", "float", "short", "byte")
+    val numCols = df.schema.fields.filter(f => numeric.contains(f.dataType.typeName)).map(_.name)
+    val d2 = if (numCols.nonEmpty) d1.na.fill(-1, numCols) else d1
+    val strCols = df.schema.fields.filter(_.dataType.typeName == "string").map(_.name)
+    if (strCols.nonEmpty) d2.na.fill("-1", strCols) else d2
+  }
+
+  /** Case normalization (F4/F5 intent, spark_etl_job.py:65-68 + pptx
+    * slide 8): lowercase then title-case each listed string column. */
+  def normalizeCase(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.foldLeft(df)((d, c) => d.withColumn(c, initcap(lower(col(c)))))
+
+  /** Canonicalizing casts (F6, spark_etl_job.py:72). */
+  def castColumns(df: DataFrame, casts: Map[String, String]): DataFrame =
+    casts.foldLeft(df) { case (d, (c, t)) => d.withColumn(c, col(c).cast(t)) }
+}
