@@ -1,0 +1,147 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextFunctions._
+
+/** Near-duplicate detection over a documents table — the core
+  * training-data-pipeline dedup suite: exact, n-gram-Jaccard
+  * (inverted-index set-similarity join), MinHash+LSH banding, SimHash.
+  *
+  * Scale design (the 100 TB story):
+  *  - Exact dedup is one hash-agg shuffle on the content key.
+  *  - The Jaccard join never builds the O(n²) cross product: it explodes
+  *    shingles into an inverted index and joins on shingle, so cost is
+  *    Σ_shingle |docs(shingle)|² — near-linear when shingles are
+  *    discriminative. (At 100 TB you'd add a prefix filter; the join shape
+  *    is already the scalable one.)
+  *  - MinHash/LSH reduces candidate generation to equality joins on band
+  *    signatures — O(n·bands) shuffle, then exact verification only on
+  *    bucket collisions. This is the path that survives 1000 executors.
+  *  - SimHash packs a doc into 64 bits; banding on 16-bit words gives
+  *    candidates, bit_count(xor) verifies. Cheapest per-doc state.
+  */
+object Dedup {
+
+  /** (doc_id, shingles) with shingle-count — shared prep. */
+  def shingled(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sh", shingles3(col("toks")))
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("nsh"))
+
+  /** Exact duplicate groups by full-content equality: one shuffle on text.
+    * (At scale, group on a content hash first to shrink shuffle width.) */
+  def exactDupGroups(docs: DataFrame): DataFrame =
+    docs.groupBy("text")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .select("keep_id", "n_copies")
+
+  /** N-gram Jaccard near-dup pairs via inverted-index join (no cross
+    * product). The index key is xxhash64(shingle) — an 8-byte join key
+    * instead of a ~20-byte string halves the shuffle and sort cost; a
+    * 64-bit collision inside one doc pair (~2⁻⁶⁴ per pair) is the only
+    * semantic difference vs joining on the raw shingle.
+    * Returns (a_id, b_id, jaccard) for pairs ≥ threshold. */
+  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val inv = shingled(docs)
+      .select(col("doc_id"), col("nsh"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), col("nsh"), xxhash64(col("shingle")).as("hs"))
+    val a = inv.select(col("doc_id").as("a_id"), col("nsh").as("na"), col("hs"))
+    val b = inv.select(col("doc_id").as("b_id"), col("nsh").as("nb"), col("hs"))
+    a.join(b, Seq("hs"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id", "na", "nb")
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** MinHash signatures for all docs via explode + 64-way min-aggregate
+    * (one shuffle on doc_id; every hash is a cheap long→long xxhash64 in
+    * codegen — no higher-order lambdas, whose captured subtrees Spark
+    * re-evaluates per element). Output: (doc_id, m0..m{k-1}). */
+  def minhashSignatures(docs: DataFrame, k: Int): DataFrame = {
+    val hs = shingled(docs)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    val minExprs = (0 until k).map(j => min(xxhash64(lit(j), col("h"))).as(s"m$j"))
+    hs.groupBy("doc_id").agg(minExprs.head, minExprs.tail: _*)
+  }
+
+  /** MinHash+LSH near-dup pairs: shingle → k-minhash → band → bucket
+    * equality join → exact-Jaccard verification of candidates only.
+    * Default 64 hashes, 8 bands × 8 rows ⇒ P(caught) ≈ 99% at j=0.9,
+    * band false-positive rate ~j_rand⁸ ≈ 0 for unrelated docs. */
+  def minhashPairs(docs: DataFrame, threshold: Double,
+                   numHashes: Int = 64, bands: Int = 8): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sh = shingled(docs)
+    val sig = minhashSignatures(docs, numHashes)
+      .withColumn("bandArr", array((0 until bands).map { b =>
+        xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(j => col(s"m$j")): _*)
+      }: _*))
+    val buckets = sig.select(col("doc_id"),
+        posexplode(col("bandArr")).as(Seq("band", "bucket")))
+    val cand = buckets.as("x").join(buckets.as("y"), Seq("band", "bucket"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val withSh = cand
+      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sha")), Seq("a_id"))
+      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("shb")), Seq("b_id"))
+    withSh
+      .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** 64-bit SimHash per doc as two 32-bit words (avoids sign-bit overflow
+    * in a single long under ANSI mode). Token-hash bit votes. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val voteExprs = (0 until 64).map { i =>
+      sum(when(shiftrightunsigned(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"v$i")
+    }
+    val votes = tok.groupBy("doc_id").agg(voteExprs.head, voteExprs.tail: _*)
+    val word = (lo: Int) => (0 until 32).map { i =>
+      when(col(s"v${lo + i}") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a + b)
+    votes.select(col("doc_id"), word(0).as("w0"), word(32).as("w1"))
+  }
+
+  /** SimHash near-dup pairs: 4×16-bit band blocking on each word pair,
+    * then hamming(bit_count(xor)) ≤ maxHamming verification. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val sig = simhash(docs)
+    // 4 bands = the four 16-bit halves of the two 32-bit words
+    val buckets = sig.select(col("doc_id"), col("w0"), col("w1"),
+      posexplode(array(
+        col("w0").bitwiseAND(lit(0xFFFFL)),
+        shiftrightunsigned(col("w0"), 16).bitwiseAND(lit(0xFFFFL)),
+        col("w1").bitwiseAND(lit(0xFFFFL)),
+        shiftrightunsigned(col("w1"), 16).bitwiseAND(lit(0xFFFFL))
+      )).as(Seq("band", "bucket")))
+    val cand = buckets.as("x").join(buckets.as("y"), Seq("band", "bucket"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("x.w0").as("a0"), col("x.w1").as("a1"),
+              col("y.doc_id").as("b_id"), col("y.w0").as("b0"), col("y.w1").as("b1"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        bit_count(col("a0").bitwiseXOR(col("b0"))) +
+        bit_count(col("a1").bitwiseXOR(col("b1"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+}

@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+
+/** Dedup + similarity-search query registry (training-data-pipeline layer).
+  * Oracle-paired where the algorithm is portable ANSI SQL (exact dedup,
+  * inverted-index Jaccard, brute-force cosine); hash-dependent variants
+  * (MinHash/SimHash/LSH — xxhash64 isn't portable) are deterministic
+  * rows-only queries verified against planted duplicates in the specs.
+  */
+object DedupSim {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact dedup: duplicate groups by full-content equality. */
+  val qDedupExact: Q = (s, d) =>
+    Dedup.exactDupGroups(Tables.documents(s, d))
+      .orderBy("keep_id")
+
+  /** N-gram (3-shingle) Jaccard near-dup pairs, inverted-index join. */
+  val qDedupJaccard: Q = (s, d) =>
+    Dedup.jaccardPairs(Tables.documents(s, d), 0.6)
+      .orderBy("a_id", "b_id")
+
+  /** MinHash+LSH near-dup pairs (bucketed candidates, exact verify). */
+  val qDedupMinhash: Q = (s, d) =>
+    Dedup.minhashPairs(Tables.documents(s, d), 0.6)
+      .orderBy("a_id", "b_id")
+
+  /** SimHash near-dup pairs (64-bit signature, hamming ≤ 10). */
+  val qDedupSimhash: Q = (s, d) =>
+    Dedup.simhashPairs(Tables.documents(s, d), 10)
+      .orderBy("a_id", "b_id")
+
+  /** Embedding-cosine near-dup pairs. Corpus max off-diagonal cosine is
+    * ~0.37 (no planted embedding dups), so the threshold exercises the op
+    * without degenerating to zero rows. */
+  val qDedupEmbed: Q = (s, d) =>
+    Similarity.cosinePairs(Tables.embeddings(s, d), 0.3)
+      .orderBy("a_id", "b_id")
+
+  /** Brute-force exact cosine top-10 for query vectors vec_id < 5. */
+  val qKnnBrute: Q = (s, d) => {
+    val vecs = Tables.embeddings(s, d)
+    Similarity.bruteTopK(vecs, vecs.filter(col("vec_id") < 5), 10)
+      .orderBy("q_id", "rank")
+  }
+
+  /** LSH-bucketed approximate cosine top-10 (the scale path). */
+  val qKnnLsh: Q = (s, d) => {
+    val vecs = Tables.embeddings(s, d)
+    Similarity.lshTopK(vecs, vecs.filter(col("vec_id") < 5), 10)
+      .orderBy("q_id", "rank")
+  }
+
+  val all: Map[String, Q] = Map(
+    "q_dedup_exact" -> qDedupExact,
+    "q_dedup_jaccard" -> qDedupJaccard,
+    "q_dedup_minhash" -> qDedupMinhash,
+    "q_dedup_simhash" -> qDedupSimhash,
+    "q_dedup_embed" -> qDedupEmbed,
+    "q_knn_brute" -> qKnnBrute,
+    "q_knn_lsh" -> qKnnLsh,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents
+        |GROUP BY text HAVING count(*) > 1 ORDER BY keep_id""".stripMargin,
+    "q_dedup_jaccard" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents),
+        |sh AS (
+        | SELECT doc_id, list_distinct(list_transform(range(1, len(ts)-1),
+        |   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+        | FROM toks WHERE len(ts) >= 3),
+        |e AS (SELECT doc_id, len(s) AS nsh, unnest(s) AS shingle FROM sh),
+        |common AS (
+        | SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.nsh AS na, b.nsh AS nb,
+        |        count(*) AS c
+        | FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2, 3, 4)
+        |SELECT a_id, b_id, round(CAST(c AS DOUBLE)/(na+nb-c), 4) AS jaccard
+        |FROM common WHERE CAST(c AS DOUBLE)/(na+nb-c) >= 0.6
+        |ORDER BY a_id, b_id""".stripMargin,
+    "q_dedup_embed" ->
+      """WITH v AS (
+        | SELECT vec_id, embedding,
+        |  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+        | FROM embeddings)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        | round(list_sum(list_transform(range(1, len(a.embedding)+1),
+        |   i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+        |  / (a.nrm * b.nrm), 6) AS sim
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |WHERE round(list_sum(list_transform(range(1, len(a.embedding)+1),
+        |   i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+        |  / (a.nrm * b.nrm), 6) >= 0.3
+        |ORDER BY a_id, b_id""".stripMargin,
+    "q_knn_brute" ->
+      """WITH v AS (
+        | SELECT vec_id, embedding,
+        |  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+        | FROM embeddings),
+        |q AS (SELECT * FROM v WHERE vec_id < 5),
+        |sims AS (
+        | SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |  round(list_sum(list_transform(range(1, len(q.embedding)+1),
+        |    i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
+        |   / (q.nrm * c.nrm), 6) AS sim
+        | FROM q, v c WHERE q.vec_id <> c.vec_id),
+        |r AS (SELECT q_id, n_id, sim,
+        |       row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+        |      FROM sims)
+        |SELECT q_id, rank, n_id, sim FROM r WHERE rank <= 10
+        |ORDER BY q_id, rank""".stripMargin,
+  )
+}

@@ -1,0 +1,60 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.multimodal.Multimodal
+
+/** Multimodal-column queries: binary payload + typed metadata plumbing
+  * with a stubbed decode (see graft.multimodal.Multimodal — no codecs in
+  * this container; the Spark-side schema/partitioning/batching is real).
+  */
+object Media {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Decode-metadata extraction over binary payloads (stub decode). */
+  val qMultimodalMeta: Q = (s, d) => {
+    val decoded = Multimodal.stubDecode(Multimodal.asMediaTable(Tables.documents(s, d)))
+    decoded.select(
+      col("media_id"),
+      col("meta.n_bytes").as("n_bytes"),
+      col("meta.width").as("width"),
+      col("meta.height").as("height"),
+      col("meta.n_frames").as("n_frames"))
+      .orderBy("media_id")
+  }
+
+  /** Batched per-partition feature extraction (mapPartitions decode shape);
+    * byte-mean is engine-specific per-row math → rows-only check. */
+  val qMediaFeatures: Q = (s, d) =>
+    Multimodal.extractFeatures(s,
+        Multimodal.asMediaTable(Tables.documents(s, d)))
+      .orderBy("media_id")
+
+  /** Frame sampling: every 2nd frame index per payload (explode shape). */
+  val qFrameSample: Q = (s, d) => {
+    val decoded = Multimodal.stubDecode(Multimodal.asMediaTable(Tables.documents(s, d)))
+    Multimodal.sampleFrames(decoded, 2)
+      .orderBy("media_id", "frame_idx")
+  }
+
+  val all: Map[String, Q] = Map(
+    "q_multimodal_meta" -> qMultimodalMeta,
+    "q_media_features" -> qMediaFeatures,
+    "q_frame_sample" -> qFrameSample,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_multimodal_meta" ->
+      """SELECT doc_id AS media_id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | CAST(64 + octet_length(encode(text)) % 512 AS INT) AS width,
+        | CAST(64 + (octet_length(encode(text)) * 7) % 512 AS INT) AS height,
+        | CAST(1 + octet_length(encode(text)) % 16 AS INT) AS n_frames
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "q_frame_sample" ->
+      """SELECT doc_id AS media_id,
+        | CAST(unnest(range(0, 1 + octet_length(encode(text)) % 16, 2)) AS INT) AS frame_idx
+        |FROM documents ORDER BY media_id, frame_idx""".stripMargin,
+  )
+}

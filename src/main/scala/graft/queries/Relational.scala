@@ -191,7 +191,7 @@ object Relational {
     val w = Window.partitionBy("l_suppkey")
       .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
     Tables.lineitem(s, d)
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
       .select("l_suppkey", "rn", "l_orderkey", "l_linenumber")
       .orderBy("l_suppkey", "rn")
@@ -351,7 +351,7 @@ object Relational {
   val qEtlStar: Q = (s, d) => {
     val o = Tables.orders(s, d)
     val dateDim = o.select(col("o_orderdate").as("dt")).distinct()
-      .withColumn("date_id", row_number().over(Window.orderBy("dt")))
+      .withColumn("date_id", row_number().over(Window.orderBy("dt")).cast("long"))
     o.join(broadcast(dateDim), col("o_orderdate") === col("dt"))
       .select(
         col("o_orderkey").as("game_id"),

@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.text.TextFunctions._
+
+/** Text-analysis queries over the documents table (training-data-pipeline
+  * layer): per-doc stats, token frequencies, quality scoring, language ID,
+  * fingerprinting, sessionization of the events stream.
+  *
+  * All per-row scalar work + one hash-agg shuffle where grouped — linear
+  * scale-out; nothing here materializes more than (docs × tokens) rows.
+  */
+object Text {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Per-document stats: token count, char length, stopword ratio.
+    * Ratio is a single int/int division → bit-identical cross-engine. */
+  val qTextStats: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("len_chars"),
+        round(stopwordRatio(col("toks")), 4).as("stop_ratio"))
+      .orderBy("doc_id")
+
+  /** Quality scoring + BPE-ish token counting, aggregated per source. */
+  val qTextQuality: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("quality", qualityScore(col("toks")))
+      .withColumn("bpeish", tokenCountBpeIsh(col("toks")))
+      .groupBy("source")
+      .agg(
+        round(avg("quality"), 4).as("avg_quality"),
+        sum("bpeish").as("total_bpeish"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("source")
+
+  /** Token frequency top-20 (explode → hash-agg → TakeOrderedAndProject).
+    * The generator-side UDTF surface (§2.11 has none in the reference). */
+  val qTokenTopk: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("token"))
+      .limit(20)
+
+  /** Language-ID heuristic vs the labeled lang column: confusion counts.
+    * No oracle (heuristic profiles aren't SQL-portable economically) —
+    * deterministic rows-only + spec coverage. */
+  val qLangId: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("lang_pred", langId(col("text")))
+      .groupBy("lang", "lang_pred")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("lang", "lang_pred")
+
+  /** Rolling-hash document fingerprint (order-sensitive content hash). */
+  val qFingerprint: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  /** Sessionization of the events stream in batch: a session break is a
+    * >30-min gap per user; session ids via cumulative sum over the break
+    * flags — the lag/cumsum idiom that mapGroupsWithState replaces in
+    * streaming (see graft.streaming). */
+  val qSessionize: Q = (s, d) => {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val ev = Tables.events(s, d)
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("brk",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L).otherwise(0L))
+      .withColumn("session_id", sum("brk").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    ev.groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("session_value"),
+        date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("session_start"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val all: Map[String, Q] = Map(
+    "q_text_stats" -> qTextStats,
+    "q_text_quality" -> qTextQuality,
+    "q_token_topk" -> qTokenTopk,
+    "q_lang_id" -> qLangId,
+    "q_fingerprint" -> qFingerprint,
+    "q_sessionize" -> qSessionize,
+  )
+
+  private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "q_text_stats" ->
+      s"""SELECT doc_id,
+         | len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         | CAST(length(text) AS BIGINT) AS len_chars,
+         | round(CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |   t -> t IN ($stopList))) AS DOUBLE)
+         |  / len(string_split_regex(trim(text), '\\s+')), 4) AS stop_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_quality" ->
+      s"""WITH t AS (
+         | SELECT source, string_split_regex(trim(text), '\\s+') AS ts FROM documents),
+         |m AS (
+         | SELECT source,
+         |  least(CAST(len(ts) AS DOUBLE) / 100.0, 1.0) *
+         |   (1.0 - (CAST(len(list_filter(ts, t -> t IN ($stopList))) AS DOUBLE)
+         |           / len(ts)) * 0.5) AS quality,
+         |  list_sum(list_transform(ts,
+         |    t -> greatest(1, CAST(ceil(length(t) / 4.0) AS BIGINT)))) AS bpeish
+         | FROM t)
+         |SELECT source, round(avg(quality), 4) AS avg_quality,
+         | CAST(sum(bpeish) AS BIGINT) AS total_bpeish, count(*) AS n_docs
+         |FROM m GROUP BY source ORDER BY source""".stripMargin,
+    "q_token_topk" ->
+      """SELECT token, count(*) AS cnt FROM (
+        | SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents)
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+    "q_sessionize" ->
+      """WITH w AS (
+        | SELECT user_id, event_id, value, ts,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        | FROM events),
+        |b AS (
+        | SELECT *, CASE WHEN prev_ts IS NULL
+        |   OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS brk
+        | FROM w),
+        |sess AS (
+        | SELECT user_id, event_id, value, ts,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        | FROM b)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        | count(*) AS n_events, round(sum(value), 2) AS session_value,
+        | strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+  )
+}

@@ -1,0 +1,96 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Embedding similarity search over an Array[Float] column.
+  *
+  * Two paths, per the scale story:
+  *  - [[bruteTopK]]: exact cosine top-k — broadcast the (small) query set
+  *    against the full corpus; per-row dot products, one TakeOrdered per
+  *    query. Right answer for ≤ millions of vectors or as the re-rank
+  *    stage.
+  *  - [[lshTopK]]: random-hyperplane LSH — bucket both sides on sign-bit
+  *    signatures, search only same-bucket candidates. The equality-join
+  *    shape that survives 100 TB; recall traded via number of planes.
+  *
+  * Dot products use zip_with + aggregate over double-cast values:
+  * left-to-right summation, bit-identical to the DuckDB oracle's
+  * list_transform/list_sum evaluation.
+  */
+object Similarity {
+
+  /** Sequential-order dot product of two array<double> columns — native
+    * codegen'd Catalyst expression (graft.functions.DotProduct); same
+    * left-to-right accumulation as the DuckDB oracle's list_sum. */
+  def dot(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.dot_product(a, b)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Adds emb (array<double>) + nrm columns. */
+  def prepared(vecs: DataFrame): DataFrame =
+    vecs.withColumn("emb", col("embedding").cast("array<double>"))
+      .withColumn("nrm", l2norm(col("emb")))
+
+  /** Exact cosine top-k: queries × corpus with the query side broadcast.
+    * Rounded similarity (6dp) before ranking so cross-engine float noise
+    * can't reorder ties; vec_id is the deterministic tiebreak. */
+  def bruteTopK(vecs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = prepared(vecs)
+    val q = prepared(queries).select(
+      col("vec_id").as("q_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    val sims = c.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("sim", round(dot(col("emb"), col("q_emb")) / (col("nrm") * col("q_nrm")), 6))
+    val w = Window.partitionBy("q_id").orderBy(desc("sim"), asc("vec_id"))
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id").as("n_id"), col("sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplane weight for (plane, dim):
+    * hash-derived uniform in [-1, 1). No RNG state, reproducible across
+    * executors. */
+  private def planeWeight(plane: Int, dim: Column): Column =
+    (pmod(xxhash64(lit(plane), dim), lit(2000L)).cast("double") / 1000.0) - 1.0
+
+  /** Sign-bit LSH bucket id from `planes` random hyperplanes. */
+  def lshBucket(emb: Column, planes: Int): Column =
+    (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(emb, sequence(lit(0), size(emb) - 1), (x, i) => x * planeWeight(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce((a, b) => a + b)
+
+  /** Approximate cosine top-k: candidates restricted to the query's LSH
+    * bucket (hamming-0 probe). Fewer planes → bigger buckets → higher
+    * recall, more work. */
+  def lshTopK(vecs: DataFrame, queries: DataFrame, k: Int, planes: Int = 4): DataFrame = {
+    val c = prepared(vecs).withColumn("bucket", lshBucket(col("emb"), planes))
+    val q = prepared(queries).withColumn("bucket", lshBucket(col("emb"), planes))
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"), col("bucket"))
+    val sims = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", round(dot(col("emb"), col("q_emb")) / (col("nrm") * col("q_nrm")), 6))
+    val w = Window.partitionBy("q_id").orderBy(desc("sim"), asc("vec_id"))
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id").as("n_id"), col("sim"))
+  }
+
+  /** Embedding near-dup pairs: all pairs with cosine ≥ threshold. Brute
+    * self-join here (corpus is broadcastable); LSH-bucketed variant is the
+    * scale path. */
+  def cosinePairs(vecs: DataFrame, threshold: Double): DataFrame = {
+    val v = prepared(vecs)
+    val a = v.select(col("vec_id").as("a_id"), col("emb").as("ea"), col("nrm").as("na"))
+    val b = v.select(col("vec_id").as("b_id"), col("emb").as("eb"), col("nrm").as("nb"))
+    a.join(broadcast(b), col("a_id") < col("b_id"))
+      .withColumn("sim", round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
+      .filter(col("sim") >= threshold)
+      .select("a_id", "b_id", "sim")
+  }
+}

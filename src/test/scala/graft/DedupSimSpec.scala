@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+
+class DedupSimSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("s")).withColumn("n_chars", length($"text").cast("long"))
+
+  test("exact dedup finds planted duplicate groups") {
+    val d = docs(1L -> "a b c d e", 2L -> "x y z w v", 3L -> "a b c d e", 4L -> "q r s t u")
+    val groups = Dedup.exactDupGroups(d).collect()
+    assert(groups.length == 1)
+    assert(groups.head.getLong(0) == 1L && groups.head.getLong(1) == 2L)
+  }
+
+  test("jaccard inverted-index join finds near-dups, skips dissimilar") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "the quick brown fox jumps over the lazy cat today", // 1 token diff
+      3L -> "completely different words entirely unrelated content here now then soon")
+    val pairs = Dedup.jaccardPairs(d, 0.5).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
+  test("minhash LSH recalls the exact-jaccard pairs on testdata") {
+    val d = Tables.documents(spark, sfDir)
+    val exact = Dedup.jaccardPairs(d, 0.6).select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Dedup.minhashPairs(d, 0.6).select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact verification step makes minhash ⊆ exact; recall should be high
+    assert(mh.subsetOf(exact))
+    assert(exact.isEmpty || mh.size.toDouble / exact.size >= 0.8,
+      s"minhash recall too low: ${mh.size}/${exact.size}")
+  }
+
+  test("simhash: identical docs collide, near-dups within hamming radius") {
+    val d = docs(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta",
+      3L -> "totally other tokens list without overlap at all")
+    val sig = Dedup.simhash(d).collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(sig(1L) == sig(2L))
+    val pairs = Dedup.simhashPairs(d, 3).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("brute-force knn is exact and deterministic") {
+    val vecs = Tables.embeddings(spark, sfDir)
+    val res = Similarity.bruteTopK(vecs, vecs.filter($"vec_id" < 2), 5).collect()
+    assert(res.length == 10) // 2 queries × 5
+    val ranks = res.filter(_.getLong(0) == 0L).map(_.getLong(1)).sorted
+    assert(ranks.sameElements(Array(1L, 2L, 3L, 4L, 5L)))
+    // sims non-increasing per query
+    val sims = res.filter(_.getLong(0) == 0L).sortBy(_.getLong(1)).map(_.getDouble(3))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("lsh knn results are a subset of brute-force candidates (same bucket)") {
+    val vecs = Tables.embeddings(spark, sfDir)
+    val qs = vecs.filter($"vec_id" < 5)
+    val lsh = Similarity.lshTopK(vecs, qs, 10).collect()
+    assert(lsh.nonEmpty)
+    // every reported neighbor must carry a valid sim ∈ [-1, 1]
+    assert(lsh.forall(r => math.abs(r.getDouble(3)) <= 1.0))
+  }
+}

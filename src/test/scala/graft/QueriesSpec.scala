@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke-level invariants over the full query registry at sf0.001: every
+  * query runs, returns rows, and has stable column names (the
+  * driver-contract essentials). Value-level correctness is the DuckDB
+  * oracle's job (tools/oracle_check.py). */
+class QueriesSpec extends AnyFunSuite with SharedSpark {
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracleSql without queries: $missing")
+  }
+
+  /** Queries whose result is legitimately empty at tiny scale factors
+    * (no exact-duplicate texts are planted below sf0.1). */
+  private val mayBeEmpty = Set("q_dedup_exact")
+
+  SparkEntry.queries.foreach { case (name, fn) =>
+    test(s"$name runs and returns rows at sf0.001") {
+      val df = fn(spark, sfDir)
+      assert(df.columns.nonEmpty)
+      if (!mayBeEmpty(name)) assert(df.count() > 0, s"$name returned 0 rows")
+      else df.count() // still must execute
+    }
+  }
+}

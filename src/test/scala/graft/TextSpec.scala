@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.TextFunctions
+
+class TextSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  test("tokens: trims and splits on whitespace runs, no empty tokens") {
+    val r = Seq("  a  b\tc ").toDF("text")
+      .select(TextFunctions.tokens($"text").as("t")).head().getSeq[String](0)
+    assert(r == Seq("a", "b", "c"))
+  }
+
+  test("shingles3: n-3+1 distinct shingles, empty under 3 tokens") {
+    val df = Seq("a b c d", "a b").toDF("text")
+      .select(TextFunctions.shingles3(TextFunctions.tokens($"text")).as("s"))
+    val rows = df.collect().map(_.getSeq[String](0))
+    assert(rows(0) == Seq("a b c", "b c d"))
+    assert(rows(1).isEmpty)
+  }
+
+  test("stopword ratio and quality score bounds") {
+    val df = Seq("the a data word other").toDF("text")
+      .select(
+        TextFunctions.stopwordRatio(TextFunctions.tokens($"text")).as("r"),
+        TextFunctions.qualityScore(TextFunctions.tokens($"text")).as("q"))
+    val row = df.head()
+    assert(math.abs(row.getDouble(0) - 0.6) < 1e-9)
+    assert(row.getDouble(1) >= 0.0 && row.getDouble(1) <= 1.0)
+  }
+
+  test("fingerprint: deterministic, order-sensitive") {
+    val fp = (t: String) => Seq(t).toDF("text")
+      .select(TextFunctions.fingerprint($"text")).head().getLong(0)
+    assert(fp("abc") == fp("abc"))
+    assert(fp("abc") != fp("cba"))
+    // manual polynomial: ((0*31+97)*31+98)*31+99 mod 1e9+7
+    assert(fp("abc") == ((97L * 31 + 98) * 31 + 99) % 1000000007L)
+  }
+
+  test("langId picks profile with most matching n-grams") {
+    val r = Seq("the thing and the rest").toDF("text")
+      .select(TextFunctions.langId($"text")).head().getString(0)
+    assert(r == "en")
+  }
+
+  test("BPE-ish token count: 1 unit per short word, more for long") {
+    val r = Seq("ab abcdefgh").toDF("text")
+      .select(TextFunctions.tokenCountBpeIsh(TextFunctions.tokens($"text"))).head().getLong(0)
+    assert(r == 1 + 2)
+  }
+}
