@@ -18,7 +18,8 @@ object SparkEntry {
     graft.queries.Relational.all ++
       graft.queries.Text.all ++
       graft.queries.DedupSim.all ++
-      graft.queries.Media.all
+      graft.queries.Media.all ++
+      graft.queries.Ml.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

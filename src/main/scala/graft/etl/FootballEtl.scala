@@ -1,0 +1,102 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The reference's end-to-end ETL re-expressed Spark-first (SURVEY.md §2,
+  * §7.2 step 1): CSV scan with explicit schema → SQL identity projection →
+  * surrogate keys → FIFA filter → NaN scrub → (intended) fill + case
+  * normalization → multi-format date parse → canonical casts → star split.
+  *
+  * Two surrogate-key modes (SURVEY.md §7.4.1):
+  *  - faithful: `monotonically_increasing_id()+k` — partition-dependent,
+  *    exactly the reference's semantics (spark_etl_job.py:46-47);
+  *  - deterministic: `row_number` over the natural order (date, teams) —
+  *    oracle-checkable and stable under repartitioning. Scale note: the
+  *    faithful mode is embarrassingly parallel; the deterministic mode's
+  *    global window is the price of reproducible ids (at 100 TB you'd
+  *    zipWithIndex per partition + offset, same result, no single-task
+  *    sort — the row_number form is fine at dim-table scale).
+  */
+object FootballEtl {
+
+  val fifaTournament = "FIFA World Cup"
+
+  /** S1/S2: schema'd permissive CSV scan + temp-view registration. */
+  def ingest(spark: SparkSession, csvPath: String): DataFrame = {
+    val df = spark.read
+      .schema(Schemas.footballRaw)
+      .option("header", true)
+      .option("mode", "PERMISSIVE")
+      .csv(csvPath)
+    df.createOrReplaceTempView("football_stats")
+    // P1: identity projection through the SQL parser, as the reference does
+    spark.sql("select * from football_stats")
+  }
+
+  /** The cleaning chain F1–F6 with the *intended* semantics of the
+    * reference's no-op-bug section behind a flag (SURVEY.md §7.4.3). */
+  def clean(df: DataFrame, applyIntended: Boolean = false): DataFrame = {
+    val scrubbed = Clean.nanToNull(df,
+      Seq("home_score", "away_score")) // isnan only applies to floating cols; no-op here as in ref
+    val filled =
+      if (applyIntended)
+        Clean.normalizeCase(
+          Clean.fillDefaults(scrubbed),
+          Seq("home_team", "away_team", "tournament", "city", "country"))
+      else scrubbed
+    filled
+      .withColumn("date", Clean.parseDateMulti(col("date")))
+      .withColumn("home_score", col("home_score").cast("int"))
+      .withColumn("away_score", col("away_score").cast("int"))
+      .withColumn("neutral", col("neutral").cast("boolean"))
+  }
+
+  /** P4: the FIFA World Cup equality filter. */
+  def filterFifa(df: DataFrame): DataFrame =
+    df.filter(col("tournament") === fifaTournament)
+
+  /** P2 faithful: partition-dependent surrogate keys, ids differ by the
+    * constant 4 per row exactly like the reference. */
+  def withSurrogateKeysFaithful(df: DataFrame): DataFrame =
+    df.withColumn("date_id", (monotonically_increasing_id() + 1).cast("long"))
+      .withColumn("game_id", (monotonically_increasing_id() + 5).cast("long"))
+
+  /** P2 deterministic: row_number over the natural key. */
+  def withSurrogateKeysDeterministic(df: DataFrame): DataFrame = {
+    val w = Window.orderBy("date", "home_team", "away_team", "tournament")
+    df.withColumn("date_id", row_number().over(w).cast("long"))
+      .withColumn("game_id", (col("date_id") + 4).cast("long"))
+  }
+
+  /** P5: the star split — fact + two (degenerate, 1:1:1) dimensions
+    * (SURVEY.md §1.4). */
+  def starSchema(results: DataFrame): Map[String, DataFrame] = Map(
+    "results" -> results.select("date_id", "date", "game_id", "home_team",
+      "away_team", "home_score", "away_score", "tournament", "city",
+      "country", "neutral"),
+    "fifa_fact" -> results.select("date_id", "game_id", "home_score", "away_score"),
+    "date_dim" -> results.select("date_id", "date"),
+    "team_loc_dim" -> results.select("game_id", "home_team", "away_team",
+      "tournament", "city", "country", "neutral"))
+
+  /** Full pipeline: ingest → clean → filter → keys → split. The cleaned
+    * frame is cached before the 4-way split so the scan+clean lineage runs
+    * once, not once per sink (the reference re-scans 4×, SURVEY.md §3.2.4). */
+  def run(spark: SparkSession, csvPath: String,
+          deterministicKeys: Boolean = true,
+          applyIntended: Boolean = false): Map[String, DataFrame] = {
+    val cleaned = filterFifa(clean(ingest(spark, csvPath), applyIntended))
+    val keyed =
+      if (deterministicKeys) withSurrogateKeysDeterministic(cleaned)
+      else withSurrogateKeysFaithful(cleaned)
+    val cached = keyed.cache()
+    starSchema(cached)
+  }
+
+  /** S3: single-file CSV sink preserving the reference's output shape
+    * (coalesce(1) = narrow CoalesceExec, no shuffle). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode("overwrite").option("header", true).csv(path)
+}

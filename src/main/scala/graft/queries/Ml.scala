@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.etl.FootballEtl
+import graft.ml.{PoissonModel, Simulate}
+
+/** ML + reference-pipeline queries. All rows-only (no DuckDB oracle): GLM
+  * fitting and seeded simulation aren't ANSI-SQL-expressible; the FIFA ETL
+  * reads the reference CSV, not the sf testdata. Each is deterministic so
+  * reruns hash identically.
+  */
+object Ml {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** M1: weighted Poisson GLM. Model-data analog of ml_project.py:202-205
+    * built from lineitem (goals=l_quantity, factors returnflag/linestatus,
+    * recency-ish weight from discount). Output: coefficient table. */
+  val qGlmPoisson: Q = (s, d) => {
+    import s.implicits._
+    val data = Tables.lineitem(s, d).select(
+      col("l_quantity").cast("int").as("goals"),
+      col("l_returnflag").as("team"),
+      col("l_linestatus").as("opponent"),
+      (lit(1.0) + col("l_discount")).as("weight"))
+    val fitted = PoissonModel.fit(data)
+    PoissonModel.coefficients(fitted)
+      .toDF("feature_idx", "coef")
+      .select(col("feature_idx"), round(col("coef"), 4).as("coef"))
+      .orderBy("feature_idx")
+  }
+
+  /** M3–M5: seeded tournament simulation. Team strengths λ derived
+    * relationally (customer balances per nation, min-max scaled to
+    * [0.8, 2.2]), simulation driver-side over the 8-team field — the
+    * reference's engine/driver split (SURVEY.md §2.9). */
+  val qSimulation: Q = (s, d) => {
+    import s.implicits._
+    val strengthRows = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name").agg(avg("c_acctbal").as("bal"))
+      .orderBy("n_name")
+      .collect()
+    val bals = strengthRows.map(_.getDouble(1))
+    val (lo, hi) = (bals.min, bals.max)
+    val strength = strengthRows.map { r =>
+      val scaled = if (hi == lo) 1.5 else 0.8 + 1.4 * (r.getDouble(1) - lo) / (hi - lo)
+      r.getString(0) -> scaled
+    }.toMap
+    val teams = strength.keys.toSeq.sorted.take(8)
+    val groups = teams.grouped(4).toSeq
+    val (standings, ko) = Simulate.tournament(seed = 42L, groups, strength)
+    val groupRows = standings.map { case (phase, st) =>
+      (phase, st.team, st.points.toLong, st.diff.toLong, st.goals.toLong)
+    }
+    val koRows = ko.map { case (round, team) => ("knockout", team, round.toLong, 0L, 0L) }
+    (groupRows ++ koRows).toDF("phase", "team", "points", "diff", "goals")
+      .orderBy(col("phase"), desc("points"), desc("diff"), desc("goals"), asc("team"))
+  }
+
+  /** The reference's flagship pipeline end-to-end on its own dataset:
+    * CSV → clean → FIFA filter → deterministic keys → star results table.
+    * sfDir is unused — the input is the reference CSV itself. */
+  val qFifaStar: Q = (s, _) => {
+    val star = FootballEtl.run(s, Ml.footballCsv, deterministicKeys = true)
+    star("results").orderBy("date_id")
+  }
+
+  val footballCsv = "/root/reference/football_results.csv"
+
+  val all: Map[String, Q] = Map(
+    "q_glm_poisson" -> qGlmPoisson,
+    "q_simulation" -> qSimulation,
+    "q_fifa_star" -> qFifaStar,
+  )
+
+  val oracles: Map[String, String] = Map.empty
+}

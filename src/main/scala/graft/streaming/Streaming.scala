@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming layer (SURVEY.md §2.10): the reference's daily
+  * cron + WRITE_APPEND pattern subsumed by a file-source stream with
+  * `Trigger.AvailableNow`, plus watermarked tumbling-window aggregation
+  * and mapGroupsWithState sessionization — the stateful ops a
+  * training-data pipeline needs for incremental ingest.
+  *
+  * The batch layer's q_time_window / q_sessionize are the oracle-checked
+  * semantics; the specs assert stream output == batch output on the same
+  * files (the exactly-once replay guarantee).
+  */
+object Streaming {
+
+  /** events parquet physical schema: ts is INT64 nanos (read as long via
+    * the legacy conf, converted after load — same as Tables.events). */
+  private val eventsPhysical = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over the events table inside an sf directory
+    * (file sources need a directory; the glob filter selects the table). */
+  def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsPhysical)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Watermarked tumbling 1-hour window counts + sums (the streaming form
+    * of q_time_window). */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("hour"), col("cnt"), col("sum_value"))
+
+  /** Runs a streaming query to completion with Trigger.AvailableNow into
+    * an in-memory table; returns the result. AvailableNow = process all
+    * available input then stop — the cron-batch replacement. */
+  def runAvailableNow(spark: SparkSession, out: DataFrame, tableName: String,
+                      outputMode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val q = out.writeStream
+      .format("memory")
+      .queryName(tableName)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(tableName)
+  }
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long, value: Double)
+  case class SessionState(sessionId: Long, lastTs: Long, nEvents: Long, sumValue: Double)
+  case class SessionOut(user_id: Long, session_id: Long, n_events: Long, session_value: Double)
+
+  /** mapGroupsWithState sessionization (gap > 30 min splits sessions) —
+    * the custom-state streaming op (KeyValueGroupedDataset). Batch
+    * q_sessionize is the same semantics via lag+cumsum. Here state holds
+    * only the *open* session per user: O(users) memory, watermark-bounded
+    * at scale. For simplicity this AvailableNow demo emits the final
+    * per-user session count. */
+  def sessionCounts(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val typed = events.select(
+      col("event_id"), col("ts").cast("timestamp").as("ts"),
+      col("user_id"), col("value")).as[Event]
+    typed.groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionOut](GroupStateTimeout.NoTimeout()) {
+        (user, rows, state: GroupState[SessionState]) =>
+          // batch-per-trigger arrival: sort this trigger's rows by time
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0.0))
+          sorted.foreach { e =>
+            val t = e.ts.getTime / 1000
+            st =
+              if (st.lastTs != Long.MinValue && t - st.lastTs <= 1800)
+                st.copy(lastTs = t, nEvents = st.nEvents + 1, sumValue = st.sumValue + e.value)
+              else
+                SessionState(st.sessionId + 1, t, 1L, e.value)
+          }
+          state.update(st)
+          SessionOut(user, st.sessionId, st.nEvents, st.sumValue)
+      }.toDF()
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ml.{PoissonModel, Simulate}
+
+import scala.util.Random
+
+class MlSpec extends AnyFunSuite with SharedSpark {
+
+  test("poisson pmf: sums to ~1, mode at floor(lambda)") {
+    val total = (0 to 40).map(Simulate.poissonPmf(_, 2.3)).sum
+    assert(math.abs(total - 1.0) < 1e-6)
+    assert((0 to 10).maxBy(Simulate.poissonPmf(_, 2.3)) == 2)
+  }
+
+  test("outcome probabilities sum to 1 and favor the stronger team") {
+    val (w, d, l) = Simulate.outcomeProbs(2.0, 0.8)
+    // score matrix truncated at maxGoals → ~1e-6 tail mass missing
+    assert(math.abs(w + d + l - 1.0) < 1e-4)
+    assert(w > l)
+  }
+
+  test("simulation is deterministic under a fixed seed") {
+    val teams = Seq("A", "B", "C", "D", "E", "F", "G", "H")
+    val strength = teams.zipWithIndex.map { case (t, i) => t -> (0.8 + i * 0.2) }.toMap
+    val r1 = Simulate.tournament(7L, teams.grouped(4).toSeq, strength)
+    val r2 = Simulate.tournament(7L, teams.grouped(4).toSeq, strength)
+    assert(r1 == r2)
+  }
+
+  test("elimination matches never end in a draw") {
+    val rng = new Random(1L)
+    (1 to 50).foreach { _ =>
+      val r = Simulate.simulateMatch(rng, 1.4, 1.4, elimination = true)
+      assert(r.winner != 0)
+    }
+  }
+
+  test("GLM poisson recovers a known rate structure") {
+    import spark.implicits._
+    // two-level factor with true rates 1.0 and e^1 ≈ 2.718: the fitted
+    // log-link coefficients should recover log-rate ratios within noise
+    val rng = new Random(11L)
+    def pois(lambda: Double): Int = {
+      var k = 0; var p = math.exp(-lambda); var u = rng.nextDouble(); var c = p
+      while (u > c && k < 50) { k += 1; p = p * lambda / k; c += p }
+      k
+    }
+    val rows = (1 to 4000).map { i =>
+      val team = if (i % 2 == 0) "hi" else "lo"
+      val lambda = if (team == "hi") math.exp(1.0) else 1.0
+      (pois(lambda), team, "x", 1.0)
+    }
+    val df = rows.toDF("goals", "team", "opponent", "weight")
+    val fitted = PoissonModel.fit(df, "goals ~ team")
+    val preds = PoissonModel.predict(fitted,
+      Seq(("hi", "x"), ("lo", "x")).toDF("team", "opponent"))
+      .select("team", "prediction").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(preds("hi") - math.exp(1.0)) < 0.15, s"hi pred ${preds("hi")}")
+    assert(math.abs(preds("lo") - 1.0) < 0.1, s"lo pred ${preds("lo")}")
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.Streaming
+
+/** Streaming == batch parity on the same files (AvailableNow replay). */
+class StreamingSpec extends AnyFunSuite with SharedSpark {
+
+  test("windowed stream agg equals batch date_trunc agg") {
+    val stream = Streaming.windowedAgg(Streaming.readEvents(spark, sfDir))
+    val result = Streaming.runAvailableNow(spark, stream, "stream_windowed")
+      .orderBy("hour").collect()
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("hour").collect()
+    assert(result.length == batch.length)
+    result.zip(batch).foreach { case (s, b) =>
+      assert(s.getTimestamp(0) == b.getTimestamp(0))
+      assert(s.getLong(1) == b.getLong(1))
+      assert(math.abs(s.getDouble(2) - b.getDouble(2)) < 1e-6)
+    }
+  }
+
+  test("mapGroupsWithState session counts match batch sessionization") {
+    val stream = Streaming.sessionCounts(spark, Streaming.readEvents(spark, sfDir))
+    val result = Streaming.runAvailableNow(spark, stream, "stream_sessions",
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .orderBy("user_id").collect()
+    // batch q_sessionize: final session id per user == session count
+    val batch = graft.queries.Text.qSessionize(spark, sfDir)
+      .groupBy("user_id").agg(max("session_id").as("n_sessions"))
+      .orderBy("user_id").collect()
+    assert(result.length == batch.length)
+    result.zip(batch).foreach { case (s, b) =>
+      assert(s.getLong(0) == b.getLong(0), "user mismatch")
+      assert(s.getLong(1) == b.getLong(1), s"session count mismatch for user ${s.getLong(0)}")
+    }
+  }
+}
