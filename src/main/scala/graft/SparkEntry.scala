@@ -16,6 +16,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.all ++
+      graft.queries.Relational2.all ++
       graft.queries.Text.all ++
       graft.queries.DedupSim.all ++
       graft.queries.Media.all ++
@@ -25,6 +26,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
+      graft.queries.Relational2.oracles ++
       graft.queries.Text.oracles ++
       graft.queries.DedupSim.oracles ++
       graft.queries.Media.oracles

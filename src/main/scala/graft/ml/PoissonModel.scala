@@ -28,7 +28,7 @@ object PoissonModel {
     val glr = new GeneralizedLinearRegression()
       .setFamily("poisson").setLink("log")
       .setFeaturesCol("features").setLabelCol("label")
-      .setMaxIter(25).setRegParam(0.0)
+      .setMaxIter(10).setTol(1e-8).setRegParam(0.0)
     weightCol.foreach(glr.setWeightCol)
     val pm = new Pipeline().setStages(Array(rf, glr)).fit(data)
     Fitted(pm.stages.last.asInstanceOf[GeneralizedLinearRegressionModel], pm)

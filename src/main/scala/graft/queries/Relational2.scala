@@ -1,0 +1,231 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.operators.TemporalJoins
+
+/** Coverage batch 2: grouping-set variants, set ops, analytic windows,
+  * string/math scalar surface, SQL-string entry, temporal joins,
+  * approximate aggregates. Same determinism/oracle discipline as
+  * [[Relational]]. */
+object Relational2 {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** CUBE over two keys. */
+  val qCube: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** GROUPING SETS through the SQL parser (P1: the reference's SQL-string
+    * entry point, with a real query). */
+  val qGroupingSets: Q = (s, d) => {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_gs")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
+        |FROM lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** INTERSECT (distinct): customers with both F- and O-status orders. */
+  val qIntersect: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    o.filter(col("o_orderstatus") === "F").select("o_custkey")
+      .intersect(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+      .orderBy("o_custkey")
+  }
+
+  /** EXCEPT (distinct): customers with F-status but no O-status orders. */
+  val qExcept: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    o.filter(col("o_orderstatus") === "F").select("o_custkey")
+      .except(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+      .orderBy("o_custkey")
+  }
+
+  /** UNION DISTINCT of two single-column domains. */
+  val qUnionDistinct: Q = (s, d) =>
+    Tables.lineitem(s, d).select(col("l_returnflag").as("flag"))
+      .union(Tables.orders(s, d).select(col("o_orderstatus").as("flag")))
+      .distinct()
+      .orderBy("flag")
+
+  /** Analytic windows: lead, dense_rank, ntile in one pass per customer. */
+  val qWindowAnalytic: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("next_price", lead("o_totalprice", 1).over(w))
+      .withColumn("drank", dense_rank().over(w).cast("long"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .select("o_custkey", "o_orderkey", "next_price", "drank", "quartile")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** String scalar surface: substring, concat_ws, replace, lpad, upper,
+    * regexp_extract. */
+  val qStringFuncs: Q = (s, d) =>
+    Tables.customer(s, d)
+      .select(
+        col("c_custkey"),
+        substring(col("c_name"), 1, 8).as("prefix"),
+        concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined"),
+        regexp_replace(col("c_name"), "[0-9]", "#").as("masked"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("padded"),
+        upper(col("c_mktsegment")).as("seg_upper"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"))
+      .orderBy("c_custkey")
+
+  /** Math scalar surface on stored doubles (IEEE-exact ops only: abs,
+    * floor, ceil, sqrt, sign, greatest/least — no pow/exp/log, whose libm
+    * results differ across engines in the last ulp). */
+  val qMathFuncs: Q = (s, d) =>
+    Tables.supplier(s, d)
+      .select(
+        col("s_suppkey"),
+        abs(col("s_acctbal")).as("abs_bal"),
+        floor(col("s_acctbal")).as("floor_bal"),
+        ceil(col("s_acctbal")).as("ceil_bal"),
+        sqrt(abs(col("s_acctbal"))).as("sqrt_bal"),
+        signum(col("s_acctbal")).as("sign_bal"),
+        greatest(col("s_acctbal"), lit(0.0)).as("pos_bal"))
+      .orderBy("s_suppkey")
+
+  /** Order-statistic aggregates: exact median + interpolated percentiles
+    * (portable: both engines interpolate), spread stats rounded. */
+  val qPercentiles: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(median(col("l_quantity")), 4).as("med_qty"),
+        round(percentile(col("l_extendedprice"), lit(0.25)), 2).as("p25_price"),
+        round(percentile(col("l_extendedprice"), lit(0.75)), 2).as("p75_price"),
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"))
+      .orderBy("l_returnflag")
+
+  /** As-of join: each purchase matched to the user's latest signup at or
+    * before it (graft.operators.TemporalJoins — DuckDB expresses the same
+    * with native ASOF JOIN). */
+  val qAsofJoin: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id", "value")
+    val signups = ev.filter(col("event_type") === "signup")
+      .select("user_id", "ts", "event_id")
+    TemporalJoins.asOf(purchases, signups, "user_id", "ts",
+        Map("event_id" -> "signup_event_id"))
+      .select("user_id", "event_id", "value", "signup_event_id")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Range self-join: event pairs within 60 seconds (bucketed equi-join,
+    * not a nested-loop inequality join). */
+  val qRangeJoin: Q = (s, d) =>
+    TemporalJoins.rangeSelfJoin(Tables.events(s, d), "event_id", "ts", 60L)
+      .orderBy("a_id", "b_id")
+
+  /** HLL sketch count-distinct (rows-only: sketch estimates are
+    * engine-specific) next to exact, with per-engine relative error
+    * asserted in specs instead. */
+  val qApproxDistinct: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+
+  val all: Map[String, Q] = Map(
+    "q_cube" -> qCube,
+    "q_grouping_sets" -> qGroupingSets,
+    "q_intersect" -> qIntersect,
+    "q_except" -> qExcept,
+    "q_union_distinct" -> qUnionDistinct,
+    "q_window_analytic" -> qWindowAnalytic,
+    "q_string_funcs" -> qStringFuncs,
+    "q_math_funcs" -> qMathFuncs,
+    "q_percentiles" -> qPercentiles,
+    "q_asof_join" -> qAsofJoin,
+    "q_range_join" -> qRangeJoin,
+    "q_approx_distinct" -> qApproxDistinct,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+        | count(*) AS cnt
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+        | count(*) AS cnt
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin,
+    "q_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin,
+    "q_union_distinct" ->
+      """SELECT l_returnflag AS flag FROM lineitem
+        |UNION
+        |SELECT o_orderstatus AS flag FROM orders
+        |ORDER BY flag""".stripMargin,
+    "q_window_analytic" ->
+      """SELECT o_custkey, o_orderkey,
+        | lead(o_totalprice, 1) OVER w AS next_price,
+        | CAST(dense_rank() OVER w AS BIGINT) AS drank,
+        | CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_string_funcs" ->
+      """SELECT c_custkey,
+        | substring(c_name, 1, 8) AS prefix,
+        | concat_ws('|', c_mktsegment, c_name) AS joined,
+        | regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+        | lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+        | upper(c_mktsegment) AS seg_upper,
+        | regexp_extract(c_name, '([0-9]+)', 1) AS digits
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_math_funcs" ->
+      """SELECT s_suppkey,
+        | abs(s_acctbal) AS abs_bal,
+        | floor(s_acctbal) AS floor_bal,
+        | ceil(s_acctbal) AS ceil_bal,
+        | sqrt(abs(s_acctbal)) AS sqrt_bal,
+        | CASE WHEN s_acctbal > 0 THEN 1.0 WHEN s_acctbal < 0 THEN -1.0 ELSE 0.0 END AS sign_bal,
+        | greatest(s_acctbal, 0.0) AS pos_bal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        | round(median(l_quantity), 4) AS med_qty,
+        | round(quantile_cont(l_extendedprice, 0.25), 2) AS p25_price,
+        | round(quantile_cont(l_extendedprice, 0.75), 2) AS p75_price,
+        | round(stddev_samp(l_quantity), 4) AS sd_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_asof_join" ->
+      """SELECT l.user_id, l.event_id, l.value, r.event_id AS signup_event_id
+        |FROM (SELECT user_id, ts, event_id, value FROM events
+        |      WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events
+        |                WHERE event_type = 'signup') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.user_id, l.event_id""".stripMargin,
+    "q_range_join" ->
+      """SELECT a.event_id AS a_id, b.event_id AS b_id,
+        | CAST(epoch(date_trunc('second', b.ts)) - epoch(date_trunc('second', a.ts)) AS BIGINT) AS gap_sec
+        |FROM events a
+        |JOIN events b
+        |  ON a.event_id < b.event_id
+        | AND abs(epoch(date_trunc('second', a.ts)) - epoch(date_trunc('second', b.ts))) <= 60
+        |ORDER BY a_id, b_id""".stripMargin,
+  )
+}
