@@ -49,10 +49,17 @@ object DedupSim {
       .orderBy("q_id", "rank")
   }
 
-  /** LSH-bucketed approximate cosine top-10 (the scale path). */
+  /** LSH-bucketed approximate cosine top-10 (scale path 1). */
   val qKnnLsh: Q = (s, d) => {
     val vecs = Tables.embeddings(s, d)
     Similarity.lshTopK(vecs, vecs.filter(col("vec_id") < 5), 10)
+      .orderBy("q_id", "rank")
+  }
+
+  /** IVF cell-probed approximate cosine top-10 (scale path 2). */
+  val qKnnIvf: Q = (s, d) => {
+    val vecs = Tables.embeddings(s, d)
+    graft.similarity.Ivf.topK(vecs, vecs.filter(col("vec_id") < 5), 10)
       .orderBy("q_id", "rank")
   }
 
@@ -64,6 +71,7 @@ object DedupSim {
     "q_dedup_embed" -> qDedupEmbed,
     "q_knn_brute" -> qKnnBrute,
     "q_knn_lsh" -> qKnnLsh,
+    "q_knn_ivf" -> qKnnIvf,
   )
 
   val oracles: Map[String, String] = Map(

@@ -69,10 +69,24 @@ object Ml {
 
   val footballCsv = "/root/reference/football_results.csv"
 
+  /** F12 columnar: per-returnflag score distribution from the codegen'd
+    * poisson_pmf expression (λ = group mean quantity, k = 0..10). Rows-only
+    * (exp/log aren't bit-portable across engines). */
+  val qScoreDist: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(avg("l_quantity").as("lam"))
+      .select(col("l_returnflag"), explode(sequence(lit(0), lit(10))).as("k"), col("lam"))
+      .withColumn("pmf", round(
+        graft.functions.PoissonPmf.poisson_pmf(col("k"), col("lam")), 6))
+      .select("l_returnflag", "k", "pmf")
+      .orderBy("l_returnflag", "k")
+
   val all: Map[String, Q] = Map(
     "q_glm_poisson" -> qGlmPoisson,
     "q_simulation" -> qSimulation,
     "q_fifa_star" -> qFifaStar,
+    "q_score_dist" -> qScoreDist,
   )
 
   val oracles: Map[String, String] = Map.empty

@@ -63,6 +63,28 @@ class DedupSimSpec extends AnyFunSuite with SharedSpark {
     assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
   }
 
+  test("ivf knn: valid sims, full result set, recall vs brute force") {
+    val vecs = Tables.embeddings(spark, sfDir)
+    val qs = vecs.filter($"vec_id" < 5)
+    val brute = Similarity.bruteTopK(vecs, qs, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = graft.similarity.Ivf.topK(vecs, qs, 10).collect()
+    assert(ivf.length == 50) // 5 queries × 10 (cells are big enough)
+    assert(ivf.forall(r => math.abs(r.getDouble(3)) <= 1.0))
+    val hits = ivf.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (hits & brute).size.toDouble / brute.size
+    assert(recall >= 0.4, s"IVF recall@10 too low: $recall")
+  }
+
+  test("poisson_pmf expression matches the driver-side math") {
+    val df = Seq((0, 2.3), (2, 2.3), (10, 0.5)).toDF("k", "lam")
+      .select(graft.functions.PoissonPmf.poisson_pmf($"k", $"lam").as("p"))
+    val got = df.collect().map(_.getDouble(0))
+    val want = Seq(graft.ml.Simulate.poissonPmf(0, 2.3),
+      graft.ml.Simulate.poissonPmf(2, 2.3), graft.ml.Simulate.poissonPmf(10, 0.5))
+    got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-12) }
+  }
+
   test("lsh knn results are a subset of brute-force candidates (same bucket)") {
     val vecs = Tables.embeddings(spark, sfDir)
     val qs = vecs.filter($"vec_id" < 5)
