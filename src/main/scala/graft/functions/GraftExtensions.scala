@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension registering graft's custom Catalyst expressions as
+  * SQL functions (`dot_product`, `poisson_pmf`), so the SQL-string entry
+  * point (SURVEY.md §3 entry 1) reaches them too:
+  *
+  *   spark = SparkSession.builder().withExtensions(new GraftExtensions)...
+  *   spark.sql("SELECT dot_product(a, b) FROM vecs")
+  *
+  * [[GraftExtensions.install]] does the same on an already-built session
+  * (the driver owns session construction in this harness). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.definitions.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+  private type Builder = Seq[Expression] => Expression
+
+  val definitions: Seq[(String, ExpressionInfo, Builder)] = Seq(
+    ("dot_product",
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+    ("poisson_pmf",
+      new ExpressionInfo(classOf[PoissonPmf].getName, "poisson_pmf"),
+      (args: Seq[Expression]) => PoissonPmf(args(0), args(1))))
+
+  /** Runtime registration on an existing session. */
+  def install(spark: SparkSession): Unit =
+    definitions.foreach { case (name, info, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(FunctionIdentifier(name), info, builder)
+    }
+}

@@ -70,6 +70,27 @@ object Multimodal {
     out.toDF()
   }
 
+  /** Resize stub: rescales the decoded metadata to a bounding box
+    * preserving aspect ratio (integer math only); payload passes through
+    * untouched — a real codec would transcode here. The column shape
+    * (struct rewrite, no row explosion) is what matters. */
+  def resizeStub(decoded: DataFrame, maxDim: Int): DataFrame = {
+    val w = col("meta.width")
+    val h = col("meta.height")
+    val longest = greatest(w, h)
+    val scaleNum = lit(maxDim)
+    val newW = when(longest <= maxDim, w)
+      .otherwise((w * scaleNum / longest).cast("int"))
+    val newH = when(longest <= maxDim, h)
+      .otherwise((h * scaleNum / longest).cast("int"))
+    decoded.withColumn("meta", struct(
+      col("meta.media_type").as("media_type"),
+      col("meta.n_bytes").as("n_bytes"),
+      newW.as("width"),
+      newH.as("height"),
+      col("meta.n_frames").as("n_frames")))
+  }
+
   /** Frame-sampling stub: every k-th frame index of an n_frames payload —
     * the explode shape of video frame extraction. */
   def sampleFrames(decoded: DataFrame, every: Int): DataFrame =

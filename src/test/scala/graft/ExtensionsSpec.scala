@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.GraftExtensions
+import graft.multimodal.Multimodal
+
+class ExtensionsSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  test("custom expressions callable from SQL after install") {
+    GraftExtensions.install(spark)
+    val r = spark.sql(
+      "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
+        "poisson_pmf(2, 2.3d) AS p").head()
+    assert(r.getDouble(0) == 11.0)
+    assert(math.abs(r.getDouble(1) - graft.ml.Simulate.poissonPmf(2, 2.3)) < 1e-12)
+  }
+
+  test("SQL dot_product over a table matches the Column API") {
+    GraftExtensions.install(spark)
+    Tables.embeddings(spark, sfDir).createOrReplaceTempView("emb_sql")
+    val viaSql = spark.sql(
+      """SELECT vec_id, dot_product(cast(embedding as array<double>),
+        |                           cast(embedding as array<double>)) AS d
+        |FROM emb_sql ORDER BY vec_id LIMIT 5""".stripMargin).collect()
+    val viaCol = graft.similarity.Similarity.prepared(Tables.embeddings(spark, sfDir))
+      .select($"vec_id", (col("nrm") * col("nrm")).as("d"))
+      .orderBy("vec_id").limit(5).collect()
+    viaSql.zip(viaCol).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0))
+      assert(math.abs(a.getDouble(1) - b.getDouble(1)) < 1e-9)
+    }
+  }
+
+  test("resize stub: aspect preserved, no-op under bound, payload intact") {
+    val media = Multimodal.stubDecode(Multimodal.asMediaTable(
+      Tables.documents(spark, sfDir)))
+    val resized = Multimodal.resizeStub(media, 128)
+    val rows = resized.select(
+      col("meta.width"), col("meta.height"), length(col("payload"))).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(0) <= 128 + 1 && r.getInt(1) <= 128 + 1) // int-math slack
+      assert(r.getInt(2) > 0)
+    }
+    // originals under the bound are untouched
+    val small = media.filter(col("meta.width") <= 128 && col("meta.height") <= 128)
+      .select(col("media_id"), col("meta.width").as("w0"))
+    val after = Multimodal.resizeStub(media, 128)
+      .select(col("media_id"), col("meta.width").as("w1"))
+    val joined = small.join(after, "media_id")
+      .filter(col("w0") =!= col("w1")).count()
+    assert(joined == 0)
+  }
+}
