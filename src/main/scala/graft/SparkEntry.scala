@@ -17,6 +17,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.all ++
       graft.queries.Relational2.all ++
+      graft.queries.Relational3.all ++
       graft.queries.Text.all ++
       graft.queries.DedupSim.all ++
       graft.queries.Media.all ++
@@ -27,6 +28,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
       graft.queries.Relational2.oracles ++
+      graft.queries.Relational3.oracles ++
       graft.queries.Text.oracles ++
       graft.queries.DedupSim.oracles ++
       graft.queries.Media.oracles

@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Coverage batch 3: schema'd JSON parsing, null-handling scalar surface,
+  * calendar functions. Cross-engine traps handled: Spark dayofweek is
+  * 1=Sunday..7, DuckDB 0=Sunday..6 (+1 in the oracle); date-typed results
+  * go out as formatted strings (DATE vs TIMESTAMP dtype ambiguity). */
+object Relational3 {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val propsSchema = StructType(Seq(StructField("k", IntegerType)))
+
+  /** from_json with an explicit schema (vs the path-based
+    * get_json_object in q_json_extract). */
+  val qFromJson: Q = (s, d) =>
+    Tables.events(s, d)
+      .withColumn("parsed", from_json(col("props"), propsSchema))
+      .select(col("parsed.k").as("k"), col("value"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("cnt"), round(avg("value"), 4).as("avg_value"))
+      .orderBy("k")
+
+  /** Null-handling scalars: nullif, coalesce, conditional defaults. */
+  val qNullFuncs: Q = (s, d) =>
+    Tables.customer(s, d)
+      .select(
+        col("c_custkey"),
+        nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_nb"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("<dropped>")).as("seg_filled"),
+        when(col("c_acctbal") < 0, lit(null).cast("double"))
+          .otherwise(col("c_acctbal")).as("bal_pos_only"))
+      .orderBy("c_custkey")
+
+  /** Calendar functions over o_orderdate. */
+  val qDateFuncs: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        quarter(col("o_orderdate")).as("q"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        datediff(col("o_orderdate"), lit("1995-01-01")).cast("long").as("days_since"),
+        date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd").as("plus30"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"))
+      .orderBy("o_orderkey")
+
+  val all: Map[String, Q] = Map(
+    "q_from_json" -> qFromJson,
+    "q_null_funcs" -> qNullFuncs,
+    "q_date_funcs" -> qDateFuncs,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_from_json" ->
+      """SELECT CAST(props->>'$.k' AS INT) AS k, count(*) AS cnt,
+        | round(avg(value), 4) AS avg_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_null_funcs" ->
+      """SELECT c_custkey,
+        | nullif(c_mktsegment, 'BUILDING') AS seg_nb,
+        | coalesce(nullif(c_mktsegment, 'BUILDING'), '<dropped>') AS seg_filled,
+        | CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal_pos_only
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        | CAST(year(o_orderdate) AS INT) AS y,
+        | CAST(month(o_orderdate) AS INT) AS m,
+        | CAST(day(o_orderdate) AS INT) AS dom,
+        | CAST(quarter(o_orderdate) AS INT) AS q,
+        | CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+        | date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since,
+        | strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+        | strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+  )
+}
