@@ -24,7 +24,13 @@ object Ml {
       col("l_returnflag").as("team"),
       col("l_linestatus").as("opponent"),
       (lit(1.0) + col("l_discount")).as("weight"))
-    val fitted = PoissonModel.fit(data)
+    // frequency-weighted Poisson is exactly invariant under collapsing
+    // identical (factors, response) rows and summing their weights — the
+    // engine reduces 600k rows to ~300 sufficient-statistic rows before
+    // IRLS ever runs (spec-verified equivalence in MlSpec)
+    val collapsed = data.groupBy("goals", "team", "opponent")
+      .agg(sum("weight").as("weight"))
+    val fitted = PoissonModel.fit(collapsed)
     PoissonModel.coefficients(fitted)
       .toDF("feature_idx", "coef")
       .select(col("feature_idx"), round(col("coef"), 4).as("coef"))

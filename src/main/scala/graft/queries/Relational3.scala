@@ -50,10 +50,27 @@ object Relational3 {
         date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"))
       .orderBy("o_orderkey")
 
+  /** RANGE-frame window: 7-day trailing order count/sum per customer
+    * (range frames are value-based — all rows within the bound join the
+    * frame, unlike ROWS frames). */
+  val qWindowRangeFrame: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val days = datediff(col("o_orderdate"), lit("1995-01-01")).cast("long")
+    val w = Window.partitionBy("o_custkey").orderBy(col("days_since"))
+      .rangeBetween(-7, 0)
+    Tables.orders(s, d)
+      .withColumn("days_since", days)
+      .withColumn("cnt_7d", count(lit(1)).over(w))
+      .withColumn("sum_7d", round(sum("o_totalprice").over(w), 2))
+      .select("o_custkey", "o_orderkey", "days_since", "cnt_7d", "sum_7d")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   val all: Map[String, Q] = Map(
     "q_from_json" -> qFromJson,
     "q_null_funcs" -> qNullFuncs,
     "q_date_funcs" -> qDateFuncs,
+    "q_window_range_frame" -> qWindowRangeFrame,
   )
 
   val oracles: Map[String, String] = Map(
@@ -78,5 +95,14 @@ object Relational3 {
         | strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
         | strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_window_range_frame" ->
+      """SELECT o_custkey, o_orderkey, days_since,
+        | count(*) OVER w AS cnt_7d,
+        | round(sum(o_totalprice) OVER w, 2) AS sum_7d
+        |FROM (SELECT *, date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since
+        |      FROM orders)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY days_since
+        |             RANGE BETWEEN 7 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
   )
 }

@@ -56,7 +56,8 @@ object Text {
     * deterministic rows-only + spec coverage. */
   val qLangId: Q = (s, d) =>
     Tables.documents(s, d)
-      .withColumn("lang_pred", langId(col("text")))
+      .withColumn("lt", lower(col("text")))
+      .withColumn("lang_pred", langId(col("lt")))
       .groupBy("lang", "lang_pred")
       .agg(count(lit(1)).as("cnt"))
       .orderBy("lang", "lang_pred")

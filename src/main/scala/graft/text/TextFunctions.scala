@@ -69,11 +69,15 @@ object TextFunctions {
 
   /** N-gram-heuristic language ID: score = number of profile trigrams that
     * occur in the text; argmax wins, ties broken by language code order.
-    * Returns the winning language code. */
-  def langId(text: Column): Column = {
-    val lower_ = lower(text)
+    * Returns the winning language code.
+    *
+    * `loweredText` should be a plain column reference (e.g. a prior
+    * `withColumn("lt", lower(text))`): the expression references it ~25
+    * times, and a non-trivial subtree there would be re-evaluated per
+    * reference. */
+  def langId(loweredText: Column): Column = {
     val scored = langProfiles.toSeq.sortBy(_._1).map { case (lang, grams) =>
-      val score = grams.map(g => when(lower_.contains(g), 1).otherwise(0))
+      val score = grams.map(g => when(loweredText.contains(g), 1).otherwise(0))
         .reduce((a, b) => a + b)
       struct(score.as("score"), lit(lang).as("lang"))
     }

@@ -36,6 +36,33 @@ class MlSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("GLM fit on sufficient statistics equals fit on raw rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val raw = Tables.lineitem(spark, sfDir).select(
+      col("l_quantity").cast("int").as("goals"),
+      col("l_returnflag").as("team"),
+      col("l_linestatus").as("opponent"),
+      (lit(1.0) + col("l_discount")).as("weight"))
+    val collapsed = raw.groupBy("goals", "team", "opponent")
+      .agg(sum("weight").as("weight"))
+    // compare predictions, not coefficients: RFormula's StringIndexer
+    // orders categories by frequency, which collapsing changes, so the
+    // one-hot baseline shifts while the fitted rate surface λ(team,
+    // opponent) stays the same (same likelihood optimum)
+    val pairs = raw.select("team", "opponent").distinct()
+    def preds(fit: PoissonModel.Fitted) =
+      PoissonModel.predict(fit, pairs.withColumn("goals", lit(0)))
+        .select("team", "opponent", "prediction").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val pRaw = preds(PoissonModel.fit(raw))
+    val pCol = preds(PoissonModel.fit(collapsed))
+    assert(pRaw.keySet == pCol.keySet)
+    pRaw.foreach { case (k, v) =>
+      assert(math.abs(v - pCol(k)) < 1e-4 * math.max(1.0, v), s"pred $k: $v vs ${pCol(k)}")
+    }
+  }
+
   test("GLM poisson recovers a known rate structure") {
     import spark.implicits._
     // two-level factor with true rates 1.0 and e^1 ≈ 2.718: the fitted
