@@ -31,5 +31,6 @@ object SparkEntry {
       graft.queries.Relational3.oracles ++
       graft.queries.Text.oracles ++
       graft.queries.DedupSim.oracles ++
-      graft.queries.Media.oracles
+      graft.queries.Media.oracles ++
+      graft.queries.Ml.oracles
 }

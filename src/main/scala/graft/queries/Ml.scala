@@ -67,10 +67,14 @@ object Ml {
 
   /** The reference's flagship pipeline end-to-end on its own dataset:
     * CSV → clean → FIFA filter → deterministic keys → star results table.
-    * sfDir is unused — the input is the reference CSV itself. */
+    * sfDir is unused — the input is the reference CSV itself; the oracle
+    * replays the same pipeline in DuckDB SQL over read_csv. Date goes out
+    * as a yyyy-MM-dd string (cross-engine dtype discipline). */
   val qFifaStar: Q = (s, _) => {
     val star = FootballEtl.run(s, Ml.footballCsv, deterministicKeys = true)
-    star("results").orderBy("date_id")
+    star("results")
+      .withColumn("date", date_format(col("date"), "yyyy-MM-dd"))
+      .orderBy("date_id")
   }
 
   val footballCsv = "/root/reference/football_results.csv"
@@ -95,5 +99,28 @@ object Ml {
     "q_score_dist" -> qScoreDist,
   )
 
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map(
+    "q_fifa_star" ->
+      """WITH raw AS (
+        | SELECT * FROM read_csv('/root/reference/football_results.csv',
+        |   header=true,
+        |   columns={'date':'VARCHAR','home_team':'VARCHAR','away_team':'VARCHAR',
+        |            'home_score':'INTEGER','away_score':'INTEGER','tournament':'VARCHAR',
+        |            'city':'VARCHAR','country':'VARCHAR','neutral':'BOOLEAN'})),
+        |cleaned AS (
+        | SELECT coalesce(
+        |     CAST(try_strptime(date, '%m/%d/%Y') AS DATE),
+        |     CAST(try_strptime(date, '%Y-%m-%d') AS DATE),
+        |     CAST(try_strptime(date, '%d-%m-%Y') AS DATE),
+        |     CAST(try_strptime(date, '%d/%m/%Y') AS DATE)) AS date,
+        |  home_team, away_team, home_score, away_score, tournament, city, country, neutral
+        | FROM raw WHERE tournament = 'FIFA World Cup'),
+        |keyed AS (
+        | SELECT *, row_number() OVER (ORDER BY date, home_team, away_team, tournament) AS date_id
+        | FROM cleaned)
+        |SELECT CAST(date_id AS BIGINT) AS date_id, strftime(date, '%Y-%m-%d') AS date,
+        | CAST(date_id + 4 AS BIGINT) AS game_id,
+        | home_team, away_team, home_score, away_score, tournament, city, country, neutral
+        |FROM keyed ORDER BY date_id""".stripMargin,
+  )
 }
