@@ -23,6 +23,19 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("streaming dedup with watermark matches batch distinct") {
+    val deduped = Streaming.readEvents(spark, sfDir)
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+    val result = Streaming.runAvailableNow(spark, deduped, "stream_dedup",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    // single-batch AvailableNow: watermark can't advance mid-batch, so the
+    // stateful dedup degenerates to exact distinct over the input
+    val expected = Tables.events(spark, sfDir)
+      .select("user_id", "event_type").distinct().count()
+    assert(result.count() == expected)
+  }
+
   test("mapGroupsWithState session counts match batch sessionization") {
     val stream = Streaming.sessionCounts(spark, Streaming.readEvents(spark, sfDir))
     val result = Streaming.runAvailableNow(spark, stream, "stream_sessions",
