@@ -13,8 +13,9 @@ import graft.text.TextFunctions._
   *  - The Jaccard join never builds the O(n²) cross product: it explodes
   *    shingles into an inverted index and joins on shingle, so cost is
   *    Σ_shingle |docs(shingle)|² — near-linear when shingles are
-  *    discriminative. (At 100 TB you'd add a prefix filter; the join shape
-  *    is already the scalable one.)
+  *    discriminative. Two variants, picked per data shape: direct
+  *    count-aggregation ([[jaccardPairs]]) and PPJoin-style prefix
+  *    filtering ([[jaccardPairsPrefix]]) for web-scale corpora.
   *  - MinHash/LSH reduces candidate generation to equality joins on band
   *    signatures — O(n·bands) shuffle, then exact verification only on
   *    bucket collisions. This is the path that survives 1000 executors.
@@ -39,12 +40,63 @@ object Dedup {
       .filter(col("n_copies") > 1)
       .select("keep_id", "n_copies")
 
-  /** N-gram Jaccard near-dup pairs via inverted-index join (no cross
-    * product). The index key is xxhash64(shingle) — an 8-byte join key
-    * instead of a ~20-byte string halves the shuffle and sort cost; a
-    * 64-bit collision inside one doc pair (~2⁻⁶⁴ per pair) is the only
-    * semantic difference vs joining on the raw shingle.
-    * Returns (a_id, b_id, jaccard) for pairs ≥ threshold. */
+  /** N-gram Jaccard near-dup pairs via a PREFIX-FILTERED inverted-index
+    * join (PPJoin-style, Xiao et al., WWW'08 — see PAPERS.md). Identical
+    * output to [[jaccardPairsNaive]], far fewer candidates:
+    *
+    *  1. hash shingles to 8-byte keys (cheaper shuffle than strings);
+    *  2. sort each doc's shingle-hash set (any consistent total order
+    *     makes the prefix lemma hold; hash order costs one per-row
+    *     array_sort and no extra shuffle — a global rarest-first order
+    *     would shrink prefixes further at the price of a frequency agg);
+    *  3. index only the first `n - ⌈t·n⌉ + 1` shingles per doc. If
+    *     J(a,b) ≥ t then |a∩b| ≥ ⌈t·max(na,nb)⌉, so by pigeonhole the
+    *     two prefixes under a common total order must intersect — no
+    *     false negatives;
+    *  4. candidates additionally length-filtered (t·na ≤ nb ∧ t·nb ≤ na),
+    *     then verified EXACTLY via array_intersect on the full sets.
+    *
+    * When shingles are discriminative (real web-scale text: the shingle
+    * space is enormous, most shingles near-unique) the join cost collapses
+    * from Σ|docs(shingle)|² over all shingles to the same sum over the
+    * ~(1-t)·n prefix shingles only — this is the 100 TB path. On corpora
+    * with a tiny shared vocabulary (like this synthetic testdata, measured:
+    * 5k docs → 291k candidates) the candidate set degenerates and the
+    * count-aggregating [[jaccardPairs]] join is faster; pick per data
+    * shape. Returns (a_id, b_id, jaccard) for pairs ≥ t. */
+  def jaccardPairsPrefix(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = shingled(docs)
+      .select(col("doc_id"),
+        array_sort(array_distinct(transform(col("sh"), s => xxhash64(s)))).as("hs"))
+      .withColumn("nsh", size(col("hs")))
+    val prefixLen =
+      (col("nsh") - ceil(col("nsh") * lit(threshold)) + 1).cast("int")
+    val prefixes = sh.select(col("doc_id"), col("nsh"),
+      explode(slice(col("hs"), lit(1), prefixLen)).as("h"))
+    val cand = prefixes.as("x").join(prefixes.as("y"), Seq("h"))
+      .filter(col("x.doc_id") < col("y.doc_id") &&
+        col("y.nsh") * lit(threshold) <= col("x.nsh") &&
+        col("x.nsh") * lit(threshold) <= col("y.nsh"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("a_id"), col("hs").as("ha")), Seq("a_id"))
+      .join(sh.select(col("doc_id").as("b_id"), col("hs").as("hb")), Seq("b_id"))
+      .withColumn("common", size(array_intersect(col("ha"), col("hb"))))
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("ha")) + size(col("hb")) - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Inverted-index Jaccard join with direct count aggregation — every
+    * shingle indexed, overlap counted by a hash-agg on (a,b) with NO
+    * per-pair candidate materialization. The better shape when shingle
+    * document-frequency is high (shared-vocab corpora, like the synthetic
+    * testdata; measured 2× faster than [[jaccardPairsPrefix]] there). The
+    * index key is xxhash64(shingle) — an 8-byte join key instead of a
+    * ~20-byte string halves the shuffle; a 64-bit collision (~2⁻⁶⁴ per
+    * pair) is the only semantic difference vs joining the raw shingle. */
   def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val inv = shingled(docs)
       .select(col("doc_id"), col("nsh"), explode(col("sh")).as("shingle"))

@@ -2,7 +2,6 @@ package graft.etl
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** The reference's end-to-end ETL re-expressed Spark-first (SURVEY.md §2,
   * §7.2 step 1): CSV scan with explicit schema → SQL identity projection →
@@ -12,12 +11,10 @@ import org.apache.spark.sql.expressions.Window
   * Two surrogate-key modes (SURVEY.md §7.4.1):
   *  - faithful: `monotonically_increasing_id()+k` — partition-dependent,
   *    exactly the reference's semantics (spark_etl_job.py:46-47);
-  *  - deterministic: `row_number` over the natural order (date, teams) —
-  *    oracle-checkable and stable under repartitioning. Scale note: the
-  *    faithful mode is embarrassingly parallel; the deterministic mode's
-  *    global window is the price of reproducible ids (at 100 TB you'd
-  *    zipWithIndex per partition + offset, same result, no single-task
-  *    sort — the row_number form is fine at dim-table scale).
+  *  - deterministic: dense ids over the natural order (date, teams) —
+  *    oracle-checkable and stable under repartitioning, computed by
+  *    Scale.denseIds (range-partition + per-partition offsets) so no
+  *    stage ever funnels into a single task.
   */
 object FootballEtl {
 
@@ -63,12 +60,14 @@ object FootballEtl {
     df.withColumn("date_id", (monotonically_increasing_id() + 1).cast("long"))
       .withColumn("game_id", (monotonically_increasing_id() + 5).cast("long"))
 
-  /** P2 deterministic: row_number over the natural key. */
-  def withSurrogateKeysDeterministic(df: DataFrame): DataFrame = {
-    val w = Window.orderBy("date", "home_team", "away_team", "tournament")
-    df.withColumn("date_id", row_number().over(w).cast("long"))
+  /** P2 deterministic: dense ids over the natural key via
+    * [[graft.operators.Scale.denseIds]] (range-partition + zipWithIndex) —
+    * same values as `row_number().over(Window.orderBy(...))` on a unique
+    * key, but with no single-partition global sort. */
+  def withSurrogateKeysDeterministic(df: DataFrame): DataFrame =
+    graft.operators.Scale
+      .denseIds(df, "date_id", Seq("date", "home_team", "away_team", "tournament"))
       .withColumn("game_id", (col("date_id") + 4).cast("long"))
-  }
 
   /** P5: the star split — fact + two (degenerate, 1:1:1) dimensions
     * (SURVEY.md §1.4). */

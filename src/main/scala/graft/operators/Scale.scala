@@ -69,4 +69,29 @@ object Scale {
   /** Hive-style partitioned parquet sink (partition pruning at read). */
   def writePartitioned(df: DataFrame, partitionCol: String, path: String): Unit =
     df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+
+  /** Deterministic dense ids 1..n ordered by `sortCols`, WITHOUT the
+    * single-partition global window that `row_number().over(Window.orderBy)`
+    * costs: range-repartition on the sort key (total order across
+    * partitions), sort within each partition, then zipWithIndex — which
+    * adds per-partition offsets from one lightweight count job. Equal to
+    * global row_number when the sort key is unique, and every stage stays
+    * fully parallel at any scale. */
+  def denseIds(df: DataFrame, idCol: String, sortCols: Seq[String],
+               numPartitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val spark = df.sparkSession
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val sorted = df
+      .repartitionByRange(parts, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+    val schema = sorted.schema.add(idCol, LongType, nullable = false)
+    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    spark.createDataFrame(rdd, schema)
+  }
 }

@@ -347,11 +347,13 @@ object Relational {
 
   /** Builds a date dimension with dense surrogate keys and the fact keyed
     * by it — the deterministic, oracle-checkable variant of
-    * spark_etl_job.py:46-78. The date dim is tiny → broadcast back. */
+    * spark_etl_job.py:46-78. Keys come from Scale.denseIds (range
+    * partition + zipWithIndex: no single-partition window even when the
+    * dim isn't tiny); the dim IS tiny here → broadcast back. */
   val qEtlStar: Q = (s, d) => {
     val o = Tables.orders(s, d)
-    val dateDim = o.select(col("o_orderdate").as("dt")).distinct()
-      .withColumn("date_id", row_number().over(Window.orderBy("dt")).cast("long"))
+    val dateDim = graft.operators.Scale.denseIds(
+      o.select(col("o_orderdate").as("dt")).distinct(), "date_id", Seq("dt"))
     o.join(broadcast(dateDim), col("o_orderdate") === col("dt"))
       .select(
         col("o_orderkey").as("game_id"),

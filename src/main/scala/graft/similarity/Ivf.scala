@@ -18,20 +18,30 @@ import Similarity.{dot, prepared}
 object Ivf {
 
   /** (vec_id, emb, nrm, cid) assignments plus the centroid table
-    * (cid, cvec). Init = first k vectors by vec_id; `iters` Lloyd steps. */
+    * (cid, cvec). Init = first k vectors by vec_id; `iters` Lloyd steps.
+    *
+    * The centroid table is k×dim — driver-sized by construction — so each
+    * Lloyd step `collect`s it and restarts the next step from a local
+    * relation (what spark.ml KMeans does). Without this the loop chains
+    * lazy plans and iteration i re-executes all of 1..i-1; with it each
+    * step is exactly one job over `v`. */
   def index(vecs: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
+    val spark = vecs.sparkSession
     val v = prepared(vecs).select("vec_id", "emb", "nrm")
-    var centroids = v.orderBy("vec_id").limit(k)
-      .select(col("vec_id").cast("int").as("cid"), col("emb").as("cvec"))
-    var assigned: DataFrame = null
+    def materialize(df: DataFrame): DataFrame =
+      spark.createDataFrame(
+        java.util.Arrays.asList(df.collect(): _*), df.schema)
+    var centroids = materialize(
+      v.orderBy("vec_id").limit(k)
+        .select(col("vec_id").cast("int").as("cid"), col("emb").as("cvec")))
     for (_ <- 0 until iters) {
-      assigned = assign(v, centroids)
-      centroids = assigned
-        .select(col("cid"), posexplode(col("emb")).as(Seq("dim", "x")))
-        .groupBy("cid", "dim").agg(avg("x").as("m"))
-        .groupBy("cid")
-        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
-        .select(col("cid"), transform(col("pairs"), p => p.getField("m")).as("cvec"))
+      centroids = materialize(
+        assign(v, centroids)
+          .select(col("cid"), posexplode(col("emb")).as(Seq("dim", "x")))
+          .groupBy("cid", "dim").agg(avg("x").as("m"))
+          .groupBy("cid")
+          .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
+          .select(col("cid"), transform(col("pairs"), p => p.getField("m")).as("cvec")))
     }
     (assign(v, centroids), centroids)
   }

@@ -28,6 +28,17 @@ class DedupSimSpec extends AnyFunSuite with SharedSpark {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
 
+  test("prefix-filtered jaccard equals the count-aggregating join") {
+    val d = Tables.documents(spark, sfDir)
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(asSet(Dedup.jaccardPairsPrefix(d, 0.6)) ==
+      asSet(Dedup.jaccardPairs(d, 0.6)))
+    // a lower threshold exercises longer prefixes
+    assert(asSet(Dedup.jaccardPairsPrefix(d, 0.35)) ==
+      asSet(Dedup.jaccardPairs(d, 0.35)))
+  }
+
   test("minhash LSH recalls the exact-jaccard pairs on testdata") {
     val d = Tables.documents(spark, sfDir)
     val exact = Dedup.jaccardPairs(d, 0.6).select("a_id", "b_id").collect()

@@ -58,6 +58,20 @@ class ScaleSpec extends AnyFunSuite with SharedSpark {
     assert(saltedCnt == plainCnt)
   }
 
+  test("denseIds equals global-window row_number, with no 1-partition stage") {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_orderdate")
+    val viaWindow = o.withColumn("id",
+        row_number().over(Window.orderBy("o_orderkey")).cast("long"))
+      .select("o_orderkey", "id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDense = Scale.denseIds(o, "id", Seq("o_orderkey"), 4)
+    assert(viaDense.rdd.getNumPartitions > 1)
+    val got = viaDense.select("o_orderkey", "id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == viaWindow)
+  }
+
   test("partitioned sink prunes partitions at read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     val ev = Tables.events(spark, sfDir)
