@@ -70,6 +70,15 @@ object Scale {
   def writePartitioned(df: DataFrame, partitionCol: String, path: String): Unit =
     df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
 
+  /** Training-shard export: exactly `n` parquet files, range-partitioned
+    * and sorted by `sortCol` — downstream loaders get disjoint ordered
+    * shards, and parquet row-group min/max stats actually prune on the
+    * sort key. One range-exchange; the sort is per-shard, never global. */
+  def writeShards(df: DataFrame, n: Int, sortCol: String, path: String): Unit =
+    df.repartitionByRange(n, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(path)
+
   /** Deterministic dense ids 1..n ordered by `sortCols`, WITHOUT the
     * single-partition global window that `row_number().over(Window.orderBy)`
     * costs: range-repartition on the sort key (total order across

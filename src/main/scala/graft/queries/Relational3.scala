@@ -66,11 +66,43 @@ object Relational3 {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Approximate order statistics: percentile_approx's GK sketch is
+    * mergeable, so the agg stays one partial+final shuffle at any scale —
+    * the approximate sibling of q_percentiles' exact sort-based path.
+    * Rows-only (sketch internals are engine-specific, not ANSI SQL). */
+  val qApproxPercentile: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        percentile_approx(col("l_extendedprice"),
+          array(lit(0.5), lit(0.95)), lit(10000)).as("pctiles"),
+        count(lit(1)).as("cnt"))
+      .select(col("l_returnflag"),
+        round(element_at(col("pctiles"), 1), 2).as("p50"),
+        round(element_at(col("pctiles"), 2), 2).as("p95"),
+        col("cnt"))
+      .orderBy("l_returnflag")
+
+  /** Seeded stratified sample (per-stratum Bernoulli rates via sampleBy)
+    * — the training-data mixing knob: downsample over-represented strata
+    * at read time, no shuffle at all. Rows-only (RNG is engine-specific);
+    * the spec asserts per-stratum rates land near the requested
+    * fractions. */
+  val qSampleStratified: Q = (s, d) =>
+    Tables.documents(s, d)
+      .stat.sampleBy("lang",
+        Map("en" -> 0.25, "es" -> 0.8, "fr" -> 0.8, "de" -> 0.8, "zh" -> 0.8),
+        42L)
+      .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+      .orderBy("lang")
+
   val all: Map[String, Q] = Map(
     "q_from_json" -> qFromJson,
     "q_null_funcs" -> qNullFuncs,
     "q_date_funcs" -> qDateFuncs,
     "q_window_range_frame" -> qWindowRangeFrame,
+    "q_approx_percentile" -> qApproxPercentile,
+    "q_sample_stratified" -> qSampleStratified,
   )
 
   val oracles: Map[String, String] = Map(

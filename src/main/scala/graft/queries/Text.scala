@@ -89,6 +89,23 @@ object Text {
       .orderBy("user_id", "session_id")
   }
 
+  /** End-to-end curation pipeline — the composition a training-data
+    * pipeline actually runs: exact-dedup (keep min doc_id per content) via
+    * LEFT SEMI join, then a quality gate and token-length band. One
+    * hash-agg + one semi-join shuffle; everything else per-row. */
+  val qCuration: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("quality", qualityScore(col("toks")))
+    val keep = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    docs.join(keep, Seq("doc_id"), "left_semi")
+      .filter(col("quality") >= 0.5 && col("n_tokens").between(5, 200))
+      .select(col("doc_id"), col("n_tokens"), round(col("quality"), 4).as("quality"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q_text_stats" -> qTextStats,
     "q_text_quality" -> qTextQuality,
@@ -96,6 +113,7 @@ object Text {
     "q_lang_id" -> qLangId,
     "q_fingerprint" -> qFingerprint,
     "q_sessionize" -> qSessionize,
+    "q_curation" -> qCuration,
   )
 
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
@@ -127,6 +145,22 @@ object Text {
       """SELECT token, count(*) AS cnt FROM (
         | SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents)
         |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+    "q_curation" ->
+      s"""WITH t AS (
+         | SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS ts
+         | FROM documents),
+         |m AS (
+         | SELECT doc_id, len(ts) AS n_tokens,
+         |  least(CAST(len(ts) AS DOUBLE) / 100.0, 1.0) *
+         |   (1.0 - (CAST(len(list_filter(ts, x -> x IN ($stopList))) AS DOUBLE)
+         |           / len(ts)) * 0.5) AS quality
+         | FROM t),
+         |k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text)
+         |SELECT m.doc_id, CAST(m.n_tokens AS BIGINT) AS n_tokens,
+         | round(m.quality, 4) AS quality
+         |FROM m JOIN k USING (doc_id)
+         |WHERE m.quality >= 0.5 AND m.n_tokens BETWEEN 5 AND 200
+         |ORDER BY m.doc_id""".stripMargin,
     "q_sessionize" ->
       """WITH w AS (
         | SELECT user_id, event_id, value, ts,

@@ -72,6 +72,39 @@ class ScaleSpec extends AnyFunSuite with SharedSpark {
     assert(got == viaWindow)
   }
 
+  test("writeShards: n disjoint sorted shards") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    Scale.writeShards(Tables.documents(spark, sfDir), 4, "doc_id", dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(files.length == 4)
+    val ranges = files.map { f =>
+      val ids = spark.read.parquet(f.getAbsolutePath)
+        .select("doc_id").collect().map(_.getLong(0))
+      assert(ids.sameElements(ids.sorted), s"${f.getName} not sorted")
+      (ids.min, ids.max)
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
+      assert(hi < lo, "shard ranges overlap")
+    }
+    val total = spark.read.parquet(dir).count()
+    assert(total == Tables.documents(spark, sfDir).count())
+  }
+
+  test("stratified sample respects per-stratum fractions") {
+    val docs = Tables.documents(spark, sfDir)
+    val fractions = Map("en" -> 0.25, "es" -> 0.8, "fr" -> 0.8, "de" -> 0.8, "zh" -> 0.8)
+    val sampled = docs.stat.sampleBy("lang", fractions, 42L)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    fractions.foreach { case (lang, f) =>
+      val rate = sampled.getOrElse(lang, 0L).toDouble / full(lang)
+      assert(math.abs(rate - f) < 0.25, s"$lang rate $rate vs requested $f")
+    }
+  }
+
   test("partitioned sink prunes partitions at read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     val ev = Tables.events(spark, sfDir)
