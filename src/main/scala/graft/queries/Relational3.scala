@@ -96,8 +96,37 @@ object Relational3 {
       .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
       .orderBy("lang")
 
+  /** TPC-H Q5-shaped six-table join — revenue per nation for one region
+    * and a date band. The plan showcase the star schema exists for:
+    * region/nation broadcast (tiny dims), customer/supplier broadcast or
+    * shuffle by size, lineitem⋈orders as the one big shuffle pair;
+    * Catalyst + AQE pick per-side strategies from stats. The
+    * c_nationkey = s_nationkey predicate makes it a genuine cyclic join
+    * graph, not a pure star. */
+  val qMultiJoin: Q = (s, d) => {
+    val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(s, d)
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1995-01-01") &&
+        col("o_orderdate") < lit("1997-01-01"))
+    val l = Tables.lineitem(s, d)
+    val su = Tables.supplier(s, d)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy("n_name")
+  }
+
   val all: Map[String, Q] = Map(
     "q_from_json" -> qFromJson,
+    "q_multi_join" -> qMultiJoin,
     "q_null_funcs" -> qNullFuncs,
     "q_date_funcs" -> qDateFuncs,
     "q_window_range_frame" -> qWindowRangeFrame,
@@ -106,6 +135,19 @@ object Relational3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_multi_join" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        | JOIN orders   ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        | JOIN nation   ON s_nationkey = n_nationkey
+        | JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        | AND o_orderdate >= TIMESTAMP '1995-01-01'
+        | AND o_orderdate <  TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q_from_json" ->
       """SELECT CAST(props->>'$.k' AS INT) AS k, count(*) AS cnt,
         | round(avg(value), 4) AS avg_value

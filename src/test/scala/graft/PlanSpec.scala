@@ -61,6 +61,14 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
     // codegen markers in the pre-execution plan string)
   }
 
+  test("q_multi_join: date filter pushed, tiny dims broadcast") {
+    val p = planString("q_multi_join")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+      "date band not pushed to orders scan:\n" + p)
+    // region + nation at minimum arrive via broadcast
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+  }
+
   test("q_semi_join / q_anti_join plan as semi/anti, not inner+dedup") {
     assert(planString("q_semi_join").contains("LeftSemi"))
     assert(planString("q_anti_join").contains("LeftAnti"))
