@@ -79,6 +79,51 @@ object Scale {
       .sortWithinPartitions(sortCol)
       .write.mode("overwrite").parquet(path)
 
+  /** Small-file compaction — 100 TB housekeeping: rewrite a parquet
+    * directory into ⌈totalBytes / targetFileBytes⌉ evenly-sized files.
+    * Returns the file count written. Round-robin repartition (no key
+    * needed); pair with [[writeShards]] when a sort key should survive. */
+  def compactParquet(spark: SparkSession, inPath: String, outPath: String,
+                     targetFileBytes: Long = 128L << 20): Int = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(inPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(p).filter(_.getPath.getName.startsWith("part-"))
+      .map(_.getLen).sum
+    val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    spark.read.parquet(inPath).repartition(n)
+      .write.mode("overwrite").parquet(outPath)
+    n
+  }
+
+  /** Z-order (Morton-curve) clustered write on two numeric columns:
+    * min/max-normalize each to 16 bits, interleave the bits, then
+    * range-partition + sort by the z-value. Each output file then covers
+    * a tight rectangle in (x, y), so parquet min/max stats prune scans
+    * filtered on EITHER column — multi-dimensional pruning from a
+    * one-dimensional layout. Stats collection is one tiny agg job. */
+  def zorderWrite(df: DataFrame, colX: String, colY: String, n: Int,
+                  path: String): Unit = {
+    val r = df.agg(min(colX), max(colX), min(colY), max(colY)).first()
+    def d(i: Int) = r.get(i).toString.toDouble
+    val (loX, hiX, loY, hiY) = (d(0), d(1), d(2), d(3))
+    def norm16(c: Column, lo: Double, hi: Double): Column =
+      if (hi == lo) lit(0L)
+      else least(lit(65535L),
+        ((c.cast("double") - lit(lo)) / lit(hi - lo) * 65536.0).cast("long"))
+    val nx = norm16(col(colX), loX, hiX)
+    val ny = norm16(col(colY), loY, hiY)
+    val z = (0 until 16).map { i =>
+      shiftright(nx, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(ny, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+    df.withColumn("__z", z)
+      .repartitionByRange(n, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Deterministic dense ids 1..n ordered by `sortCols`, WITHOUT the
     * single-partition global window that `row_number().over(Window.orderBy)`
     * costs: range-repartition on the sort key (total order across

@@ -124,9 +124,40 @@ object Relational3 {
       .orderBy("n_name")
   }
 
+  /** Correlated-free scalar subquery through the SQL entry point —
+    * Catalyst plans the inner agg once as a subquery broadcast, not a
+    * per-row rescan. */
+  val qScalarSubquery: Q = (s, d) => {
+    Tables.customer(s, d).createOrReplaceTempView("cust_v")
+    s.sql("""SELECT c_custkey, c_acctbal FROM cust_v
+            |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM cust_v)
+            |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** Multiset set-ops: EXCEPT ALL / INTERSECT ALL keep multiplicity
+    * (unlike q_except/q_intersect's set semantics). */
+  val qExceptAll: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    li.filter(col("l_quantity") < 20).select("l_suppkey")
+      .exceptAll(li.filter(col("l_quantity") > 40).select("l_suppkey"))
+      .groupBy("l_suppkey").agg(count(lit(1)).as("multiplicity"))
+      .orderBy("l_suppkey")
+  }
+
+  val qIntersectAll: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    li.filter(col("l_quantity") < 20).select("l_suppkey")
+      .intersectAll(li.filter(col("l_quantity") > 40).select("l_suppkey"))
+      .groupBy("l_suppkey").agg(count(lit(1)).as("multiplicity"))
+      .orderBy("l_suppkey")
+  }
+
   val all: Map[String, Q] = Map(
     "q_from_json" -> qFromJson,
     "q_multi_join" -> qMultiJoin,
+    "q_scalar_subquery" -> qScalarSubquery,
+    "q_except_all" -> qExceptAll,
+    "q_intersect_all" -> qIntersectAll,
     "q_null_funcs" -> qNullFuncs,
     "q_date_funcs" -> qDateFuncs,
     "q_window_range_frame" -> qWindowRangeFrame,
@@ -135,6 +166,22 @@ object Relational3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_scalar_subquery" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_except_all" ->
+      """SELECT l_suppkey, count(*) AS multiplicity FROM (
+        | SELECT l_suppkey FROM lineitem WHERE l_quantity < 20
+        | EXCEPT ALL
+        | SELECT l_suppkey FROM lineitem WHERE l_quantity > 40)
+        |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+    "q_intersect_all" ->
+      """SELECT l_suppkey, count(*) AS multiplicity FROM (
+        | SELECT l_suppkey FROM lineitem WHERE l_quantity < 20
+        | INTERSECT ALL
+        | SELECT l_suppkey FROM lineitem WHERE l_quantity > 40)
+        |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
     "q_multi_join" ->
       """SELECT n_name,
         | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue

@@ -105,6 +105,51 @@ class ScaleSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("compactParquet merges a fragmented directory, data unchanged") {
+    val base = java.nio.file.Files.createTempDirectory("graft_compact")
+    val frag = base.resolve("frag").toString
+    val out = base.resolve("out").toString
+    Tables.lineitem(spark, sfDir).repartition(16).write.parquet(frag)
+    val fragFiles = new java.io.File(frag).listFiles()
+      .count(_.getName.startsWith("part-"))
+    assert(fragFiles == 16)
+    Scale.compactParquet(spark, frag, out, targetFileBytes = 512L << 20)
+    val outFiles = new java.io.File(out).listFiles()
+      .count(_.getName.startsWith("part-"))
+    assert(outFiles == 1, s"expected 1 compacted file, got $outFiles")
+    assert(spark.read.parquet(out).count() ==
+      Tables.lineitem(spark, sfDir).count())
+  }
+
+  test("zorderWrite: per-file bounding boxes tighter than single-key sort") {
+    val base = java.nio.file.Files.createTempDirectory("graft_zorder")
+    val zDir = base.resolve("z").toString
+    val linDir = base.resolve("lin").toString
+    val df = Tables.lineitem(spark, sfDir).select("l_partkey", "l_suppkey")
+    Scale.zorderWrite(df, "l_partkey", "l_suppkey", 8, zDir)
+    Scale.writeShards(df, 8, "l_partkey", linDir)
+    // the z-order win is BALANCED extent: a single-key sort gives files
+    // spanning 1/n of the sort key but 100% of every other column (a
+    // suppkey filter prunes nothing); z-ordered files cover a bounded
+    // fraction of BOTH dimensions, so min/max stats prune either filter
+    def avgSpan(dir: String, c: String): Double = {
+      val full = df.agg(max(c), min(c)).first()
+      val width = (full.getLong(0) - full.getLong(1)).toDouble
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("part-"))
+      files.map { f =>
+        val s = spark.read.parquet(f.getAbsolutePath).agg(max(c), min(c)).first()
+        (s.getLong(0) - s.getLong(1)) / width
+      }.sum / files.length
+    }
+    val zSupp = avgSpan(zDir, "l_suppkey")
+    val linSupp = avgSpan(linDir, "l_suppkey")
+    assert(linSupp > 0.9, s"linear layout should span ~full suppkey: $linSupp")
+    assert(zSupp < 0.7, s"z-order files should cover a suppkey fraction: $zSupp")
+    assert(avgSpan(zDir, "l_partkey") < 0.7, "partkey extent not bounded")
+    assert(spark.read.parquet(zDir).count() == df.count())
+  }
+
   test("partitioned sink prunes partitions at read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     val ev = Tables.events(spark, sfDir)
