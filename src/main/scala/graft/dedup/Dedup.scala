@@ -41,7 +41,7 @@ object Dedup {
       .select("keep_id", "n_copies")
 
   /** N-gram Jaccard near-dup pairs via a PREFIX-FILTERED inverted-index
-    * join (PPJoin-style, Xiao et al., WWW'08 — see PAPERS.md). Identical
+    * join (PPJoin-style prefix filtering, Xiao et al., WWW'08). Identical
     * output to [[jaccardPairsNaive]], far fewer candidates:
     *
     *  1. hash shingles to 8-byte keys (cheaper shuffle than strings);

@@ -62,6 +62,14 @@ object Streaming {
     spark.table(tableName)
   }
 
+  /** Stream-static enrichment join: each micro-batch of the stream joins
+    * a static dimension; the static side is broadcast (re-resolved per
+    * batch, so slowly-changing dims pick up updates between triggers).
+    * The standard shape for decorating an event stream with reference
+    * data — no state store involved, unlike stream-stream joins. */
+  def enriched(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key))
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long, value: Double)
   case class SessionState(sessionId: Long, lastTs: Long, nEvents: Long, sumValue: Double)
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long, session_value: Double)

@@ -73,4 +73,18 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
     assert(planString("q_semi_join").contains("LeftSemi"))
     assert(planString("q_anti_join").contains("LeftAnti"))
   }
+
+  test("no query plans a CartesianProduct (sweep over the full registry)") {
+    // pair generators must arrive as equality joins (inverted index, LSH
+    // bands, buckets) or broadcast nested loops — an unbroadcast cartesian
+    // at 100 TB is a non-starter. Building the physical plan is cheap;
+    // nothing executes here (ML fit/simulation queries excluded: their
+    // DataFrame construction itself runs jobs).
+    val skip = Set("q_glm_poisson", "q_simulation", "q_score_dist",
+      "q_knn_ivf", "q_fifa_star", "q_etl_star")
+    SparkEntry.queries.keys.filterNot(skip).foreach { name =>
+      val p = planString(name)
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
+    }
+  }
 }

@@ -36,6 +36,26 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(result.count() == expected)
   }
 
+  test("stream-static enrichment join equals batch join") {
+    val dim = Tables.events(spark, sfDir).select("user_id").distinct()
+      .withColumn("tier", (col("user_id") % 3).cast("long"))
+    val stream = Streaming.enriched(
+        Streaming.readEvents(spark, sfDir), dim, "user_id")
+      .groupBy("tier")
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+    val result = Streaming.runAvailableNow(spark, stream, "stream_enriched")
+      .orderBy("tier").collect()
+    val batch = Tables.events(spark, sfDir).join(dim, Seq("user_id"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("tier").collect()
+    assert(result.length == batch.length)
+    result.zip(batch).foreach { case (s, b) =>
+      assert(s.getLong(0) == b.getLong(0) && s.getLong(1) == b.getLong(1))
+      assert(math.abs(s.getDouble(2) - b.getDouble(2)) < 1e-6)
+    }
+  }
+
   test("mapGroupsWithState session counts match batch sessionization") {
     val stream = Streaming.sessionCounts(spark, Streaming.readEvents(spark, sfDir))
     val result = Streaming.runAvailableNow(spark, stream, "stream_sessions",
