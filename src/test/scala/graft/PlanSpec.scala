@@ -74,6 +74,15 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
     assert(planString("q_anti_join").contains("LeftAnti"))
   }
 
+  test("AQE re-plans at runtime: post-shuffle partitions coalesced") {
+    val df = SparkEntry.queries("q1_agg")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AdaptiveSparkPlan isFinalPlan=true"), p)
+    assert(p.contains("AQEShuffleRead coalesced"),
+      "AQE did not coalesce the tiny shuffle:\n" + p)
+  }
+
   test("no query plans a CartesianProduct (sweep over the full registry)") {
     // pair generators must arrive as equality joins (inverted index, LSH
     // bands, buckets) or broadcast nested loops — an unbroadcast cartesian
