@@ -152,12 +152,31 @@ object Relational3 {
       .orderBy("l_suppkey")
   }
 
+  /** Grouped list aggregation + array scalar functions. collect_list is
+    * order-nondeterministic under parallel input, so sort_array
+    * canonicalizes before any element access; outputs stay scalar (array
+    * dtype repr differs across engines in the hash compare). listagg via
+    * concat_ws over the sorted array. */
+  val qArrayAgg: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_list("l_linenumber")).as("arr"))
+      .select(
+        col("l_orderkey"),
+        size(col("arr")).as("n_lines"),
+        element_at(col("arr"), 1).as("first_ln"),
+        element_at(col("arr"), -1).as("last_ln"),
+        array_contains(col("arr"), 3).as("has3"),
+        concat_ws(",", col("arr")).as("lines_csv"))
+      .orderBy("l_orderkey")
+
   val all: Map[String, Q] = Map(
     "q_from_json" -> qFromJson,
     "q_multi_join" -> qMultiJoin,
     "q_scalar_subquery" -> qScalarSubquery,
     "q_except_all" -> qExceptAll,
     "q_intersect_all" -> qIntersectAll,
+    "q_array_agg" -> qArrayAgg,
     "q_null_funcs" -> qNullFuncs,
     "q_date_funcs" -> qDateFuncs,
     "q_window_range_frame" -> qWindowRangeFrame,
@@ -166,6 +185,17 @@ object Relational3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_array_agg" ->
+      """WITH a AS (
+        | SELECT l_orderkey, list_sort(list(l_linenumber)) AS arr
+        | FROM lineitem GROUP BY l_orderkey)
+        |SELECT l_orderkey,
+        | CAST(len(arr) AS INT) AS n_lines,
+        | arr[1] AS first_ln,
+        | arr[-1] AS last_ln,
+        | list_contains(arr, 3) AS has3,
+        | array_to_string(arr, ',') AS lines_csv
+        |FROM a ORDER BY l_orderkey""".stripMargin,
     "q_scalar_subquery" ->
       """SELECT c_custkey, c_acctbal FROM customer
         |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
