@@ -170,8 +170,39 @@ object Relational3 {
         concat_ws(",", col("arr")).as("lines_csv"))
       .orderBy("l_orderkey")
 
+  /** Native unpivot/melt (wide → long) — the API counterpart of the
+    * manual unionByName unpivot in q_union_unpivot. Values cast to double
+    * first: unpivot requires a common value type. */
+  val qMelt: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("double").as("l_quantity"),
+        col("l_discount").cast("double").as("l_discount"),
+        col("l_tax").cast("double").as("l_tax"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        "metric", "val")
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+      // val joins the sort key so tie order is deterministic cross-engine
+      .orderBy("l_orderkey", "l_linenumber", "metric", "val")
+
+  /** Correlated EXISTS through the SQL entry — Catalyst decorrelates to a
+    * left-semi join (never a per-row subquery rescan). */
+  val qExistsCorrelated: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+    s.sql("""SELECT o_orderkey, o_totalprice FROM orders_v o
+            |WHERE EXISTS (SELECT 1 FROM lineitem_v l
+            |              WHERE l.l_orderkey = o.o_orderkey
+            |                AND l.l_quantity > 45)
+            |ORDER BY o_orderkey""".stripMargin)
+  }
+
   val all: Map[String, Q] = Map(
     "q_from_json" -> qFromJson,
+    "q_melt" -> qMelt,
+    "q_exists_correlated" -> qExistsCorrelated,
     "q_multi_join" -> qMultiJoin,
     "q_scalar_subquery" -> qScalarSubquery,
     "q_except_all" -> qExceptAll,
@@ -185,6 +216,22 @@ object Relational3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_melt" ->
+      """SELECT l_orderkey, l_linenumber, metric, val FROM (
+        | UNPIVOT (SELECT l_orderkey, l_linenumber,
+        |            CAST(l_quantity AS DOUBLE) AS l_quantity,
+        |            CAST(l_discount AS DOUBLE) AS l_discount,
+        |            CAST(l_tax AS DOUBLE) AS l_tax
+        |          FROM lineitem)
+        | ON l_quantity, l_discount, l_tax
+        | INTO NAME metric VALUE val)
+        |ORDER BY l_orderkey, l_linenumber, metric, val""".stripMargin,
+    "q_exists_correlated" ->
+      """SELECT o_orderkey, o_totalprice FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_quantity > 45)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_array_agg" ->
       """WITH a AS (
         | SELECT l_orderkey, list_sort(list(l_linenumber)) AS arr
