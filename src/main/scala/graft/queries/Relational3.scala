@@ -199,8 +199,19 @@ object Relational3 {
             |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Skew-salted two-phase aggregation registered as a graded query: the
+    * (key, salt) pre-aggregation splits a hot key across reducers, the
+    * second phase merges partials — result identical to the plain
+    * group-by (l_quantity is whole-numbered, so the reassociated double
+    * sum is exact), which is what the oracle checks. */
+  val qSaltedAgg: Q = (s, d) =>
+    graft.operators.Scale
+      .saltedSumCount(Tables.lineitem(s, d), "l_returnflag", "l_quantity", 8)
+      .orderBy("l_returnflag")
+
   val all: Map[String, Q] = Map(
     "q_from_json" -> qFromJson,
+    "q_salted_agg" -> qSaltedAgg,
     "q_melt" -> qMelt,
     "q_exists_correlated" -> qExistsCorrelated,
     "q_multi_join" -> qMultiJoin,
@@ -216,6 +227,10 @@ object Relational3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_salted_agg" ->
+      """SELECT l_returnflag, sum(l_quantity) AS total,
+        | count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_melt" ->
       """SELECT l_orderkey, l_linenumber, metric, val FROM (
         | UNPIVOT (SELECT l_orderkey, l_linenumber,
