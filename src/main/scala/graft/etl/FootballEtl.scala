@@ -98,4 +98,19 @@ object FootballEtl {
     * (coalesce(1) = narrow CoalesceExec, no shuffle). */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode("overwrite").option("header", true).csv(path)
+
+  /** Typed record for the cleaned layer (SURVEY.md §1.5): scores/neutral
+    * are Options — the permissive scan can null them. */
+  case class MatchResult(date: java.sql.Date, home_team: String,
+      away_team: String, home_score: Option[Int], away_score: Option[Int],
+      tournament: String, city: String, country: String,
+      neutral: Option[Boolean])
+
+  /** The cleaned layer as a typed Dataset — compile-time field access for
+    * downstream code; the DataFrame plan underneath is identical (Catalyst
+    * strips the serialization boundary for column-expressible work). */
+  def typedResults(spark: SparkSession, csvPath: String): org.apache.spark.sql.Dataset[MatchResult] = {
+    import spark.implicits._
+    clean(ingest(spark, csvPath)).as[MatchResult]
+  }
 }

@@ -63,4 +63,13 @@ class FootballEtlSpec extends AnyFunSuite with SharedSpark {
     val normed = Clean.normalizeCase(Seq("hELLo WoRLD").toDF("a"), Seq("a"))
     assert(normed.head().getString(0) == "Hello World")
   }
+
+  test("typed cleaned layer: Dataset[MatchResult] with typed lambdas") {
+    val ds = FootballEtl.typedResults(spark, csv)
+    assert(ds.count() == 41586)
+    // typed filter — compile-time field access on the case class
+    assert(ds.filter(_.tournament == FootballEtl.fifaTournament).count() == 900)
+    val m = ds.head()
+    assert(m.home_team.nonEmpty && m.date != null)
+  }
 }
