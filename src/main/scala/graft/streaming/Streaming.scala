@@ -62,6 +62,27 @@ object Streaming {
     spark.table(tableName)
   }
 
+  /** Watermarked stream-stream interval join: errors within 10 minutes
+    * after a click by the same user. Both sides carry watermarks and the
+    * join condition bounds event time on both ends, so the state store
+    * evicts rows once the watermark passes — bounded state at any scale
+    * (an unbounded-interval stream join would grow state forever). */
+  def clickErrorJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val errors = events.filter(col("event_type") === "error")
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as("err_user"), col("ts").as("err_ts"),
+        col("event_id").as("err_id"))
+    clicks.join(errors,
+      col("user_id") === col("err_user") &&
+        col("err_ts") >= col("click_ts") &&
+        col("err_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"))
+      .select("user_id", "click_id", "err_id", "click_ts", "err_ts")
+  }
+
   /** Stream-static enrichment join: each micro-batch of the stream joins
     * a static dimension; the static side is broadcast (re-resolved per
     * batch, so slowly-changing dims pick up updates between triggers).

@@ -36,6 +36,30 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(result.count() == expected)
   }
 
+  test("watermarked stream-stream interval join equals batch join") {
+    val stream = Streaming.clickErrorJoin(Streaming.readEvents(spark, sfDir))
+    val result = Streaming.runAvailableNow(spark, stream, "stream_ss_join",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val ev = Tables.events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("err_user"), col("ts").as("err_ts"),
+        col("event_id").as("err_id"))
+    val batch = clicks.join(errors,
+      col("user_id") === col("err_user") &&
+        col("err_ts") >= col("click_ts") &&
+        col("err_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"))
+    assert(result.count() == batch.count())
+    assert(batch.count() > 0, "no click→error pairs in fixture; test is vacuous")
+    // spot-check: identical (click_id, err_id) pair sets
+    val got = result.select("click_id", "err_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = batch.select("click_id", "err_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+  }
+
   test("stream-static enrichment join equals batch join") {
     val dim = Tables.events(spark, sfDir).select("user_id").distinct()
       .withColumn("tier", (col("user_id") % 3).cast("long"))
