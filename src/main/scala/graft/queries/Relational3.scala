@@ -209,8 +209,25 @@ object Relational3 {
       .saltedSumCount(Tables.lineitem(s, d), "l_returnflag", "l_quantity", 8)
       .orderBy("l_returnflag")
 
+  /** first_value / last_value over a full-partition frame: each order row
+    * carries its customer's first and latest order price. last_value needs
+    * the explicit unbounded-following frame (the default frame stops at
+    * CURRENT ROW, silently returning the current row's value). */
+  val qWindowFirstLast: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .withColumn("first_price", first("o_totalprice").over(w))
+      .withColumn("last_price", last("o_totalprice").over(w))
+      .select("o_custkey", "o_orderkey", "first_price", "last_price")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   val all: Map[String, Q] = Map(
     "q_from_json" -> qFromJson,
+    "q_window_first_last" -> qWindowFirstLast,
     "q_salted_agg" -> qSaltedAgg,
     "q_melt" -> qMelt,
     "q_exists_correlated" -> qExistsCorrelated,
@@ -227,6 +244,14 @@ object Relational3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_window_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+        | first_value(o_totalprice) OVER w AS first_price,
+        | last_value(o_totalprice) OVER w AS last_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_salted_agg" ->
       """SELECT l_returnflag, sum(l_quantity) AS total,
         | count(*) AS cnt
