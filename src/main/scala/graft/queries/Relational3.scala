@@ -225,8 +225,22 @@ object Relational3 {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Conditional aggregation — count/sum restricted by a predicate inside
+    * one grouped pass (the FILTER-clause idiom; count ignores the
+    * when-otherwise null, sum takes an explicit 0 arm). */
+  val qConditionalAgg: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("cnt"),
+        count(when(col("o_orderstatus") === "F", 1)).as("cnt_f"),
+        round(sum(when(col("o_totalprice") > 100000, col("o_totalprice"))
+          .otherwise(0.0)), 2).as("big_total"))
+      .orderBy("o_orderpriority")
+
   val all: Map[String, Q] = Map(
     "q_from_json" -> qFromJson,
+    "q_conditional_agg" -> qConditionalAgg,
     "q_window_first_last" -> qWindowFirstLast,
     "q_salted_agg" -> qSaltedAgg,
     "q_melt" -> qMelt,
@@ -244,6 +258,13 @@ object Relational3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_conditional_agg" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+        | count(*) FILTER (WHERE o_orderstatus = 'F') AS cnt_f,
+        | round(sum(CASE WHEN o_totalprice > 100000 THEN o_totalprice
+        |                ELSE 0.0 END), 2) AS big_total
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q_window_first_last" ->
       """SELECT o_custkey, o_orderkey,
         | first_value(o_totalprice) OVER w AS first_price,
