@@ -238,8 +238,24 @@ object Relational3 {
           .otherwise(0.0)), 2).as("big_total"))
       .orderBy("o_orderpriority")
 
+  /** Null-safe equality join (`<=>`): null keys match each other, unlike
+    * plain `=` which drops them. Nation 3 is nulled on both sides to
+    * manufacture the null-key case; Spark still plans this as a hash join
+    * (null-safe equality is a valid equi-join key). */
+  val qNullSafeJoin: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+      .select(nullif(col("c_nationkey"), lit(3)).as("ck"), col("c_custkey"))
+    val su = Tables.supplier(s, d)
+      .select(nullif(col("s_nationkey"), lit(3)).as("sk"), col("s_suppkey"))
+    c.join(su, col("ck") <=> col("sk"))
+      .groupBy(coalesce(col("ck"), lit(-1)).as("nation_key"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("nation_key")
+  }
+
   val all: Map[String, Q] = Map(
     "q_from_json" -> qFromJson,
+    "q_null_safe_join" -> qNullSafeJoin,
     "q_conditional_agg" -> qConditionalAgg,
     "q_window_first_last" -> qWindowFirstLast,
     "q_salted_agg" -> qSaltedAgg,
@@ -258,6 +274,12 @@ object Relational3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_null_safe_join" ->
+      """SELECT coalesce(nullif(c_nationkey, 3), -1) AS nation_key,
+        | count(*) AS n_pairs
+        |FROM customer c JOIN supplier s
+        | ON nullif(c_nationkey, 3) IS NOT DISTINCT FROM nullif(s_nationkey, 3)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_conditional_agg" ->
       """SELECT o_orderpriority, count(*) AS cnt,
         | count(*) FILTER (WHERE o_orderstatus = 'F') AS cnt_f,
