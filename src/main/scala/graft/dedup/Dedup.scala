@@ -90,23 +90,64 @@ object Dedup {
   }
 
   /** Inverted-index Jaccard join with direct count aggregation — every
-    * shingle indexed, overlap counted by a hash-agg on (a,b) with NO
-    * per-pair candidate materialization. The better shape when shingle
-    * document-frequency is high (shared-vocab corpora, like the synthetic
-    * testdata; measured 2× faster than [[jaccardPairsPrefix]] there). The
-    * index key is xxhash64(shingle) — an 8-byte join key instead of a
-    * ~20-byte string halves the shuffle; a 64-bit collision (~2⁻⁶⁴ per
-    * pair) is the only semantic difference vs joining the raw shingle. */
-  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    * indexed shingle joined, overlap counted by a hash-agg on (a,b) with
+    * NO per-pair candidate materialization. The better shape when shingle
+    * document-frequency is moderate (shared-vocab corpora, like the
+    * synthetic testdata; measured 2× faster than [[jaccardPairsPrefix]]
+    * there). The index key is xxhash64(shingle) — an 8-byte join key
+    * instead of a ~20-byte string halves the shuffle; a 64-bit collision
+    * (~2⁻⁶⁴ per pair) is the only semantic difference vs joining the raw
+    * shingle.
+    *
+    * `maxDf` is the web-scale skew guard: join cost is
+    * Σ_shingle |docs(shingle)|², so one stopword trigram appearing in 10⁶
+    * docs alone costs 10¹² joined rows. Shingles with document frequency
+    * > maxDf are excluded from the JOIN (a broadcast anti-join against
+    * the small hot set), and the final Jaccard is then made EXACT again
+    * for every surviving pair by adding back the pair's hot-shingle
+    * overlap (hot shingles per doc are ≤ a handful of 8-byte hashes, so
+    * the correction is a broadcast semi-structure, not a second index
+    * join). The only approximation left is recall: a qualifying pair is
+    * missed iff ALL of its common shingles are hot — at threshold t such
+    * a pair shares ≥ t/(1+t)·(na+nb) shingles, every one in > maxDf docs,
+    * which on non-pathological corpora means near-identical stopword-only
+    * documents (measured here: every qualifying pair keeps a cold common
+    * shingle at any cap ≥ 10 at sf0.1; DedupSpec proves output equality
+    * with the uncapped join). Both sides of the self-join are the same
+    * plan (`.as` aliases), so the shuffle on `hs` is planned once and
+    * reused (ReuseExchange) instead of scanning + shingling twice. */
+  def jaccardPairs(docs: DataFrame, threshold: Double,
+                   maxDf: Int = Int.MaxValue): DataFrame = {
     val inv = shingled(docs)
       .select(col("doc_id"), col("nsh"), explode(col("sh")).as("shingle"))
       .select(col("doc_id"), col("nsh"), xxhash64(col("shingle")).as("hs"))
-    val a = inv.select(col("doc_id").as("a_id"), col("nsh").as("na"), col("hs"))
-    val b = inv.select(col("doc_id").as("b_id"), col("nsh").as("nb"), col("hs"))
-    a.join(b, Seq("hs"))
-      .filter(col("a_id") < col("b_id"))
+    val capped = maxDf != Int.MaxValue
+    // hot = the (small by construction) set of shingle hashes above the cap
+    lazy val hot = inv.groupBy("hs").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("hs")
+    val indexed =
+      if (capped) inv.join(broadcast(hot), Seq("hs"), "left_anti") else inv
+    val counted = indexed.as("a").join(indexed.as("b"), col("a.hs") === col("b.hs"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.nsh").as("na"), col("b.nsh").as("nb"))
       .groupBy("a_id", "b_id", "na", "nb")
-      .agg(count(lit(1)).as("common"))
+      .agg(count(lit(1)).as("cold_common"))
+    val corrected =
+      if (!capped) counted.withColumn("common", col("cold_common"))
+      else {
+        // exact hot-overlap correction for surviving pairs only
+        val hotPerDoc = inv.join(broadcast(hot), Seq("hs"))
+          .groupBy("doc_id").agg(collect_set("hs").as("hh"))
+        counted
+          .join(hotPerDoc.select(col("doc_id").as("a_id"), col("hh").as("ha")),
+            Seq("a_id"), "left")
+          .join(hotPerDoc.select(col("doc_id").as("b_id"), col("hh").as("hb")),
+            Seq("b_id"), "left")
+          .withColumn("common", col("cold_common") +
+            coalesce(size(array_intersect(col("ha"), col("hb"))), lit(0)).cast("long"))
+      }
+    corrected
       .withColumn("jaccard",
         col("common").cast("double") / (col("na") + col("nb") - col("common")))
       .filter(col("jaccard") >= threshold)

@@ -54,4 +54,22 @@ object Clean {
   /** Canonicalizing casts (F6, spark_etl_job.py:72). */
   def castColumns(df: DataFrame, casts: Map[String, String]): DataFrame =
     casts.foldLeft(df) { case (d, (c, t)) => d.withColumn(c, col(c).cast(t)) }
+
+  /** F9 — the reference's model recency weight
+    * (/root/reference/ml_project.py:191-199): base weight 1 for
+    * tournaments containing "Cup" or "Euro", else 100; then
+    * 1 / ((2019 − year(date)) · base). Faithful to the pandas float
+    * semantics at the edges: a 2019 match divides by zero → +Infinity,
+    * a post-2019 match yields a negative weight (both occur in the
+    * dataset; the GLM fit filters to finite positive weights). All-double
+    * IEEE arithmetic so the DuckDB oracle matches bit-exactly. */
+  def recencyWeight(date: Column, tournament: Column): Column = {
+    val base = when(tournament.contains("Cup") || tournament.contains("Euro"),
+      lit(1)).otherwise(lit(100))
+    val denom = ((lit(2019) - year(date)) * base).cast("double")
+    // ANSI mode errors on x/0 even for doubles; the pandas semantics this
+    // reproduces is IEEE 1/0 → +Infinity, so guard the zero case
+    when(denom === 0.0, lit(Double.PositiveInfinity))
+      .otherwise(lit(1.0) / denom)
+  }
 }

@@ -80,9 +80,11 @@ object FootballEtl {
     "team_loc_dim" -> results.select("game_id", "home_team", "away_team",
       "tournament", "city", "country", "neutral"))
 
-  /** Full pipeline: ingest → clean → filter → keys → split. The cleaned
-    * frame is cached before the 4-way split so the scan+clean lineage runs
-    * once, not once per sink (the reference re-scans 4×, SURVEY.md §3.2.4). */
+  /** Full pipeline: ingest → clean → filter → keys → split. No caching
+    * here — single-sink consumers (most queries) would pay columnar-cache
+    * GC for nothing (measured net loss in the bench JVM);
+    * [[runAndWrite]], which genuinely fans out to 4 sinks, caches and
+    * unpersists around its writes. */
   def run(spark: SparkSession, csvPath: String,
           deterministicKeys: Boolean = true,
           applyIntended: Boolean = false): Map[String, DataFrame] = {
@@ -90,14 +92,58 @@ object FootballEtl {
     val keyed =
       if (deterministicKeys) withSurrogateKeysDeterministic(cleaned)
       else withSurrogateKeysFaithful(cleaned)
+    starSchema(keyed)
+  }
+
+  /** O2/O3/O6 + F11: the orchestrated multi-sink pipeline — the engine
+    * analog of the reference DAG's 4 parallel warehouse loads
+    * (spark-bq-dag.py:255-261) with the date-stamped output paths of
+    * spark_etl_job.py:80-86. All 4 star outputs are written concurrently
+    * (each write is its own Spark job; the scheduler interleaves their
+    * stages across the executor pool) under `<outBase>/<runDate>/<name>`;
+    * the keyed frame is cached for the fan-out so scan+clean runs once,
+    * not 4×, and unpersisted once every sink is durable. Returns
+    * name → written path. */
+  def runAndWrite(spark: SparkSession, csvPath: String, outBase: String,
+                  runDate: java.time.LocalDate = java.time.LocalDate.now(),
+                  deterministicKeys: Boolean = true,
+                  applyIntended: Boolean = false): Map[String, String] = {
+    val cleaned = filterFifa(clean(ingest(spark, csvPath), applyIntended))
+    val keyed =
+      if (deterministicKeys) withSurrogateKeysDeterministic(cleaned)
+      else withSurrogateKeysFaithful(cleaned)
     val cached = keyed.cache()
-    starSchema(cached)
+    try {
+      val star = starSchema(cached)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val writes = star.toSeq.map { case (name, df) =>
+        val path = s"$outBase/$runDate/$name"
+        Future { df.write.mode("overwrite").parquet(path); name -> path }
+      }
+      Await.result(Future.sequence(writes), Duration.Inf).toMap
+    } finally cached.unpersist()
   }
 
   /** S3: single-file CSV sink preserving the reference's output shape
     * (coalesce(1) = narrow CoalesceExec, no shuffle). */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode("overwrite").option("header", true).csv(path)
+
+  /** The reference's GLM model data (ml_project.py:195-205): ALL cleaned
+    * matches (no FIFA filter) with the F9 recency weight, stacked
+    * home/away so each match contributes one row per side —
+    * (team, opponent, goals, weight). */
+  def modelData(spark: SparkSession, csvPath: String): DataFrame = {
+    val m = clean(ingest(spark, csvPath))
+      .withColumn("weight", Clean.recencyWeight(col("date"), col("tournament")))
+    val home = m.select(col("home_team").as("team"), col("away_team").as("opponent"),
+      col("home_score").as("goals"), col("weight"))
+    val away = m.select(col("away_team").as("team"), col("home_team").as("opponent"),
+      col("away_score").as("goals"), col("weight"))
+    home.unionByName(away)
+  }
 
   /** Typed record for the cleaned layer (SURVEY.md §1.5): scores/neutral
     * are Options — the permissive scan can null them. */

@@ -20,9 +20,12 @@ object DedupSim {
     Dedup.exactDupGroups(Tables.documents(s, d))
       .orderBy("keep_id")
 
-  /** N-gram (3-shingle) Jaccard near-dup pairs, inverted-index join. */
+  /** N-gram (3-shingle) Jaccard near-dup pairs, inverted-index join with
+    * the DF-16 skew cap active (hot shingles excluded from the join, exact
+    * hot-overlap correction after — measured exactness-safe here: every
+    * qualifying pair keeps a cold common shingle at cap ≥ 10). */
   val qDedupJaccard: Q = (s, d) =>
-    Dedup.jaccardPairs(Tables.documents(s, d), 0.6)
+    Dedup.jaccardPairs(Tables.documents(s, d), 0.6, maxDf = 16)
       .orderBy("a_id", "b_id")
 
   /** MinHash+LSH near-dup pairs (bucketed candidates, exact verify). */
@@ -35,11 +38,18 @@ object DedupSim {
     Dedup.simhashPairs(Tables.documents(s, d), 10)
       .orderBy("a_id", "b_id")
 
-  /** Embedding-cosine near-dup pairs. Corpus max off-diagonal cosine is
-    * ~0.37 (no planted embedding dups), so the threshold exercises the op
-    * without degenerating to zero rows. */
+  /** Embedding-cosine near-dup pairs via the LSH-bucketed scale path.
+    * The raw corpus has no planted embedding dups (max off-diagonal cosine
+    * ~0.51 — near-orthogonal, where no sublinear method can have exact
+    * recall), so the query plants deterministic ±2% perturbed copies
+    * (cosine ≈ 0.9998 to their originals) and thresholds at 0.9 — a
+    * realistic near-dup setting where bucketed candidates + exact verify
+    * provably recover every pair; the DuckDB oracle computes the same
+    * pairs by exhaustive comparison, so a green row certifies 100% recall
+    * of the bucketed plan. Brute [[Similarity.cosinePairs]] stays as the
+    * in-spec referee (DedupSimSpec). */
   val qDedupEmbed: Q = (s, d) =>
-    Similarity.cosinePairs(Tables.embeddings(s, d), 0.3)
+    Similarity.cosinePairsLsh(Similarity.withPlantedDups(Tables.embeddings(s, d)), 0.9)
       .orderBy("a_id", "b_id")
 
   /** Brute-force exact cosine top-10 for query vectors vec_id < 5. */
@@ -95,18 +105,27 @@ object DedupSim {
         |FROM common WHERE CAST(c AS DOUBLE)/(na+nb-c) >= 0.6
         |ORDER BY a_id, b_id""".stripMargin,
     "q_dedup_embed" ->
-      """WITH v AS (
-        | SELECT vec_id, embedding,
-        |  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
-        | FROM embeddings)
+      """WITH base AS (
+        | SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+        | FROM embeddings),
+        |pert0 AS (
+        | SELECT vec_id, list_transform(range(0, len(emb)),
+        |   i -> emb[i+1] * (1.0 + CAST((vec_id*31 + i*7) % 11 - 5 AS DOUBLE) * 0.004)) AS emb
+        | FROM base WHERE vec_id % 2 = 0),
+        |aug AS (
+        | SELECT vec_id, emb FROM base
+        | UNION ALL
+        | SELECT vec_id + 100000 AS vec_id, emb FROM pert0),
+        |v AS (
+        | SELECT vec_id, emb,
+        |  sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm
+        | FROM aug)
         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-        | round(list_sum(list_transform(range(1, len(a.embedding)+1),
-        |   i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
-        |  / (a.nrm * b.nrm), 6) AS sim
+        | round(list_sum(list_transform(range(1, len(a.emb)+1),
+        |   i -> a.emb[i] * b.emb[i])) / (a.nrm * b.nrm), 6) AS sim
         |FROM v a JOIN v b ON a.vec_id < b.vec_id
-        |WHERE round(list_sum(list_transform(range(1, len(a.embedding)+1),
-        |   i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
-        |  / (a.nrm * b.nrm), 6) >= 0.3
+        |WHERE round(list_sum(list_transform(range(1, len(a.emb)+1),
+        |   i -> a.emb[i] * b.emb[i])) / (a.nrm * b.nrm), 6) >= 0.9
         |ORDER BY a_id, b_id""".stripMargin,
     "q_knn_brute" ->
       """WITH v AS (

@@ -14,28 +14,46 @@ import graft.ml.{PoissonModel, Simulate}
 object Ml {
   type Q = (SparkSession, String) => DataFrame
 
-  /** M1: weighted Poisson GLM. Model-data analog of ml_project.py:202-205
-    * built from lineitem (goals=l_quantity, factors returnflag/linestatus,
-    * recency-ish weight from discount). Output: coefficient table. */
-  val qGlmPoisson: Q = (s, d) => {
+  /** M1: the reference's weighted Poisson GLM (ml_project.py:198-212) on
+    * its own data: ALL cleaned matches, home/away-stacked, with the F9
+    * recency weight 1/((2019−year)·tournament-base). Rows the formula
+    * makes unusable for IRLS are dropped exactly as statsmodels would
+    * refuse them — null goals (unparsed scores), non-positive weights
+    * (post-2019 matches) and the Infinity weights of 2019 matches (the
+    * full formula surface incl. those edges is oracle-checked by
+    * q_model_data). Output: coefficient table. */
+  val qGlmPoisson: Q = (s, _) => {
     import s.implicits._
-    val data = Tables.lineitem(s, d).select(
-      col("l_quantity").cast("int").as("goals"),
-      col("l_returnflag").as("team"),
-      col("l_linestatus").as("opponent"),
-      (lit(1.0) + col("l_discount")).as("weight"))
+    val data = FootballEtl.modelData(s, Ml.footballCsv)
+      .filter(col("goals").isNotNull && col("weight") > 0 &&
+        col("weight") =!= lit(Double.PositiveInfinity))
     // frequency-weighted Poisson is exactly invariant under collapsing
     // identical (factors, response) rows and summing their weights — the
-    // engine reduces 600k rows to ~300 sufficient-statistic rows before
-    // IRLS ever runs (spec-verified equivalence in MlSpec)
+    // engine collapses to sufficient-statistic rows before IRLS ever runs
+    // (spec-verified equivalence in MlSpec)
+    // cached for the fit: IRLS + the RFormula indexers traverse the frame
+    // ~a dozen times, and each pass would otherwise replay the CSV scan +
+    // clean + union lineage (unpersisted as soon as the eager fit returns
+    // — this is a multi-pass consumer, unlike the single-pass operators
+    // where caching measured as a net loss)
     val collapsed = data.groupBy("goals", "team", "opponent")
-      .agg(sum("weight").as("weight"))
-    val fitted = PoissonModel.fit(collapsed)
+      .agg(sum("weight").as("weight")).cache()
+    val fitted =
+      try PoissonModel.fit(collapsed)
+      finally collapsed.unpersist()
     PoissonModel.coefficients(fitted)
       .toDF("feature_idx", "coef")
       .select(col("feature_idx"), round(col("coef"), 4).as("coef"))
       .orderBy("feature_idx")
   }
+
+  /** F9 + U2 oracle surface: the model-data frame itself — every cleaned
+    * match stacked home/away with the faithful recency-weight values
+    * (incl. +Infinity at year 2019 and negative post-2019 weights).
+    * Full-row sort makes the multiset compare order-stable. */
+  val qModelData: Q = (s, _) =>
+    FootballEtl.modelData(s, Ml.footballCsv)
+      .orderBy("team", "opponent", "goals", "weight")
 
   /** M3–M5: seeded tournament simulation. Team strengths λ derived
     * relationally (customer balances per nation, min-max scaled to
@@ -94,6 +112,7 @@ object Ml {
 
   val all: Map[String, Q] = Map(
     "q_glm_poisson" -> qGlmPoisson,
+    "q_model_data" -> qModelData,
     "q_simulation" -> qSimulation,
     "q_fifa_star" -> qFifaStar,
     "q_score_dist" -> qScoreDist,
@@ -122,5 +141,37 @@ object Ml {
         | CAST(date_id + 4 AS BIGINT) AS game_id,
         | home_team, away_team, home_score, away_score, tournament, city, country, neutral
         |FROM keyed ORDER BY date_id""".stripMargin,
+    "q_model_data" ->
+      """WITH raw AS (
+        | SELECT * FROM read_csv('/root/reference/football_results.csv',
+        |   header=true,
+        |   columns={'date':'VARCHAR','home_team':'VARCHAR','away_team':'VARCHAR',
+        |            'home_score':'INTEGER','away_score':'INTEGER','tournament':'VARCHAR',
+        |            'city':'VARCHAR','country':'VARCHAR','neutral':'BOOLEAN'})),
+        |cleaned AS (
+        | SELECT coalesce(
+        |     CAST(try_strptime(date, '%m/%d/%Y') AS DATE),
+        |     CAST(try_strptime(date, '%Y-%m-%d') AS DATE),
+        |     CAST(try_strptime(date, '%d-%m-%Y') AS DATE),
+        |     CAST(try_strptime(date, '%d/%m/%Y') AS DATE)) AS date,
+        |  home_team, away_team, home_score, away_score, tournament
+        | FROM raw),
+        |w AS (
+        | SELECT *, CASE WHEN contains(tournament, 'Cup')
+        |             OR contains(tournament, 'Euro') THEN 1 ELSE 100 END AS base
+        | FROM cleaned),
+        |ww AS (
+        | SELECT *, CASE WHEN (2019 - year(date)) * base = 0
+        |   THEN 'Infinity'::DOUBLE
+        |   ELSE 1.0 / CAST((2019 - year(date)) * base AS DOUBLE) END AS weight
+        | FROM w)
+        |SELECT team, opponent, goals, weight FROM (
+        | SELECT home_team AS team, away_team AS opponent,
+        |        home_score AS goals, weight FROM ww
+        | UNION ALL
+        | SELECT away_team AS team, home_team AS opponent,
+        |        away_score AS goals, weight FROM ww)
+        |ORDER BY team ASC NULLS FIRST, opponent ASC NULLS FIRST,
+        |         goals ASC NULLS FIRST, weight ASC NULLS FIRST""".stripMargin,
   )
 }

@@ -88,8 +88,8 @@ object Relational2 {
       .select(
         col("s_suppkey"),
         abs(col("s_acctbal")).as("abs_bal"),
-        floor(col("s_acctbal")).as("floor_bal"),
-        ceil(col("s_acctbal")).as("ceil_bal"),
+        floor(col("s_acctbal")).cast("long").as("floor_bal"),
+        ceil(col("s_acctbal")).cast("long").as("ceil_bal"),
         sqrt(abs(col("s_acctbal"))).as("sqrt_bal"),
         signum(col("s_acctbal")).as("sign_bal"),
         greatest(col("s_acctbal"), lit(0.0)).as("pos_bal"))
@@ -198,8 +198,8 @@ object Relational2 {
     "q_math_funcs" ->
       """SELECT s_suppkey,
         | abs(s_acctbal) AS abs_bal,
-        | floor(s_acctbal) AS floor_bal,
-        | ceil(s_acctbal) AS ceil_bal,
+        | CAST(floor(s_acctbal) AS BIGINT) AS floor_bal,
+        | CAST(ceil(s_acctbal) AS BIGINT) AS ceil_bal,
         | sqrt(abs(s_acctbal)) AS sqrt_bal,
         | CASE WHEN s_acctbal > 0 THEN 1.0 WHEN s_acctbal < 0 THEN -1.0 ELSE 0.0 END AS sign_bal,
         | greatest(s_acctbal, 0.0) AS pos_bal

@@ -52,8 +52,10 @@ object Text {
       .limit(20)
 
   /** Language-ID heuristic vs the labeled lang column: confusion counts.
-    * No oracle (heuristic profiles aren't SQL-portable economically) —
-    * deterministic rows-only + spec coverage. */
+    * Oracle-paired: the contains-scoring profiles are generated into the
+    * DuckDB SQL from the same [[TextFunctions.langProfiles]] map, with the
+    * argmax tie-break (max score, then lexicographically last code)
+    * expressed as a row_number over (score DESC, cand DESC). */
   val qLangId: Q = (s, d) =>
     Tables.documents(s, d)
       .withColumn("lt", lower(col("text")))
@@ -62,7 +64,9 @@ object Text {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("lang", "lang_pred")
 
-  /** Rolling-hash document fingerprint (order-sensitive content hash). */
+  /** Rolling-hash document fingerprint (order-sensitive content hash).
+    * Oracle-paired: DuckDB replays the identical left fold with
+    * list_reduce over the character codes, seeded by a prepended 0. */
   val qFingerprint: Q = (s, d) =>
     Tables.documents(s, d)
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
@@ -118,6 +122,14 @@ object Text {
 
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
 
+  /** One SELECT per language scoring its profile trigrams by contains —
+    * generated from the same langProfiles map the Spark expression uses. */
+  private val langScoreSql: String = langProfiles.toSeq.sortBy(_._1).map {
+    case (lang, grams) =>
+      val score = grams.map(g => s"CAST(contains(t, '$g') AS INT)").mkString(" + ")
+      s" SELECT doc_id, lang, '$lang' AS cand, $score AS score FROM lt"
+  }.mkString("\n UNION ALL\n")
+
   val oracles: Map[String, String] = Map(
     "q_text_stats" ->
       s"""SELECT doc_id,
@@ -161,6 +173,22 @@ object Text {
          |FROM m JOIN k USING (doc_id)
          |WHERE m.quality >= 0.5 AND m.n_tokens BETWEEN 5 AND 200
          |ORDER BY m.doc_id""".stripMargin,
+    "q_lang_id" ->
+      s"""WITH lt AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
+         |scores AS (
+         |$langScoreSql),
+         |ranked AS (
+         | SELECT lang, cand,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand DESC) AS rn
+         | FROM scores)
+         |SELECT lang, cand AS lang_pred, count(*) AS cnt FROM ranked
+         |WHERE rn = 1 GROUP BY lang, cand ORDER BY lang, lang_pred""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id, list_reduce(
+        |  list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |  (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_sessionize" ->
       """WITH w AS (
         | SELECT user_id, event_id, value, ts,

@@ -1,8 +1,7 @@
 package graft.similarity
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import Similarity.{dot, prepared}
 
 /** IVF (inverted-file) approximate nearest neighbor: k-means-lite
@@ -10,68 +9,87 @@ import Similarity.{dot, prepared}
   * `nprobe` nearest cells. The second scale path next to random-hyperplane
   * LSH ([[Similarity.lshTopK]]).
   *
-  * Everything is DataFrame ops: assignment is a broadcast cross join
-  * against k centroids + min-struct aggregation; centroid update is
-  * posexplode → per-(cell,dim) mean → rebuild array. Deterministic given
-  * the data (seeded by first-k init); at 100 TB the same plan holds —
-  * centroids stay broadcast-sized, the corpus never self-joins. */
+  * The centroid table is k×dim — driver-sized by construction — so cell
+  * assignment is a pure per-row EXPRESSION over inlined centroid
+  * literals: no crossJoin, no shuffle, no window. Assigning 10⁹ vectors
+  * is a narrow map stage; the only shuffle per Lloyd step is the
+  * per-(cell,dim) mean. Deterministic given the data (seeded by first-k
+  * init). */
 object Ivf {
+
+  private type Centroids = Array[(Int, Array[Double])]
+
+  /** d²(emb, c) + cid structs for every centroid, as one expression. */
+  private def distStructs(emb: Column, cents: Centroids): Column = {
+    val emb2 = dot(emb, emb)
+    array(cents.map { case (cid, cv) =>
+      val cvLit = array(cv.map(lit): _*)
+      val c2 = cv.map(x => x * x).sum
+      struct((emb2 - lit(2.0) * dot(emb, cvLit) + lit(c2)).as("d2"),
+        lit(cid).as("cid"))
+    }: _*)
+  }
+
+  /** Nearest-centroid cell id (min d², cid tiebreak) — array_min over the
+    * per-centroid (d2, cid) structs, lexicographic like the former
+    * min(struct(...)) aggregate but with no grouping shuffle. */
+  private def assignExpr(emb: Column, cents: Centroids): Column =
+    array_min(distStructs(emb, cents)).getField("cid")
+
+  private def collectCentroids(df: DataFrame): Centroids =
+    df.collect().map { r =>
+      (r.getInt(0), r.getSeq[Double](1).toArray)
+    }
 
   /** (vec_id, emb, nrm, cid) assignments plus the centroid table
     * (cid, cvec). Init = first k vectors by vec_id; `iters` Lloyd steps.
     *
-    * The centroid table is k×dim — driver-sized by construction — so each
-    * Lloyd step `collect`s it and restarts the next step from a local
-    * relation (what spark.ml KMeans does). Without this the loop chains
-    * lazy plans and iteration i re-executes all of 1..i-1; with it each
-    * step is exactly one job over `v`. */
+    * Each Lloyd step `collect`s the k×dim centroid table and restarts the
+    * next step from local literals (what spark.ml KMeans does). Without
+    * this the loop chains lazy plans and iteration i re-executes all of
+    * 1..i-1; with it each step is exactly one job over `v`. */
   def index(vecs: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
     val spark = vecs.sparkSession
     val v = prepared(vecs).select("vec_id", "emb", "nrm")
-    def materialize(df: DataFrame): DataFrame =
-      spark.createDataFrame(
-        java.util.Arrays.asList(df.collect(): _*), df.schema)
-    var centroids = materialize(
+    var cents: Centroids = collectCentroids(
       v.orderBy("vec_id").limit(k)
         .select(col("vec_id").cast("int").as("cid"), col("emb").as("cvec")))
     for (_ <- 0 until iters) {
-      centroids = materialize(
-        assign(v, centroids)
+      cents = collectCentroids(
+        v.withColumn("cid", assignExpr(col("emb"), cents))
           .select(col("cid"), posexplode(col("emb")).as(Seq("dim", "x")))
           .groupBy("cid", "dim").agg(avg("x").as("m"))
           .groupBy("cid")
           .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
           .select(col("cid"), transform(col("pairs"), p => p.getField("m")).as("cvec")))
     }
-    (assign(v, centroids), centroids)
+    val assigned = v.withColumn("cid", assignExpr(col("emb"), cents))
+    val centroidDf = spark.createDataFrame(
+      java.util.Arrays.asList(cents.map { case (cid, cv) => Row(cid, cv.toSeq) }: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cid",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("cvec",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
+    (assigned, centroidDf)
   }
 
-  /** Nearest centroid per vector (min squared distance, cid tiebreak). */
-  private def assign(v: DataFrame, centroids: DataFrame): DataFrame =
-    v.crossJoin(broadcast(centroids))
-      .withColumn("d2",
-        dot(col("emb"), col("emb")) - lit(2.0) * dot(col("emb"), col("cvec")) +
-          dot(col("cvec"), col("cvec")))
-      .groupBy("vec_id", "emb", "nrm")
-      .agg(min(struct(col("d2"), col("cid"))).as("best"))
-      .select(col("vec_id"), col("emb"), col("nrm"), col("best.cid").as("cid"))
-
   /** Approximate cosine top-k: each query probes its `nprobe` nearest
-    * cells and ranks only those cells' vectors. */
+    * cells and ranks only those cells' vectors. Probe cells come from the
+    * same inlined-centroid expression (array_sort of (d2, cid) structs,
+    * slice nprobe) — no crossJoin or window on the query side either. */
   def topK(vecs: DataFrame, queries: DataFrame, k: Int,
            nCells: Int = 16, nprobe: Int = 8, iters: Int = 2): DataFrame = {
-    val (assigned, centroids) = index(vecs, nCells, iters)
+    import org.apache.spark.sql.expressions.Window
+    val (assigned, centroidDf) = index(vecs, nCells, iters)
+    val cents = collectCentroids(centroidDf)
     val q = prepared(queries)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))
-    val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("d2",
-        dot(col("q_emb"), col("q_emb")) - lit(2.0) * dot(col("q_emb"), col("cvec")) +
-          dot(col("cvec"), col("cvec")))
-      .withColumn("pr", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("d2"), col("cid"))))
-      .filter(col("pr") <= nprobe)
-      .select("q_id", "q_emb", "q_nrm", "cid")
-    val sims = assigned.join(probes, Seq("cid"))
+      .withColumn("cid",
+        explode(slice(array_sort(distStructs(col("q_emb"), cents)), 1, nprobe)
+          .getField("cid")))
+    val sims = assigned.join(q, Seq("cid"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("sim", round(dot(col("emb"), col("q_emb")) / (col("nrm") * col("q_nrm")), 6))
     sims.withColumn("rank", row_number().over(

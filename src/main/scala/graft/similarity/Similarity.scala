@@ -55,11 +55,14 @@ object Similarity {
   private def planeWeight(plane: Int, dim: Column): Column =
     (pmod(xxhash64(lit(plane), dim), lit(2000L)).cast("double") / 1000.0) - 1.0
 
-  /** Sign-bit LSH bucket id from `planes` random hyperplanes. */
-  def lshBucket(emb: Column, planes: Int): Column =
+  /** Sign-bit LSH bucket id from `planes` random hyperplanes. `salt`
+    * selects an independent plane set (hash table) — salt 0 reproduces the
+    * original single-table buckets. */
+  def lshBucket(emb: Column, planes: Int, salt: Int = 0): Column =
     (0 until planes).map { p =>
       val proj = aggregate(
-        zip_with(emb, sequence(lit(0), size(emb) - 1), (x, i) => x * planeWeight(p, i)),
+        zip_with(emb, sequence(lit(0), size(emb) - 1),
+          (x, i) => x * planeWeight(salt * 1009 + p, i)),
         lit(0.0), (acc, x) => acc + x)
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a, b) => a + b)
@@ -82,8 +85,9 @@ object Similarity {
   }
 
   /** Embedding near-dup pairs: all pairs with cosine ≥ threshold. Brute
-    * self-join here (corpus is broadcastable); LSH-bucketed variant is the
-    * scale path. */
+    * O(n²) self-join — the SPEC-SIDE REFEREE for [[cosinePairsLsh]], not a
+    * query path: at corpus scale the broadcast nested-loop is a
+    * non-starter. */
   def cosinePairs(vecs: DataFrame, threshold: Double): DataFrame = {
     val v = prepared(vecs)
     val a = v.select(col("vec_id").as("a_id"), col("emb").as("ea"), col("nrm").as("na"))
@@ -92,5 +96,55 @@ object Similarity {
       .withColumn("sim", round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
       .filter(col("sim") >= threshold)
       .select("a_id", "b_id", "sim")
+  }
+
+  /** Embedding near-dup pairs, LSH-bucketed — the 100 TB path replacing
+    * the all-pairs join: candidates are same-bucket pairs under `tables`
+    * independent `planes`-bit random-hyperplane signatures (OR-amplified
+    * recall: a pair at cosine s collides in one table with probability
+    * (1 − θ(s)/π)^planes, misses all tables with (1−p)^tables), verified
+    * by EXACT cosine — so precision is exact and only candidate
+    * generation is approximate. Every join is an equality join on (table,
+    * bucket) or vec_id; the corpus is never broadcast and never
+    * self-joined without a bucket key.
+    *
+    * Recall is a real trade only near the decision boundary: random
+    * hyperplanes separate well for genuinely-near pairs (cosine ≳ 0.8,
+    * θ ≲ 37°) and cannot separate near-orthogonal pairs (cosine ~0.3 is
+    * θ ~72°, barely off random) — thresholds that low need the brute
+    * referee. Defaults sized for near-dup thresholds. */
+  def cosinePairsLsh(vecs: DataFrame, threshold: Double,
+                     planes: Int = 8, tables: Int = 4): DataFrame = {
+    val v = prepared(vecs)
+    val buckets = v.select(col("vec_id"),
+      posexplode(array((0 until tables).map(t =>
+        lshBucket(col("emb"), planes, salt = t + 1)): _*)).as(Seq("tbl", "bucket")))
+    val cand = buckets.as("x").join(buckets.as("y"), Seq("tbl", "bucket"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+      .distinct()
+    val a = v.select(col("vec_id").as("a_id"), col("emb").as("ea"), col("nrm").as("na"))
+    val b = v.select(col("vec_id").as("b_id"), col("emb").as("eb"), col("nrm").as("nb"))
+    cand.join(a, Seq("a_id")).join(b, Seq("b_id"))
+      .withColumn("sim", round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
+      .filter(col("sim") >= threshold)
+      .select("a_id", "b_id", "sim")
+  }
+
+  /** Deterministic near-duplicate injection for the embedding corpus: for
+    * every even vec_id, adds a copy (id + 100000) with each component
+    * scaled by 1 + ((vec_id·31 + i·7) mod 11 − 5)·0.004 — a ±2%
+    * perturbation keeping cosine(original, copy) ≈ 0.9998 while all
+    * cross-pairs stay below ~0.52 on this corpus. Pure integer + IEEE
+    * double arithmetic so the DuckDB oracle reproduces it bit-exactly. */
+  def withPlantedDups(vecs: DataFrame): DataFrame = {
+    val base = vecs.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val pert = base.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x * (lit(1.0) + ((col("vec_id") * 31 + i * 7) % 11 - 5).cast("double") * lit(0.004)))
+          .as("embedding"))
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    base.unionByName(pert)
   }
 }

@@ -96,6 +96,55 @@ class DedupSimSpec extends AnyFunSuite with SharedSpark {
     got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-12) }
   }
 
+  test("jaccard DF-capped join equals the uncapped join (hot-shingle correction)") {
+    val d = Tables.documents(spark, sfDir)
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val uncapped = asSet(Dedup.jaccardPairs(d, 0.6))
+    // cap 4 is active on this corpus (shingle DF reaches 9): hot shingles
+    // leave the join and come back through the exact correction, so the
+    // pair set AND the jaccard values must be identical
+    assert(asSet(Dedup.jaccardPairs(d, 0.6, maxDf = 4)) == uncapped)
+    assert(uncapped.nonEmpty)
+  }
+
+  test("jaccard hot-shingle correction restores exact values on a hot corpus") {
+    // "common common common" trigram appears in all 4 docs → hot at cap 2;
+    // rare tails make each pair's jaccard depend on the hot overlap
+    val d = docs(
+      1L -> "common common common common rare1 rare2",
+      2L -> "common common common common rare1 rare2",
+      3L -> "common common common common other1 other2",
+      4L -> "unrelated tokens entirely different text here")
+    val uncapped = Dedup.jaccardPairs(d, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val capped = Dedup.jaccardPairs(d, 0.5, maxDf = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(capped == uncapped)
+    assert(uncapped.exists { case (a, b, j) => (a, b) == (1L, 2L) && j == 1.0 })
+  }
+
+  test("cosinePairsLsh equals brute cosinePairs on the planted-dup corpus") {
+    val aug = Similarity.withPlantedDups(Tables.embeddings(spark, sfDir))
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = asSet(Similarity.cosinePairs(aug, 0.9))
+    val lsh = asSet(Similarity.cosinePairsLsh(aug, 0.9))
+    assert(brute.nonEmpty, "planted dups should qualify at 0.9")
+    assert(lsh == brute, s"LSH missed ${(brute -- lsh).size} pairs, " +
+      s"fabricated ${(lsh -- brute).size}")
+  }
+
+  test("withPlantedDups: copies are near-1 cosine to originals, ids offset") {
+    val aug = Similarity.withPlantedDups(Tables.embeddings(spark, sfDir))
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(aug.count() == n + (n + 1) / 2)
+    val pairs = Similarity.cosinePairs(aug, 0.9).collect()
+    // every planted pair is (orig even id, orig + 100000)
+    assert(pairs.forall(r => r.getLong(1) == r.getLong(0) + 100000L))
+    assert(pairs.forall(_.getDouble(2) > 0.99))
+  }
+
   test("lsh knn results are a subset of brute-force candidates (same bucket)") {
     val vecs = Tables.embeddings(spark, sfDir)
     val qs = vecs.filter($"vec_id" < 5)

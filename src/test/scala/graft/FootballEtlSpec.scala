@@ -64,6 +64,46 @@ class FootballEtlSpec extends AnyFunSuite with SharedSpark {
     assert(normed.head().getString(0) == "Hello World")
   }
 
+  test("runAndWrite: 4 parallel sinks at date-stamped paths, cache released") {
+    assume(available)
+    val base = java.nio.file.Files.createTempDirectory("graft_etl_out").toString
+    val day = java.time.LocalDate.of(2026, 1, 15)
+    val cacheWasEmpty = spark.sharedState.cacheManager.isEmpty
+    val written = FootballEtl.runAndWrite(spark, csv, base, runDate = day)
+    assert(written.keySet == Set("results", "fifa_fact", "date_dim", "team_loc_dim"))
+    written.foreach { case (name, path) =>
+      assert(path == s"$base/2026-01-15/$name", s"path not date-stamped: $path")
+      assert(spark.read.parquet(path).count() == 900L, s"$name row count")
+    }
+    // the fan-out cache must not outlive the pipeline
+    if (cacheWasEmpty)
+      assert(spark.sharedState.cacheManager.isEmpty, "keyed frame left cached")
+  }
+
+  test("recency weight F9: faithful to 1/((2019-year)*tournament-base)") {
+    import spark.implicits._
+    val rows = Seq(
+      ("2014-07-13", "FIFA World Cup"),   // Cup → base 1, 1/5
+      ("2014-07-13", "Friendly"),         // base 100, 1/500
+      ("2016-06-10", "UEFA Euro"),        // Euro → base 1, 1/3
+      ("2019-06-01", "Copa America"),     // 2019 → ÷0 → +Infinity (Cup? no — base 100 but year hits 0)
+      ("2019-07-07", "FIFA World Cup"),   // 2019 Cup → +Infinity
+      ("2020-02-01", "Friendly"))         // post-2019 → negative
+    val got = rows.toDF("d", "tournament")
+      .select(Clean.recencyWeight(to_date($"d"), $"tournament").as("w"))
+      .collect().map(_.getDouble(0))
+    // driver-side replay of the pandas formula
+    def expected(year: Int, t: String): Double = {
+      val base = if (t.contains("Cup") || t.contains("Euro")) 1 else 100
+      val denom = (2019 - year) * base
+      if (denom == 0) Double.PositiveInfinity else 1.0 / denom
+    }
+    val want = rows.map { case (d, t) => expected(d.take(4).toInt, t) }
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"$g vs $w") }
+    assert(got(3).isPosInfinity && got(4).isPosInfinity)
+    assert(got(5) == -0.01)
+  }
+
   test("typed cleaned layer: Dataset[MatchResult] with typed lambdas") {
     val ds = FootballEtl.typedResults(spark, csv)
     assert(ds.count() == 41586)

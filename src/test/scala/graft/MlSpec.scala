@@ -63,6 +63,41 @@ class MlSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("GLM parity fixture: reference-model λ predictions match pinned values") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    assume(new java.io.File(graft.queries.Ml.footballCsv).exists())
+    // SURVEY §5.4: closeness against fixed values — λ for a fixed set of
+    // (team, opponent) pairs from the full reference model (all matches,
+    // F9 recency weights), pinned from a converged fit (maxIter 10, tol
+    // 1e-8; the fit is deterministic to the last bit across reruns, the
+    // tolerance only absorbs float-summation order across thread counts)
+    val pinned = Map(
+      ("Brazil", "Argentina") -> 1.7784934031436155,
+      ("Argentina", "Brazil") -> 0.8931195404644837,
+      ("England", "Scotland") -> 1.5780114599627224,
+      ("Germany", "Netherlands") -> 1.5774832666046001,
+      ("France", "Italy") -> 1.11450628539187,
+      ("Spain", "Portugal") -> 1.4641680020196777)
+    val pinnedDeviance = 4339.611739587535
+    val data = graft.etl.FootballEtl.modelData(spark, graft.queries.Ml.footballCsv)
+      .filter(col("goals").isNotNull && col("weight") > 0 &&
+        col("weight") =!= lit(Double.PositiveInfinity))
+    val collapsed = data.groupBy("goals", "team", "opponent")
+      .agg(sum("weight").as("weight")).cache()
+    val fitted =
+      try PoissonModel.fit(collapsed)
+      finally collapsed.unpersist()
+    val preds = PoissonModel.predict(fitted,
+        pinned.keys.toSeq.toDF("team", "opponent").withColumn("goals", lit(0)))
+      .select("team", "opponent", "prediction").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    pinned.foreach { case (k, want) =>
+      assert(math.abs(preds(k) - want) < 1e-3 * want, s"λ$k: ${preds(k)} vs $want")
+    }
+    assert(math.abs(fitted.model.summary.deviance - pinnedDeviance) < 1e-3 * pinnedDeviance)
+  }
+
   test("GLM poisson recovers a known rate structure") {
     import spark.implicits._
     // two-level factor with true rates 1.0 and e^1 ≈ 2.718: the fitted

@@ -83,6 +83,34 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
       "AQE did not coalesce the tiny shuffle:\n" + p)
   }
 
+  test("q_dedup_embed: bucketed LSH plan, no nested loop over the corpus") {
+    val p = planString("q_dedup_embed")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "corpus self-compare must come from bucket equality joins:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_dedup_jaccard: inverted-index exchange planned once and reused") {
+    // at testdata sizes every join broadcasts (nothing shuffles, nothing
+    // to reuse) — force the shuffle-join shape the operator takes at real
+    // corpus scale and assert the self-join's shingle-hash exchange is
+    // planned once (AQE off so ReuseExchange is visible at planning)
+    val conf = spark.conf
+    val (aqe, bc) = (conf.get("spark.sql.adaptive.enabled"),
+      conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = SparkEntry.queries("q_dedup_jaccard")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("ReusedExchange"),
+        "self-join should reuse the shuffle on the shingle hash:\n" + p)
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", aqe)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
+    }
+  }
+
   test("no query plans a CartesianProduct (sweep over the full registry)") {
     // pair generators must arrive as equality joins (inverted index, LSH
     // bands, buckets) or broadcast nested loops — an unbroadcast cartesian
