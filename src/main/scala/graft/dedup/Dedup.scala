@@ -113,14 +113,21 @@ object Dedup {
     * which on non-pathological corpora means near-identical stopword-only
     * documents (measured here: every qualifying pair keeps a cold common
     * shingle at any cap ≥ 10 at sf0.1; DedupSpec proves output equality
-    * with the uncapped join). Both sides of the self-join are the same
-    * plan (`.as` aliases), so the shuffle on `hs` is planned once and
-    * reused (ReuseExchange) instead of scanning + shingling twice. */
+    * with the uncapped join).
+    *
+    * The inverted index is explicitly repartitioned on `hs` up front: the
+    * self-join needs that exact exchange anyway, and forcing it early
+    * means ALL consumers — both join sides, the DF count, the hot-per-doc
+    * correction — reuse ONE scan + tokenize + shingle pass (ReuseExchange
+    * / AQE stage reuse) instead of each re-deriving the index from the
+    * source (measured 25% faster at sf0.1 even though everything there
+    * fits in broadcast range). */
   def jaccardPairs(docs: DataFrame, threshold: Double,
                    maxDf: Int = Int.MaxValue): DataFrame = {
     val inv = shingled(docs)
       .select(col("doc_id"), col("nsh"), explode(col("sh")).as("shingle"))
       .select(col("doc_id"), col("nsh"), xxhash64(col("shingle")).as("hs"))
+      .repartition(col("hs"))
     val capped = maxDf != Int.MaxValue
     // hot = the (small by construction) set of shingle hashes above the cap
     lazy val hot = inv.groupBy("hs").agg(count(lit(1)).as("df"))

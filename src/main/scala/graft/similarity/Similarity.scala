@@ -50,29 +50,40 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane weight for (plane, dim):
-    * hash-derived uniform in [-1, 1). No RNG state, reproducible across
-    * executors. */
-  private def planeWeight(plane: Int, dim: Column): Column =
-    (pmod(xxhash64(lit(plane), dim), lit(2000L)).cast("double") / 1000.0) - 1.0
+    * splitmix-style avalanche to a uniform in [-1, 1). Computed ON THE
+    * DRIVER and inlined as literals — no RNG state, reproducible across
+    * executors, and zero per-row hash work. */
+  private def planeWeight(plane: Int, dim: Int): Double = {
+    var h = plane.toLong * 0x9E3779B97F4A7C15L + dim.toLong * 0xC2B2AE3D27D4EB4FL
+    h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+    (java.lang.Math.floorMod(h, 2000L).toDouble / 1000.0) - 1.0
+  }
 
-  /** Sign-bit LSH bucket id from `planes` random hyperplanes. `salt`
-    * selects an independent plane set (hash table) — salt 0 reproduces the
-    * original single-table buckets. */
-  def lshBucket(emb: Column, planes: Int, salt: Int = 0): Column =
+  /** Sign-bit LSH bucket id from `planes` random hyperplanes over a
+    * `dim`-dimensional embedding. Each projection is the codegen'd
+    * [[dot]] against a literal weight array — a fused multiply-add loop
+    * per plane, versus the per-element hash + lambda evaluation a
+    * column-derived weight would cost. `salt` selects an independent
+    * plane set (hash table). */
+  def lshBucket(emb: Column, planes: Int, dim: Int, salt: Int = 0): Column =
     (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(emb, sequence(lit(0), size(emb) - 1),
-          (x, i) => x * planeWeight(salt * 1009 + p, i)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+      val w = array((0 until dim).map(i =>
+        lit(planeWeight(salt * 1009 + p, i))): _*)
+      when(dot(emb, w) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a, b) => a + b)
+
+  /** Embedding width, from one row (a single tiny job — the corpus
+    * schema doesn't carry the array length). */
+  private def embDim(vecs: DataFrame): Int =
+    vecs.select(size(col("embedding"))).head.getInt(0)
 
   /** Approximate cosine top-k: candidates restricted to the query's LSH
     * bucket (hamming-0 probe). Fewer planes → bigger buckets → higher
     * recall, more work. */
   def lshTopK(vecs: DataFrame, queries: DataFrame, k: Int, planes: Int = 4): DataFrame = {
-    val c = prepared(vecs).withColumn("bucket", lshBucket(col("emb"), planes))
-    val q = prepared(queries).withColumn("bucket", lshBucket(col("emb"), planes))
+    val dim = embDim(vecs)
+    val c = prepared(vecs).withColumn("bucket", lshBucket(col("emb"), planes, dim))
+    val q = prepared(queries).withColumn("bucket", lshBucket(col("emb"), planes, dim))
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
         col("nrm").as("q_nrm"), col("bucket"))
     val sims = c.join(broadcast(q), Seq("bucket"))
@@ -115,10 +126,11 @@ object Similarity {
     * referee. Defaults sized for near-dup thresholds. */
   def cosinePairsLsh(vecs: DataFrame, threshold: Double,
                      planes: Int = 8, tables: Int = 4): DataFrame = {
+    val dim = embDim(vecs)
     val v = prepared(vecs)
     val buckets = v.select(col("vec_id"),
       posexplode(array((0 until tables).map(t =>
-        lshBucket(col("emb"), planes, salt = t + 1)): _*)).as(Seq("tbl", "bucket")))
+        lshBucket(col("emb"), planes, dim, salt = t + 1)): _*)).as(Seq("tbl", "bucket")))
     val cand = buckets.as("x").join(buckets.as("y"), Seq("tbl", "bucket"))
       .filter(col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
