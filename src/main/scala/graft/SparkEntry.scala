@@ -18,6 +18,7 @@ object SparkEntry {
     graft.queries.Relational.all ++
       graft.queries.Relational2.all ++
       graft.queries.Relational3.all ++
+      graft.queries.Relational4.all ++
       graft.queries.Text.all ++
       graft.queries.DedupSim.all ++
       graft.queries.Media.all ++
@@ -29,6 +30,7 @@ object SparkEntry {
     graft.queries.Relational.oracles ++
       graft.queries.Relational2.oracles ++
       graft.queries.Relational3.oracles ++
+      graft.queries.Relational4.oracles ++
       graft.queries.Text.oracles ++
       graft.queries.DedupSim.oracles ++
       graft.queries.Media.oracles ++

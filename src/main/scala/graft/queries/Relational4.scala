@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Coverage batch 4 (round 2): distribution windows, higher-order array
+  * lambdas, calendar arithmetic — the "beyond the reference" §2.5/§2.8
+  * surface widened with the same oracle discipline as [[Relational]].
+  */
+object Relational4 {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Distribution window functions: percent_rank and cume_dist are exact
+    * rationals ((rank−1)/(n−1), peers/n) — bit-identical cross-engine
+    * without rounding. */
+  val qWindowPercentRank: Q = (s, d) => {
+    val w = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .select("o_orderpriority", "o_orderkey", "pr", "cd")
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
+  /** Higher-order array lambdas over per-order quantity vectors:
+    * transform (scale), filter (threshold), aggregate (fold-sum),
+    * zip_with (pairwise product with a same-length index ramp). All on a
+    * deterministic sort_array(collect_list(...)) base so both engines
+    * fold in the same order. */
+  val qArrayFuncs: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_list(col("l_quantity").cast("long"))).as("qtys"))
+      .select(
+        col("l_orderkey"),
+        transform(col("qtys"), x => x * 2).as("doubled"),
+        filter(col("qtys"), x => x > 25).as("big"),
+        aggregate(col("qtys"), lit(0L), (acc, x) => acc + x).as("total"),
+        aggregate(
+          zip_with(col("qtys"), sequence(lit(1), size(col("qtys"))),
+            (q, i) => q * i),
+          lit(0L), (acc, x) => acc + x).as("weighted"))
+      .orderBy("l_orderkey")
+
+  /** Calendar arithmetic beyond q_date_funcs: month truncation, quarter,
+    * end-of-month-clamped add_months, day-of-year. Dates leave as
+    * yyyy-MM-dd strings (cross-engine dtype discipline). */
+  val qDateArith: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus3m"),
+        dayofyear(col("o_orderdate")).cast("long").as("doy"))
+      .orderBy("o_orderkey")
+
+  val all: Map[String, Q] = Map(
+    "q_window_percent_rank" -> qWindowPercentRank,
+    "q_array_funcs" -> qArrayFuncs,
+    "q_date_arith" -> qDateArith,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_window_percent_rank" ->
+      """SELECT o_orderpriority, o_orderkey,
+        | percent_rank() OVER w AS pr,
+        | cume_dist() OVER w AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+    "q_array_funcs" ->
+      """WITH base AS (
+        | SELECT l_orderkey,
+        |  list_sort(list(CAST(l_quantity AS BIGINT))) AS qtys
+        | FROM lineitem GROUP BY l_orderkey)
+        |SELECT l_orderkey,
+        | list_transform(qtys, x -> x * 2) AS doubled,
+        | list_filter(qtys, x -> x > 25) AS big,
+        | list_reduce(list_prepend(CAST(0 AS BIGINT), qtys),
+        |   (acc, x) -> acc + x) AS total,
+        | list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |   list_transform(range(1, len(qtys)+1), i -> qtys[i] * i)),
+        |   (acc, x) -> acc + x) AS weighted
+        |FROM base ORDER BY l_orderkey""".stripMargin,
+    "q_date_arith" ->
+      """SELECT o_orderkey,
+        | strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        | CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        | strftime(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE), '%Y-%m-%d') AS plus3m,
+        | CAST(dayofyear(o_orderdate) AS BIGINT) AS doy
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+  )
+}

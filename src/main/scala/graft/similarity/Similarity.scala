@@ -59,6 +59,10 @@ object Similarity {
     (java.lang.Math.floorMod(h, 2000L).toDouble / 1000.0) - 1.0
   }
 
+  /** Literal weight array for one hyperplane. */
+  private def planeLit(plane: Int, dim: Int): Column =
+    array((0 until dim).map(i => lit(planeWeight(plane, i))): _*)
+
   /** Sign-bit LSH bucket id from `planes` random hyperplanes over a
     * `dim`-dimensional embedding. Each projection is the codegen'd
     * [[dot]] against a literal weight array — a fused multiply-add loop
@@ -67,10 +71,36 @@ object Similarity {
     * plane set (hash table). */
   def lshBucket(emb: Column, planes: Int, dim: Int, salt: Int = 0): Column =
     (0 until planes).map { p =>
-      val w = array((0 until dim).map(i =>
-        lit(planeWeight(salt * 1009 + p, i))): _*)
-      when(dot(emb, w) > 0, lit(1L << p)).otherwise(lit(0L))
+      when(dot(emb, planeLit(salt * 1009 + p, dim)) > 0, lit(1L << p))
+        .otherwise(lit(0L))
     }.reduce((a, b) => a + b)
+
+  /** Multi-probe bucket list for the QUERY side (Lv et al., VLDB'07): the
+    * base bucket plus `probes − 1` neighbors obtained by flipping the
+    * bits whose hyperplane projections have the smallest |margin| — the
+    * buckets a near neighbor most likely fell into when it landed just
+    * across a plane. Probing T buckets buys the recall of T hash tables
+    * for ONE table's index memory and build cost; only the (small) query
+    * side fans out. Returns an array<long> of `probes` distinct buckets. */
+  def lshProbeBuckets(emb: Column, planes: Int, dim: Int, probes: Int,
+                      salt: Int = 0): Column = {
+    val projs = array((0 until planes).map(p =>
+      dot(emb, planeLit(salt * 1009 + p, dim))): _*)
+    val idx = sequence(lit(0), lit(planes - 1))
+    val base = aggregate(
+      zip_with(projs, idx, (pj, i) =>
+        when(pj > 0, pow(lit(2.0), i).cast("long")).otherwise(lit(0L))),
+      lit(0L), (a, b) => a + b)
+    // plane indices ordered by |projection| ascending — flip order
+    val order = array_sort(zip_with(projs, idx,
+      (pj, i) => struct(abs(pj).as("m"), i.as("i"))))
+    val buckets = (0 until probes).map { j =>
+      if (j == 0) base
+      else base.bitwiseXOR(
+        pow(lit(2.0), element_at(order, j).getField("i")).cast("long"))
+    }
+    array(buckets: _*)
+  }
 
   /** Embedding width, from one row (a single tiny job — the corpus
     * schema doesn't carry the array length). */
@@ -78,12 +108,18 @@ object Similarity {
     vecs.select(size(col("embedding"))).head.getInt(0)
 
   /** Approximate cosine top-k: candidates restricted to the query's LSH
-    * bucket (hamming-0 probe). Fewer planes → bigger buckets → higher
-    * recall, more work. */
-  def lshTopK(vecs: DataFrame, queries: DataFrame, k: Int, planes: Int = 4): DataFrame = {
+    * bucket, multi-probed — each query also searches the `probes − 1`
+    * neighboring buckets across its smallest-margin hyperplanes. Fewer
+    * planes → bigger buckets → higher recall, more work; more probes →
+    * higher recall at the cost of probes× candidate fan-out on the query
+    * side only (the corpus index is untouched). */
+  def lshTopK(vecs: DataFrame, queries: DataFrame, k: Int,
+              planes: Int = 4, probes: Int = 2): DataFrame = {
     val dim = embDim(vecs)
     val c = prepared(vecs).withColumn("bucket", lshBucket(col("emb"), planes, dim))
-    val q = prepared(queries).withColumn("bucket", lshBucket(col("emb"), planes, dim))
+    val q = prepared(queries)
+      .withColumn("bucket",
+        explode(lshProbeBuckets(col("emb"), planes, dim, probes)))
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
         col("nrm").as("q_nrm"), col("bucket"))
     val sims = c.join(broadcast(q), Seq("bucket"))

@@ -51,6 +51,15 @@ object Sources {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** ORC scan — the other columnar format a warehouse migration brings;
+    * same pushdown/pruning machinery as parquet (predicate pushdown via
+    * ORC searchArguments, column pruning, vectorized read). */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
     df.write.mode("overwrite").option("header", header).csv(path)
 }

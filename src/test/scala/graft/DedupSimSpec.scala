@@ -153,4 +153,25 @@ class DedupSimSpec extends AnyFunSuite with SharedSpark {
     // every reported neighbor must carry a valid sim ∈ [-1, 1]
     assert(lsh.forall(r => math.abs(r.getDouble(3)) <= 1.0))
   }
+
+  test("multi-probe lsh recall dominates single-probe at equal index cost") {
+    val vecs = Tables.embeddings(spark, sfDir)
+    val qs = vecs.filter($"vec_id" < 10)
+    val brute = Similarity.bruteTopK(vecs, qs, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recall(probes: Int): Double = {
+      val hits = Similarity.lshTopK(vecs, qs, 10, planes = 6, probes = probes)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      (hits & brute).size.toDouble / brute.size
+    }
+    val r1 = recall(1)
+    val r4 = recall(4)
+    assert(r4 >= r1, s"multi-probe recall $r4 < single-probe $r1")
+    assert(r4 > 0.0)
+    // probing flips only the smallest-margin bits: the probe buckets are
+    // distinct, so no (query, neighbor) pair can be double-reported
+    val mp = Similarity.lshTopK(vecs, qs, 10, planes = 6, probes = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(mp.length == mp.distinct.length)
+  }
 }

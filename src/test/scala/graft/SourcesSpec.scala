@@ -41,6 +41,19 @@ class SourcesSpec extends AnyFunSuite with SharedSpark {
     assert(good.count() == c.count())
   }
 
+  test("orc round trip preserves values and schema") {
+    val dir = tmp()
+    val c = Tables.customer(spark, sfDir)
+    Sources.writeOrc(c, dir)
+    val back = Sources.readOrc(spark, dir)
+    assert(back.schema == c.schema)
+    assert(back.orderBy("c_custkey").collect()
+      .sameElements(c.orderBy("c_custkey").collect()))
+    // pushdown reaches the ORC scan like parquet
+    val plan = back.filter(col("c_custkey") === 7).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(c_custkey), EqualTo(c_custkey,7)]"), plan)
+  }
+
   test("PERMISSIVE csv quarantines malformed rows instead of failing") {
     val dir = tmp()
     java.nio.file.Files.writeString(
