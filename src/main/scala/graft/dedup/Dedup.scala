@@ -203,6 +203,45 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Resolve near-dup PAIRS into duplicate CLUSTERS — the step a real
+    * dedup pipeline runs after any pair generator ([[jaccardPairs]],
+    * [[minhashPairs]], embedding pairs): connected components by
+    * iterative min-label propagation. Each iteration pushes every node's
+    * current cluster label across the (symmetrized) edge list and keeps
+    * the min; converges in O(graph diameter) iterations — tiny for
+    * near-dup graphs, whose components are near-cliques of copies.
+    *
+    * Scale shape: each iteration is one equi-join edge⋈label + one
+    * hash-agg, both on id keys; `localCheckpoint` after each step cuts
+    * the lineage so iteration i doesn't replay 1..i−1 (swap for a
+    * reliable checkpoint dir on a real cluster). The edge list is cached
+    * across iterations (multi-pass consumer) and released on exit.
+    * For web-scale graphs with large diameters the two-phase
+    * large-star/small-star algorithm halves rounds; near-dup components
+    * don't need it. Returns (doc_id, cluster_id = min id in component)
+    * for every doc that appears in some pair. */
+  def dupClusters(pairs: DataFrame): DataFrame = {
+    val fwd = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))).cache()
+    try {
+      var labels = edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("cluster_id"))
+        .localCheckpoint()
+      var changed = 1L
+      while (changed > 0) {
+        val prop = edges.join(labels, edges("dst") === labels("id"))
+          .select(edges("src").as("id"), col("cluster_id"))
+        val next = labels.union(prop)
+          .groupBy("id").agg(min("cluster_id").as("cluster_id"))
+          .localCheckpoint()
+        changed = next.as("n").join(labels.as("l"), Seq("id"))
+          .filter(col("n.cluster_id") =!= col("l.cluster_id")).count()
+        labels = next
+      }
+      labels
+    } finally edges.unpersist()
+  }
+
   /** 64-bit SimHash per doc as two 32-bit words (avoids sign-bit overflow
     * in a single long under ANSI mode). Token-hash bit votes. */
   def simhash(docs: DataFrame): DataFrame = {

@@ -28,6 +28,13 @@ object DedupSim {
     Dedup.jaccardPairs(Tables.documents(s, d), 0.6, maxDf = 16)
       .orderBy("a_id", "b_id")
 
+  /** Near-dup cluster resolution: the Jaccard pairs collapsed into
+    * connected components (doc_id → min-id-in-component). The DuckDB
+    * oracle computes the same transitive closure with a recursive CTE. */
+  val qDedupClusters: Q = (s, d) =>
+    Dedup.dupClusters(Dedup.jaccardPairs(Tables.documents(s, d), 0.6, maxDf = 16))
+      .orderBy("id")
+
   /** MinHash+LSH near-dup pairs (bucketed candidates, exact verify). */
   val qDedupMinhash: Q = (s, d) =>
     Dedup.minhashPairs(Tables.documents(s, d), 0.6)
@@ -76,6 +83,7 @@ object DedupSim {
   val all: Map[String, Q] = Map(
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_jaccard" -> qDedupJaccard,
+    "q_dedup_clusters" -> qDedupClusters,
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_embed" -> qDedupEmbed,
@@ -104,6 +112,31 @@ object DedupSim {
         |SELECT a_id, b_id, round(CAST(c AS DOUBLE)/(na+nb-c), 4) AS jaccard
         |FROM common WHERE CAST(c AS DOUBLE)/(na+nb-c) >= 0.6
         |ORDER BY a_id, b_id""".stripMargin,
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents),
+        |sh AS (
+        | SELECT doc_id, list_distinct(list_transform(range(1, len(ts)-1),
+        |   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+        | FROM toks WHERE len(ts) >= 3),
+        |e AS (SELECT doc_id, len(s) AS nsh, unnest(s) AS shingle FROM sh),
+        |common AS (
+        | SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.nsh AS na, b.nsh AS nb,
+        |        count(*) AS c
+        | FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2, 3, 4),
+        |pairs AS (
+        | SELECT a_id, b_id FROM common WHERE CAST(c AS DOUBLE)/(na+nb-c) >= 0.6),
+        |edges AS (
+        | SELECT a_id AS src, b_id AS dst FROM pairs
+        | UNION ALL
+        | SELECT b_id, a_id FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |r(id, n) AS (
+        | SELECT id, id FROM nodes
+        | UNION
+        | SELECT r.id, e.dst FROM r JOIN edges e ON e.src = r.n)
+        |SELECT id, min(n) AS cluster_id FROM r GROUP BY id ORDER BY id""".stripMargin,
     "q_dedup_embed" ->
       """WITH base AS (
         | SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb

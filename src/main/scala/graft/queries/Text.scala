@@ -72,6 +72,24 @@ object Text {
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  /** PII-ish scrubbing over a corpus that provably exercises every
+    * pattern: the synthetic documents carry no contact strings, so the
+    * query plants a deterministic contact suffix on every third doc and
+    * redacts — the oracle replays both the planting and the scrub, so a
+    * green row certifies each replacement (email, URL incl. its digits,
+    * standalone long number). */
+  val qRedact: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("dirty",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"),
+            lit(" reach me at user"), col("doc_id").cast("string"),
+            lit("@mail.example.com or https://t.example.org/u/"),
+            col("doc_id").cast("string"), lit("/9876543 ref 12345678")))
+          .otherwise(col("text")))
+      .select(col("doc_id"), redact(col("dirty")).as("clean"))
+      .orderBy("doc_id")
+
   /** Sessionization of the events stream in batch: a session break is a
     * >30-min gap per user; session ids via cumulative sum over the break
     * flags — the lag/cumsum idiom that mapGroupsWithState replaces in
@@ -116,6 +134,7 @@ object Text {
     "q_token_topk" -> qTokenTopk,
     "q_lang_id" -> qLangId,
     "q_fingerprint" -> qFingerprint,
+    "q_redact" -> qRedact,
     "q_sessionize" -> qSessionize,
     "q_curation" -> qCuration,
   )
@@ -189,6 +208,22 @@ object Text {
         |    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
         |  (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_redact" ->
+      """WITH dirty AS (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0
+        |   THEN text || ' reach me at user' || doc_id ||
+        |        '@mail.example.com or https://t.example.org/u/' ||
+        |        doc_id || '/9876543 ref 12345678'
+        |   ELSE text END AS d
+        | FROM documents)
+        |SELECT doc_id,
+        | regexp_replace(
+        |  regexp_replace(
+        |   regexp_replace(d, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   'https?://[^\s]+', '<URL>', 'g'),
+        |  '[0-9]{6,}', '<NUM>', 'g') AS clean
+        |FROM dirty ORDER BY doc_id""".stripMargin,
     "q_sessionize" ->
       """WITH w AS (
         | SELECT user_id, event_id, value, ts,

@@ -91,6 +91,26 @@ object Streaming {
   def enriched(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key))
 
+  /** foreachBatch parquet sink — the escape hatch to any batch writer,
+    * made replay-safe: each micro-batch overwrites its own
+    * `batch_id=<id>` directory, so a batch replayed after a failure
+    * lands on top of itself instead of appending duplicates (the
+    * idempotent-overwrite pattern; the reference's cron WRITE_APPEND has
+    * no such guard). With `checkpointDir`, a re-run processes nothing
+    * already committed — exactly-once end to end. */
+  def runForeachBatchParquet(out: DataFrame, path: String,
+                             checkpointDir: String): Unit = {
+    val q = out.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$path/batch_id=$id")
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long, value: Double)
   case class SessionState(sessionId: Long, lastTs: Long, nEvents: Long, sumValue: Double)
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long, session_value: Double)

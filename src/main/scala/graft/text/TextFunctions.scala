@@ -86,6 +86,23 @@ object TextFunctions {
     array_max(array(scored: _*)).getField("lang")
   }
 
+  /** PII-ish redaction patterns — kept to the regex subset Java and RE2
+    * interpret identically (no lookaround/backrefs) so the DuckDB oracle
+    * replays them verbatim. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val urlRe = "https?://[^\\s]+"
+  val longNumRe = "[0-9]{6,}"
+
+  /** Training-corpus scrubbing: emails → <EMAIL>, URLs → <URL>, then
+    * 6+-digit runs → <NUM> (after URLs so their digits don't double-fire).
+    * Pure per-row regexp_replace chain — codegen'd, no shuffles. */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        urlRe, "<URL>"),
+      longNumRe, "<NUM>")
+
   /** Rolling polynomial fingerprint over the document's characters:
     * acc = (acc * 31 + ascii(char)) mod 1e9+7. Order-sensitive (unlike a
     * token-set hash) so it distinguishes permuted documents. */

@@ -124,6 +124,26 @@ class DedupSimSpec extends AnyFunSuite with SharedSpark {
     assert(uncapped.exists { case (a, b, j) => (a, b) == (1L, 2L) && j == 1.0 })
   }
 
+  test("dupClusters: connected components with min-id labels") {
+    // chain 1-2, 2-3 plus isolated pair 5-6: components {1,2,3} and {5,6}
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a_id", "b_id")
+    val got = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("dupClusters on testdata: every pair lands in one cluster, labels are member minima") {
+    val pairs = Dedup.jaccardPairs(Tables.documents(spark, sfDir), 0.6, maxDf = 16)
+    val labels = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ps = pairs.select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ps.forall { case (a, b) => labels(a) == labels(b) })
+    // each cluster's label is the min id among its members
+    labels.groupBy(_._2).foreach { case (label, members) =>
+      assert(members.keys.min == label)
+    }
+  }
+
   test("cosinePairsLsh equals brute cosinePairs on the planted-dup corpus") {
     val aug = Similarity.withPlantedDups(Tables.embeddings(spark, sfDir))
     def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()

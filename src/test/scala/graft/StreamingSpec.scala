@@ -7,6 +7,20 @@ import graft.streaming.Streaming
 /** Streaming == batch parity on the same files (AvailableNow replay). */
 class StreamingSpec extends AnyFunSuite with SharedSpark {
 
+  test("foreachBatch sink: batch-id overwrite is replay-idempotent") {
+    val out = java.nio.file.Files.createTempDirectory("graft_fb_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_fb_ckpt").toString
+    val ev = Streaming.readEvents(spark, sfDir)
+      .select("event_id", "user_id", "event_type", "value")
+    Streaming.runForeachBatchParquet(ev, out, ckpt)
+    val want = Tables.events(spark, sfDir).count()
+    assert(spark.read.parquet(out).count() == want)
+    // second run from the same checkpoint: nothing new to process, no
+    // duplicates appended
+    Streaming.runForeachBatchParquet(ev, out, ckpt)
+    assert(spark.read.parquet(out).count() == want)
+  }
+
   test("windowed stream agg equals batch date_trunc agg") {
     val stream = Streaming.windowedAgg(Streaming.readEvents(spark, sfDir))
     val result = Streaming.runAvailableNow(spark, stream, "stream_windowed")

@@ -46,6 +46,19 @@ class TextSpec extends AnyFunSuite with SharedSpark {
     assert(r == "en")
   }
 
+  test("redact: emails, urls (incl. their digits), long numbers") {
+    val r = Seq(
+      "write to a.b+c@x-mail.org today",
+      "see https://example.com/path?id=9999999 now",
+      "order 12345678 shipped, pin 12345 stays",
+      "clean text stays untouched").toDF("text")
+      .select(TextFunctions.redact($"text").as("r")).collect().map(_.getString(0))
+    assert(r(0) == "write to <EMAIL> today")
+    assert(r(1) == "see <URL> now")
+    assert(r(2) == "order <NUM> shipped, pin 12345 stays")
+    assert(r(3) == "clean text stays untouched")
+  }
+
   test("BPE-ish token count: 1 unit per short word, more for long") {
     val r = Seq("ab abcdefgh").toDF("text")
       .select(TextFunctions.tokenCountBpeIsh(TextFunctions.tokens($"text"))).head().getLong(0)
