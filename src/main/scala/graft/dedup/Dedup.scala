@@ -82,7 +82,11 @@ object Dedup {
     cand
       .join(sh.select(col("doc_id").as("a_id"), col("hs").as("ha")), Seq("a_id"))
       .join(sh.select(col("doc_id").as("b_id"), col("hs").as("hb")), Seq("b_id"))
-      .withColumn("common", size(array_intersect(col("ha"), col("hb"))))
+      // hs is sorted by construction → zero-allocation merge count
+      // (graft.functions.SortedIntersectCount) instead of array_intersect
+      // materializing the intersection just to take its size
+      .withColumn("common",
+        graft.functions.SortedIntersectCount.sorted_intersect_count(col("ha"), col("hb")))
       .withColumn("jaccard", col("common").cast("double") /
         (size(col("ha")) + size(col("hb")) - col("common")))
       .filter(col("jaccard") >= threshold)
@@ -192,11 +196,17 @@ object Dedup {
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
+    // verify on sorted shingle-hash sets: one merge pass per candidate
+    // (SortedIntersectCount) instead of array_intersect on string arrays;
+    // same 2⁻⁶⁴-collision caveat as the prefix variant's hashed index
+    val hsets = sh.select(col("doc_id"),
+      array_sort(transform(col("sh"), s => xxhash64(s))).as("hs"))
     val withSh = cand
-      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sha")), Seq("a_id"))
-      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("shb")), Seq("b_id"))
+      .join(hsets.select(col("doc_id").as("a_id"), col("hs").as("sha")), Seq("a_id"))
+      .join(hsets.select(col("doc_id").as("b_id"), col("hs").as("shb")), Seq("b_id"))
     withSh
-      .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("common",
+        graft.functions.SortedIntersectCount.sorted_intersect_count(col("sha"), col("shb")))
       .withColumn("jaccard", col("common").cast("double") /
         (size(col("sha")) + size(col("shb")) - col("common")))
       .filter(col("jaccard") >= threshold)

@@ -29,7 +29,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => DotProduct(args(0), args(1))),
     ("poisson_pmf",
       new ExpressionInfo(classOf[PoissonPmf].getName, "poisson_pmf"),
-      (args: Seq[Expression]) => PoissonPmf(args(0), args(1))))
+      (args: Seq[Expression]) => PoissonPmf(args(0), args(1))),
+    ("sorted_intersect_count",
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+      (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1))))
 
   /** Runtime registration on an existing session. */
   def install(spark: SparkSession): Unit =

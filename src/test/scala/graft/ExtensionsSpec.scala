@@ -33,6 +33,25 @@ class ExtensionsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("sorted_intersect_count: parity with size(array_intersect) on sorted sets") {
+    import graft.functions.SortedIntersectCount.sorted_intersect_count
+    val rng = new scala.util.Random(13L)
+    val rows = (1 to 200).map { _ =>
+      val a = Seq.fill(rng.nextInt(20))(rng.nextInt(30).toLong).distinct.sorted
+      val b = Seq.fill(rng.nextInt(20))(rng.nextInt(30).toLong).distinct.sorted
+      (a, b)
+    } :+ ((Seq.empty[Long], Seq(1L, 2L))) :+ ((Seq(5L), Seq.empty[Long]))
+    val df = rows.toDF("a", "b")
+      .select(
+        sorted_intersect_count($"a", $"b").as("merge_count"),
+        size(array_intersect($"a", $"b")).cast("long").as("builtin_count"))
+    assert(df.filter($"merge_count" =!= $"builtin_count").count() == 0)
+    // SQL registration
+    GraftExtensions.install(spark)
+    assert(spark.sql(
+      "SELECT sorted_intersect_count(array(1L,3L,5L), array(3L,4L,5L))").head().getLong(0) == 2L)
+  }
+
   test("resize stub: aspect preserved, no-op under bound, payload intact") {
     val media = Multimodal.stubDecode(Multimodal.asMediaTable(
       Tables.documents(spark, sfDir)))
