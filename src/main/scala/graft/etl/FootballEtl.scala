@@ -134,16 +134,20 @@ object FootballEtl {
   /** The reference's GLM model data (ml_project.py:195-205): ALL cleaned
     * matches (no FIFA filter) with the F9 recency weight, stacked
     * home/away so each match contributes one row per side —
-    * (team, opponent, goals, weight). */
-  def modelData(spark: SparkSession, csvPath: String): DataFrame = {
-    val m = clean(ingest(spark, csvPath))
+    * (team, opponent, goals, weight). Stacked via explode-of-structs
+    * rather than UNION ALL of two projections: a union's branches each
+    * scan + parse the CSV; the explode is one scan, one generator — the
+    * same multiset (oracle-verified against a UNION ALL in DuckDB). */
+  def modelData(spark: SparkSession, csvPath: String): DataFrame =
+    clean(ingest(spark, csvPath))
       .withColumn("weight", Clean.recencyWeight(col("date"), col("tournament")))
-    val home = m.select(col("home_team").as("team"), col("away_team").as("opponent"),
-      col("home_score").as("goals"), col("weight"))
-    val away = m.select(col("away_team").as("team"), col("home_team").as("opponent"),
-      col("away_score").as("goals"), col("weight"))
-    home.unionByName(away)
-  }
+      .select(explode(array(
+        struct(col("home_team").as("team"), col("away_team").as("opponent"),
+          col("home_score").as("goals"), col("weight")),
+        struct(col("away_team").as("team"), col("home_team").as("opponent"),
+          col("away_score").as("goals"), col("weight")))).as("side"))
+      .select(col("side.team"), col("side.opponent"),
+        col("side.goals"), col("side.weight"))
 
   /** Typed record for the cleaned layer (SURVEY.md §1.5): scores/neutral
     * are Options — the permissive scan can null them. */
