@@ -24,8 +24,11 @@ object Media {
       .orderBy("media_id")
   }
 
-  /** Batched per-partition feature extraction (mapPartitions decode shape);
-    * byte-mean is engine-specific per-row math → rows-only check. */
+  /** Batched per-partition feature extraction (mapPartitions decode
+    * shape). Oracle-paired: the corpus is pure ASCII (verified), so the
+    * payload's unsigned-byte mean equals the mean of per-char code
+    * points — an exact integer sum and one IEEE division, replayed in
+    * DuckDB over ascii(char). */
   val qMediaFeatures: Q = (s, d) =>
     Multimodal.extractFeatures(s,
         Multimodal.asMediaTable(Tables.documents(s, d)))
@@ -51,6 +54,16 @@ object Media {
         | CAST(64 + octet_length(encode(text)) % 512 AS INT) AS width,
         | CAST(64 + (octet_length(encode(text)) * 7) % 512 AS INT) AS height,
         | CAST(1 + octet_length(encode(text)) % 16 AS INT) AS n_frames
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "q_media_features" ->
+      """SELECT doc_id AS media_id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | CASE WHEN length(text) = 0 THEN 0.0
+        |  ELSE CAST(list_sum(list_transform(string_split(text, ''),
+        |         c -> CAST(ascii(c) AS BIGINT))) AS DOUBLE)
+        |       / octet_length(encode(text)) END AS mean_byte,
+        | CAST(64 + octet_length(encode(text)) % 512 AS INT) AS width,
+        | CAST(64 + (octet_length(encode(text)) * 7) % 512 AS INT) AS height
         |FROM documents ORDER BY media_id""".stripMargin,
     "q_frame_sample" ->
       """SELECT doc_id AS media_id,
