@@ -114,6 +114,47 @@ object Streaming {
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long, value: Double)
   case class SessionState(sessionId: Long, lastTs: Long, nEvents: Long, sumValue: Double)
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long, session_value: Double)
+  case class OpenSession(sessionId: Long, startTs: Long, lastTs: Long,
+                         nEvents: Long, sumValue: Double)
+  case class ClosedSession(user_id: Long, session_id: Long, n_events: Long,
+                           session_value: Double, session_start: Long)
+
+  /** flatMapGroupsWithState sessionization emitting CLOSED sessions — the
+    * production shape: a session is emitted the moment a >30-min gap
+    * proves it over, rather than aggregating forever; state holds exactly
+    * one open session per user. Under AvailableNow each user's final
+    * session stays open (no later event closes it) — the spec accounts
+    * for that; a live deployment would close it via event-time timeout. */
+  def closedSessions(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val typed = events.select(
+      col("event_id"), col("ts").cast("timestamp").as("ts"),
+      col("user_id"), col("value")).as[Event]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user, rows, state: GroupState[OpenSession]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val closed = scala.collection.mutable.ListBuffer.empty[ClosedSession]
+          var open = state.getOption
+          sorted.foreach { e =>
+            val t = e.ts.getTime / 1000
+            open match {
+              case Some(s) if t - s.lastTs <= 1800 =>
+                open = Some(s.copy(lastTs = t,
+                  nEvents = s.nEvents + 1, sumValue = s.sumValue + e.value))
+              case Some(s) =>
+                closed += ClosedSession(user, s.sessionId, s.nEvents,
+                  s.sumValue, s.startTs)
+                open = Some(OpenSession(s.sessionId + 1, t, t, 1L, e.value))
+              case None =>
+                open = Some(OpenSession(1L, t, t, 1L, e.value))
+            }
+          }
+          open.foreach(state.update)
+          closed.iterator
+      }.toDF()
+  }
 
   /** mapGroupsWithState sessionization (gap > 30 min splits sessions) —
     * the custom-state streaming op (KeyValueGroupedDataset). Batch

@@ -94,6 +94,30 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("flatMapGroupsWithState closed sessions equal batch minus each user's open tail") {
+    val stream = Streaming.closedSessions(spark, Streaming.readEvents(spark, sfDir))
+    val result = Streaming.runAvailableNow(spark, stream, "stream_closed",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        round(col("session_value"), 2).as("sv"))
+      .orderBy("user_id", "session_id").collect()
+    // batch sessionize minus the LAST session per user (still open under
+    // AvailableNow — nothing after it proves the gap)
+    val batch = graft.queries.Text.qSessionize(spark, sfDir)
+    val lastPerUser = batch.groupBy("user_id").agg(max("session_id").as("last_sid"))
+    val closedBatch = batch.join(lastPerUser, Seq("user_id"))
+      .filter(col("session_id") < col("last_sid"))
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        col("session_value").as("sv"))
+      .orderBy("user_id", "session_id").collect()
+    assert(result.length == closedBatch.length)
+    result.zip(closedBatch).foreach { case (s, b) =>
+      assert(s.getLong(0) == b.getLong(0) && s.getLong(1) == b.getLong(1))
+      assert(s.getLong(2) == b.getLong(2), s"n_events for user ${s.getLong(0)}")
+      assert(math.abs(s.getDouble(3) - b.getDouble(3)) < 1e-6)
+    }
+  }
+
   test("mapGroupsWithState session counts match batch sessionization") {
     val stream = Streaming.sessionCounts(spark, Streaming.readEvents(spark, sfDir))
     val result = Streaming.runAvailableNow(spark, stream, "stream_sessions",
