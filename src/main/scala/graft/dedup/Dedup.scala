@@ -32,13 +32,40 @@ object Dedup {
       .withColumn("sh", shingles3(col("toks")))
       .select(col("doc_id"), col("sh"), size(col("sh")).as("nsh"))
 
-  /** Exact duplicate groups by full-content equality: one shuffle on text.
-    * (At scale, group on a content hash first to shrink shuffle width.) */
-  def exactDupGroups(docs: DataFrame): DataFrame =
-    docs.groupBy("text")
+  /** Exact duplicate groups by full-content equality, hash-first: the
+    * wide shuffle runs over (xxhash64(text), doc_id) — 16 bytes/row
+    * instead of whole documents — and only docs whose hash collides
+    * (the duplicate candidates, a tiny fraction of a deduped-at-ingest
+    * corpus) rejoin their text for the EXACT group-by, so a 2⁻⁶⁴ hash
+    * collision can never produce a false duplicate group. Same output as
+    * the naive groupBy(text), at a fraction of the shuffle width. */
+  def exactDupGroups(docs: DataFrame): DataFrame = {
+    val hashed = docs.select(col("doc_id"), xxhash64(col("text")).as("h"))
+    val dupHashes = hashed.groupBy("h").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).select("h")
+    val candIds = hashed.join(dupHashes, Seq("h")).select("doc_id")
+    docs.join(candIds, Seq("doc_id"), "left_semi")
+      .groupBy("text")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .filter(col("n_copies") > 1)
       .select("keep_id", "n_copies")
+  }
+
+  /** Doc ids to DROP under keep-min-id exact dedup — the complement view
+    * of [[exactDupGroups]] a curation pipeline consumes (anti-join these
+    * away and every content group keeps exactly its min-id doc). Same
+    * hash-first shape: wide shuffle on 16-byte rows, exact text group-by
+    * only over hash-colliding candidates. */
+  def exactDupLosers(docs: DataFrame): DataFrame = {
+    val hashed = docs.select(col("doc_id"), xxhash64(col("text")).as("h"))
+    val dupHashes = hashed.groupBy("h").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).select("h")
+    val candIds = hashed.join(dupHashes, Seq("h")).select("doc_id")
+    val candDocs = docs.join(candIds, Seq("doc_id"), "left_semi")
+    val keepIds = candDocs.groupBy("text").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    candDocs.select("doc_id").join(keepIds, Seq("doc_id"), "left_anti")
+  }
 
   /** N-gram Jaccard near-dup pairs via a PREFIX-FILTERED inverted-index
     * join (PPJoin-style prefix filtering, Xiao et al., WWW'08). Identical

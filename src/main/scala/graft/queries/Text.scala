@@ -112,17 +112,17 @@ object Text {
   }
 
   /** End-to-end curation pipeline — the composition a training-data
-    * pipeline actually runs: exact-dedup (keep min doc_id per content) via
-    * LEFT SEMI join, then a quality gate and token-length band. One
-    * hash-agg + one semi-join shuffle; everything else per-row. */
+    * pipeline actually runs: exact-dedup (keep min doc_id per content,
+    * hash-first so the wide shuffle carries 16-byte rows, not documents —
+    * [[graft.dedup.Dedup.exactDupLosers]]), then a quality gate and
+    * token-length band. Everything else per-row. */
   val qCuration: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
+    val base = Tables.documents(s, d)
+    val docs = base
       .withColumn("toks", tokens(col("text")))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("quality", qualityScore(col("toks")))
-    val keep = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
-      .select("doc_id")
-    docs.join(keep, Seq("doc_id"), "left_semi")
+    docs.join(graft.dedup.Dedup.exactDupLosers(base), Seq("doc_id"), "left_anti")
       .filter(col("quality") >= 0.5 && col("n_tokens").between(5, 200))
       .select(col("doc_id"), col("n_tokens"), round(col("quality"), 4).as("quality"))
       .orderBy("doc_id")

@@ -19,6 +19,13 @@ class DedupSimSpec extends AnyFunSuite with SharedSpark {
     assert(groups.head.getLong(0) == 1L && groups.head.getLong(1) == 2L)
   }
 
+  test("exactDupLosers drops exactly the non-min copies") {
+    val d = docs(1L -> "a b c d e", 2L -> "x y z w v", 3L -> "a b c d e",
+      4L -> "q r s t u", 5L -> "a b c d e", 6L -> "x y z w v")
+    val losers = Dedup.exactDupLosers(d).collect().map(_.getLong(0)).toSet
+    assert(losers == Set(3L, 5L, 6L))
+  }
+
   test("jaccard inverted-index join finds near-dups, skips dissimilar") {
     val d = docs(
       1L -> "the quick brown fox jumps over the lazy dog today",
