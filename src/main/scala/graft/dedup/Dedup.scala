@@ -67,6 +67,20 @@ object Dedup {
     candDocs.select("doc_id").join(keepIds, Seq("doc_id"), "left_anti")
   }
 
+  /** Benchmark decontamination: corpus docs sharing ANY word 3-gram with
+    * the probe set (an eval benchmark) are flagged for removal. The probe
+    * side's distinct shingles are broadcast — eval sets are tiny next to
+    * a training corpus — so the scan-side work is one semi-join per
+    * shingle, no shuffle of the corpus. Returns flagged doc_ids. */
+  def contaminatedBy(docs: DataFrame, probes: DataFrame): DataFrame = {
+    val probeShingles = shingled(probes)
+      .select(explode(col("sh")).as("shingle")).distinct()
+    shingled(docs)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .join(broadcast(probeShingles), Seq("shingle"), "left_semi")
+      .select("doc_id").distinct()
+  }
+
   /** N-gram Jaccard near-dup pairs via a PREFIX-FILTERED inverted-index
     * join (PPJoin-style prefix filtering, Xiao et al., WWW'08). Identical
     * output to [[jaccardPairsNaive]], far fewer candidates:

@@ -72,6 +72,33 @@ object Text {
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  /** Benchmark decontamination: docs (id ≥ 5) sharing any word 3-gram
+    * with the "benchmark" (docs 0-4) — the flag-and-drop step run before
+    * training on any corpus that might contain eval data. */
+  val qDecontam: Q = (s, d) => {
+    val all = Tables.documents(s, d)
+    graft.dedup.Dedup.contaminatedBy(
+        all.filter(col("doc_id") >= 5), all.filter(col("doc_id") < 5))
+      .orderBy("doc_id")
+  }
+
+  /** Vocabulary construction: tokens ranked by global frequency into
+    * dense ids (count desc, token asc tiebreak) — the id-assignment step
+    * of tokenizer training, top 100 here. The vocab cap comes FIRST
+    * (orderBy+limit plans as TakeOrderedAndProject: per-partition top-k,
+    * no global sort), so the single-partition ranking window only ever
+    * sees `limit` rows — at any corpus size. */
+  val qVocab: Q = (s, d) => {
+    val top = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("token")).limit(100)
+    top.withColumn("token_id", row_number().over(
+        Window.orderBy(desc("cnt"), asc("token"))).cast("long"))
+      .select("token_id", "token", "cnt")
+      .orderBy("token_id")
+  }
+
   /** PII-ish scrubbing over a corpus that provably exercises every
     * pattern: the synthetic documents carry no contact strings, so the
     * query plants a deterministic contact suffix on every third doc and
@@ -135,6 +162,8 @@ object Text {
     "q_lang_id" -> qLangId,
     "q_fingerprint" -> qFingerprint,
     "q_redact" -> qRedact,
+    "q_decontam" -> qDecontam,
+    "q_vocab" -> qVocab,
     "q_sessionize" -> qSessionize,
     "q_curation" -> qCuration,
   )
@@ -208,6 +237,30 @@ object Text {
         |    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
         |  (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_decontam" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents),
+        |sh AS (
+        | SELECT doc_id, list_distinct(list_transform(range(1, len(ts)-1),
+        |   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+        | FROM toks WHERE len(ts) >= 3),
+        |e AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |probe AS (SELECT DISTINCT shingle FROM e WHERE doc_id < 5)
+        |SELECT DISTINCT doc_id FROM e
+        |WHERE doc_id >= 5 AND shingle IN (SELECT shingle FROM probe)
+        |ORDER BY doc_id""".stripMargin,
+    "q_vocab" ->
+      """WITH counts AS (
+        | SELECT token, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents)
+        | GROUP BY token),
+        |ranked AS (
+        | SELECT row_number() OVER (ORDER BY cnt DESC, token) AS token_id,
+        |        token, cnt
+        | FROM counts)
+        |SELECT token_id, token, cnt FROM ranked
+        |WHERE token_id <= 100 ORDER BY token_id""".stripMargin,
     "q_redact" ->
       """WITH dirty AS (
         | SELECT doc_id,

@@ -26,6 +26,18 @@ class DedupSimSpec extends AnyFunSuite with SharedSpark {
     assert(losers == Set(3L, 5L, 6L))
   }
 
+  test("contaminatedBy flags only docs sharing a probe 3-gram") {
+    val corpus = docs(
+      10L -> "the quick brown fox jumps high",   // shares "the quick brown"
+      11L -> "totally unrelated training text here",
+      12L -> "lazy dog sleeps all day long")     // shares "lazy dog sleeps"
+    val bench = docs(
+      1L -> "the quick brown cat",
+      2L -> "a lazy dog sleeps now")
+    val flagged = Dedup.contaminatedBy(corpus, bench).collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(10L, 12L))
+  }
+
   test("jaccard inverted-index join finds near-dups, skips dissimilar") {
     val d = docs(
       1L -> "the quick brown fox jumps over the lazy dog today",
