@@ -155,6 +155,30 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** The CAPSTONE composition — the full curation pass a training-data
+    * pipeline runs end to end, each stage an already-oracle-verified
+    * operator: redact → exact dedup (hash-first, keep min id) → near-dup
+    * Jaccard pairs → cluster resolution (keep each cluster's min) →
+    * quality + length gate. One call curates a corpus; the oracle replays
+    * the identical composition in a single DuckDB query (recursive CTE
+    * for the cluster closure). */
+  val qCurateFull: Q = (s, d) => {
+    import graft.dedup.Dedup
+    val base = Tables.documents(s, d)
+      .withColumn("text", redact(col("text")))
+    val noExact = base.join(Dedup.exactDupLosers(base), Seq("doc_id"), "left_anti")
+    val nearLosers = Dedup.dupClusters(Dedup.jaccardPairs(noExact, 0.6, maxDf = 16))
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as("doc_id"))
+    noExact.join(nearLosers, Seq("doc_id"), "left_anti")
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("quality", qualityScore(col("toks")))
+      .filter(col("quality") >= 0.5 && col("n_tokens").between(5, 200))
+      .select(col("doc_id"), col("n_tokens"), round(col("quality"), 4).as("quality"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q_text_stats" -> qTextStats,
     "q_text_quality" -> qTextQuality,
@@ -166,6 +190,7 @@ object Text {
     "q_vocab" -> qVocab,
     "q_sessionize" -> qSessionize,
     "q_curation" -> qCuration,
+    "q_curate_full" -> qCurateFull,
   )
 
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
@@ -277,6 +302,44 @@ object Text {
         |   'https?://[^\s]+', '<URL>', 'g'),
         |  '[0-9]{6,}', '<NUM>', 'g') AS clean
         |FROM dirty ORDER BY doc_id""".stripMargin,
+    "q_curate_full" ->
+      ("""WITH RECURSIVE red AS (
+        | SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[^\s]+', '<URL>', 'g'),
+        |    '[0-9]{6,}', '<NUM>', 'g') AS text
+        | FROM documents),
+        |keepx AS (SELECT min(doc_id) AS doc_id FROM red GROUP BY text),
+        |nx AS (SELECT rr.doc_id, rr.text FROM red rr JOIN keepx USING (doc_id)),
+        |toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM nx),
+        |sh AS (
+        | SELECT doc_id, list_distinct(list_transform(range(1, len(ts)-1),
+        |   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+        | FROM toks WHERE len(ts) >= 3),
+        |e AS (SELECT doc_id, len(s) AS nsh, unnest(s) AS shingle FROM sh),
+        |common AS (
+        | SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.nsh AS na, b.nsh AS nb, count(*) AS c
+        | FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2, 3, 4),
+        |pairs AS (SELECT a_id, b_id FROM common WHERE CAST(c AS DOUBLE)/(na+nb-c) >= 0.6),
+        |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        |          UNION ALL SELECT b_id, a_id FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |r(id, n) AS (
+        | SELECT id, id FROM nodes
+        | UNION
+        | SELECT r.id, e2.dst FROM r JOIN edges e2 ON e2.src = r.n),
+        |losers AS (
+        | SELECT id FROM (SELECT id, min(n) AS c FROM r GROUP BY id) WHERE id <> c),
+        |m AS (
+        | SELECT doc_id, len(ts) AS n_tokens,
+        |  least(CAST(len(ts) AS DOUBLE) / 100.0, 1.0) *
+        |   (1.0 - (CAST(len(list_filter(ts, t -> t IN (""".stripMargin + stopList + """))) AS DOUBLE)
+        |           / len(ts)) * 0.5) AS quality
+        | FROM toks WHERE doc_id NOT IN (SELECT id FROM losers))
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, round(quality, 4) AS quality
+        |FROM m WHERE quality >= 0.5 AND n_tokens BETWEEN 5 AND 200 ORDER BY doc_id""".stripMargin),
     "q_sessionize" ->
       """WITH w AS (
         | SELECT user_id, event_id, value, ts,
