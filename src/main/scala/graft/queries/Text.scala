@@ -166,7 +166,14 @@ object Text {
     import graft.dedup.Dedup
     val base = Tables.documents(s, d)
       .withColumn("text", redact(col("text")))
+    // localCheckpoint: the deduped corpus feeds BOTH the pair generator
+    // (materialized during cluster construction) and the final anti-join
+    // (materialized by the consumer later) — eager checkpoint computes the
+    // redact + exact-dedup chain once, and the ContextCleaner reclaims the
+    // blocks when the result frame is dropped (no leaked tracked cache).
+    // Measured 11.8 → 8.1 s at sf0.1.
     val noExact = base.join(Dedup.exactDupLosers(base), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
     val nearLosers = Dedup.dupClusters(Dedup.jaccardPairs(noExact, 0.6, maxDf = 16))
       .filter(col("id") =!= col("cluster_id"))
       .select(col("id").as("doc_id"))
