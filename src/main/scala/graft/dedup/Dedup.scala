@@ -275,8 +275,11 @@ object Dedup {
     val fwd = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))).cache()
     try {
-      var labels = edges.select(col("src").as("id")).distinct()
-        .select(col("id"), col("id").as("cluster_id"))
+      // seed = min(self, neighbors): the first propagation round computed
+      // directly from the edge list — one fewer loop iteration
+      var labels = edges
+        .select(col("src").as("id"), least(col("src"), col("dst")).as("cluster_id"))
+        .groupBy("id").agg(min("cluster_id").as("cluster_id"))
         .localCheckpoint()
       var changed = 1L
       while (changed > 0) {
