@@ -26,7 +26,7 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 8g is GC-bound running the full 80-query bench in one JVM (measured:
+  // 8g is GC-bound running the full 88-query bench in one JVM (measured:
   // +45% total, one join query 2.5× slower); 16g restores stable timings
   // and 24g shaves GC tail-latency off the heavy fits/joins (measured at
   // 32g: GLM 12→7.5 s, Jaccard 10→4.9 s on noisy runs)

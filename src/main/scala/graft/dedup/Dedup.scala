@@ -39,16 +39,23 @@ object Dedup {
     * corpus) rejoin their text for the EXACT group-by, so a 2⁻⁶⁴ hash
     * collision can never produce a false duplicate group. Same output as
     * the naive groupBy(text), at a fraction of the shuffle width. */
-  def exactDupGroups(docs: DataFrame): DataFrame = {
+  def exactDupGroups(docs: DataFrame): DataFrame =
+    dupCandidates(docs)
+      .groupBy("text")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .select("keep_id", "n_copies")
+
+  /** The shared hash-first candidate derivation: docs whose content hash
+    * collides with another doc's — the only rows that can possibly be
+    * exact duplicates, and the only rows whose text the exact group-bys
+    * above/below ever shuffle. */
+  private def dupCandidates(docs: DataFrame): DataFrame = {
     val hashed = docs.select(col("doc_id"), xxhash64(col("text")).as("h"))
     val dupHashes = hashed.groupBy("h").agg(count(lit(1)).as("n"))
       .filter(col("n") > 1).select("h")
     val candIds = hashed.join(dupHashes, Seq("h")).select("doc_id")
     docs.join(candIds, Seq("doc_id"), "left_semi")
-      .groupBy("text")
-      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
-      .filter(col("n_copies") > 1)
-      .select("keep_id", "n_copies")
   }
 
   /** Doc ids to DROP under keep-min-id exact dedup — the complement view
@@ -57,11 +64,7 @@ object Dedup {
     * hash-first shape: wide shuffle on 16-byte rows, exact text group-by
     * only over hash-colliding candidates. */
   def exactDupLosers(docs: DataFrame): DataFrame = {
-    val hashed = docs.select(col("doc_id"), xxhash64(col("text")).as("h"))
-    val dupHashes = hashed.groupBy("h").agg(count(lit(1)).as("n"))
-      .filter(col("n") > 1).select("h")
-    val candIds = hashed.join(dupHashes, Seq("h")).select("doc_id")
-    val candDocs = docs.join(candIds, Seq("doc_id"), "left_semi")
+    val candDocs = dupCandidates(docs)
     val keepIds = candDocs.groupBy("text").agg(min("doc_id").as("doc_id"))
       .select("doc_id")
     candDocs.select("doc_id").join(keepIds, Seq("doc_id"), "left_anti")

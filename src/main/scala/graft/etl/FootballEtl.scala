@@ -122,7 +122,16 @@ object FootballEtl {
         val path = s"$outBase/$runDate/$name"
         Future { df.write.mode("overwrite").parquet(path); name -> path }
       }
-      Await.result(Future.sequence(writes), Duration.Inf).toMap
+      // lift to Try so ALL sinks settle before we return (or unpersist):
+      // a fail-fast Await.result(Future.sequence(...)) would leave the
+      // sibling writes running in the background against an unpersisted
+      // frame — re-scanning the source per sink, the exact 4× the cache
+      // exists to prevent. First failure rethrown after the fan-in.
+      val settled = Await.result(
+        Future.sequence(writes.map(_.transform(scala.util.Success(_)))),
+        Duration.Inf)
+      settled.collectFirst { case scala.util.Failure(e) => e }.foreach(throw _)
+      settled.collect { case scala.util.Success(kv) => kv }.toMap
     } finally cached.unpersist()
   }
 

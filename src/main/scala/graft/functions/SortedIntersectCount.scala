@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Native Catalyst overlap count over two SORTED array<long> columns —
   * the hot inner loop of set-similarity verification (Jaccard common
@@ -24,10 +24,15 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * follows merge semantics (min multiplicity), same as array_intersect
   * on distinct arrays. */
 case class SortedIntersectCount(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
-  // callers guarantee sorted array<long> inputs (hash + array_sort at the
-  // Column layer)
+  // registered as a user-callable SQL function, so the type contract is
+  // enforced at analysis time (array<int> coerces, arbitrary types fail
+  // with a proper error instead of misreading ArrayData); SORTEDNESS
+  // remains the caller's contract (hash + array_sort at the Column layer)
+  override def inputTypes: Seq[graftshim.AbstractType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+
   override def dataType: DataType = LongType
 
   override def prettyName: String = "sorted_intersect_count"

@@ -84,6 +84,9 @@ object Similarity {
     * side fans out. Returns an array<long> of `probes` distinct buckets. */
   def lshProbeBuckets(emb: Column, planes: Int, dim: Int, probes: Int,
                       salt: Int = 0): Column = {
+    require(probes >= 1 && probes <= planes + 1,
+      s"probes must be in [1, planes+1] = [1, ${planes + 1}] " +
+        s"(each extra probe flips one distinct plane bit); got $probes")
     val projs = array((0 until planes).map(p =>
       dot(emb, planeLit(salt * 1009 + p, dim))): _*)
     val idx = sequence(lit(0), lit(planes - 1))
@@ -103,9 +106,13 @@ object Similarity {
   }
 
   /** Embedding width, from one row (a single tiny job — the corpus
-    * schema doesn't carry the array length). */
+    * schema doesn't carry the array length; all rows are assumed to
+    * share it, as the fixed-width dot products already require). An
+    * empty corpus yields dim 0 — every downstream result is empty
+    * anyway, so no row to misread. */
   private def embDim(vecs: DataFrame): Int =
-    vecs.select(size(col("embedding"))).head.getInt(0)
+    vecs.select(size(col("embedding"))).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(0)
 
   /** Approximate cosine top-k: candidates restricted to the query's LSH
     * bucket, multi-probed — each query also searches the `probes − 1`

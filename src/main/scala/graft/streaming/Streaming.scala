@@ -124,7 +124,13 @@ object Streaming {
     * proves it over, rather than aggregating forever; state holds exactly
     * one open session per user. Under AvailableNow each user's final
     * session stays open (no later event closes it) — the spec accounts
-    * for that; a live deployment would close it via event-time timeout. */
+    * for that; a live deployment would close it via event-time timeout.
+    *
+    * Ordering: rows are sorted within each micro-batch; an event that
+    * arrives in a LATER batch with a timestamp behind the open session's
+    * frontier is dropped (watermark-style too-late semantics) — folding
+    * it in would rewind `lastTs` and fabricate or merge session splits
+    * that globally-ordered batch processing would never produce. */
   def closedSessions(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
     val typed = events.select(
@@ -140,6 +146,7 @@ object Streaming {
           sorted.foreach { e =>
             val t = e.ts.getTime / 1000
             open match {
+              case Some(s) if t < s.lastTs => // too late: behind the frontier
               case Some(s) if t - s.lastTs <= 1800 =>
                 open = Some(s.copy(lastTs = t,
                   nEvents = s.nEvents + 1, sumValue = s.sumValue + e.value))

@@ -9,4 +9,8 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object graftshim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+  /** `types.AbstractDataType` is private[sql]; expressions outside the
+    * spark package need it to declare `inputTypes` (analysis-time type
+    * checking for SQL-registered functions). */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
 }

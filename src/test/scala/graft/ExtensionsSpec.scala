@@ -50,6 +50,12 @@ class ExtensionsSpec extends AnyFunSuite with SharedSpark {
     GraftExtensions.install(spark)
     assert(spark.sql(
       "SELECT sorted_intersect_count(array(1L,3L,5L), array(3L,4L,5L))").head().getLong(0) == 2L)
+    // analysis-time type contract: int arrays coerce, strings fail cleanly
+    assert(spark.sql(
+      "SELECT sorted_intersect_count(array(1,2,3), array(2,3,4))").head().getLong(0) == 2L)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT sorted_intersect_count(array('a'), array('a'))").collect()
+    }
   }
 
   test("resize stub: aspect preserved, no-op under bound, payload intact") {
