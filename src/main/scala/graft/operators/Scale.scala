@@ -124,6 +124,29 @@ object Scale {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Deterministic train/val/test assignment from a stable id key:
+    * bucket = (id · 2654435761) mod 100 (Knuth multiplicative hashing —
+    * consecutive ids scatter uniformly), then range-mapped by the given
+    * percentage cuts. Id-keyed (not content-keyed) on purpose: the split
+    * survives re-tokenization/re-cleaning of the content, the property a
+    * training pipeline actually needs. Pure per-row arithmetic — no
+    * shuffle, no RNG state, reproducible on any engine (the DuckDB
+    * oracle replays it verbatim). */
+  def idSplit(df: DataFrame, idCol: String,
+              cuts: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 10, "test" -> 10)): DataFrame = {
+    require(cuts.map(_._2).sum == 100, "split percentages must sum to 100")
+    val bucket = pmod(col(idCol) * lit(2654435761L), lit(100L))
+    val bounds = cuts.scanLeft(0) { case (acc, (_, p)) => acc + p }.tail
+    val expr = cuts.zip(bounds).foldLeft(None: Option[Column]) {
+      case (acc, ((name, _), hi)) =>
+        Some(acc match {
+          case None => when(bucket < hi, lit(name))
+          case Some(c) => c.when(bucket < hi, lit(name))
+        })
+    }.get
+    df.withColumn("split", expr)
+  }
+
   /** Deterministic dense ids 1..n ordered by `sortCols`, WITHOUT the
     * single-partition global window that `row_number().over(Window.orderBy)`
     * costs: range-repartition on the sort key (total order across

@@ -186,6 +186,13 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Train/val/test split counts: deterministic id-hash assignment
+    * (80/10/10), aggregated per (split, lang) to show stratification. */
+  val qTrainSplit: Q = (s, d) =>
+    graft.operators.Scale.idSplit(Tables.documents(s, d), "doc_id")
+      .groupBy("split", "lang").agg(count(lit(1)).as("cnt"))
+      .orderBy("split", "lang")
+
   val all: Map[String, Q] = Map(
     "q_text_stats" -> qTextStats,
     "q_text_quality" -> qTextQuality,
@@ -198,6 +205,7 @@ object Text {
     "q_sessionize" -> qSessionize,
     "q_curation" -> qCuration,
     "q_curate_full" -> qCurateFull,
+    "q_train_split" -> qTrainSplit,
   )
 
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
@@ -269,6 +277,15 @@ object Text {
         |    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
         |  (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_train_split" ->
+      """WITH s AS (
+        | SELECT lang,
+        |  CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+        |       WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        | FROM documents)
+        |SELECT split, lang, count(*) AS cnt FROM s
+        |GROUP BY split, lang ORDER BY split, lang""".stripMargin,
     "q_decontam" ->
       """WITH toks AS (
         | SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents),

@@ -150,6 +150,21 @@ class ScaleSpec extends AnyFunSuite with SharedSpark {
     assert(spark.read.parquet(zDir).count() == df.count())
   }
 
+  test("idSplit: deterministic, total, near the requested proportions") {
+    val docs = Tables.documents(spark, sfDir)
+    val split = Scale.idSplit(docs, "doc_id")
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.count().toDouble
+    assert(counts.values.sum == n.toLong, "every row assigned")
+    assert(math.abs(counts("train") / n - 0.8) < 0.1, counts.toString)
+    assert(math.abs(counts.getOrElse("val", 0L) / n - 0.1) < 0.08)
+    assert(math.abs(counts.getOrElse("test", 0L) / n - 0.1) < 0.08)
+    // re-run assigns identically (id-keyed, no RNG state)
+    assert(Scale.idSplit(docs, "doc_id").collect()
+      .sameElements(split.collect()))
+  }
+
   test("partitioned sink prunes partitions at read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     val ev = Tables.events(spark, sfDir)
