@@ -143,6 +143,11 @@ class DedupSimSpec extends AnyFunSuite with SharedSpark {
     assert(uncapped.exists { case (a, b, j) => (a, b) == (1L, 2L) && j == 1.0 })
   }
 
+  test("dupClusters on an empty pair set returns an empty frame") {
+    val empty = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(Dedup.dupClusters(empty).count() == 0)
+  }
+
   test("dupClusters: connected components with min-id labels") {
     // chain 1-2, 2-3 plus isolated pair 5-6: components {1,2,3} and {5,6}
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a_id", "b_id")

@@ -80,6 +80,17 @@ class FootballEtlSpec extends AnyFunSuite with SharedSpark {
       assert(spark.sharedState.cacheManager.isEmpty, "keyed frame left cached")
   }
 
+  test("runAndWrite: a failing sink surfaces the error and still releases the cache") {
+    assume(available)
+    val cacheWasEmpty = spark.sharedState.cacheManager.isEmpty
+    intercept[Exception] {
+      FootballEtl.runAndWrite(spark, csv, "unknownscheme://nope",
+        runDate = java.time.LocalDate.of(2026, 1, 15))
+    }
+    if (cacheWasEmpty)
+      assert(spark.sharedState.cacheManager.isEmpty, "cache leaked on failure")
+  }
+
   test("recency weight F9: faithful to 1/((2019-year)*tournament-base)") {
     import spark.implicits._
     val rows = Seq(
