@@ -166,7 +166,7 @@ object Scale {
       .repartitionByRange(parts, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
     val schema = sorted.schema.add(idCol, LongType, nullable = false)
-    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ (i + 1L))
     }
     spark.createDataFrame(rdd, schema)

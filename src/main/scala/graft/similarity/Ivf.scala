@@ -22,8 +22,8 @@ object Ivf {
   /** d²(emb, c) + cid structs for every centroid, as one expression. */
   private def distStructs(emb: Column, cents: Centroids): Column = {
     val emb2 = dot(emb, emb)
-    array(cents.map { case (cid, cv) =>
-      val cvLit = array(cv.map(lit): _*)
+    array(cents.toIndexedSeq.map { case (cid, cv) =>
+      val cvLit = array(cv.toIndexedSeq.map(lit): _*)
       val c2 = cv.map(x => x * x).sum
       struct((emb2 - lit(2.0) * dot(emb, cvLit) + lit(c2)).as("d2"),
         lit(cid).as("cid"))
