@@ -57,10 +57,20 @@ object Relational4 {
         dayofyear(col("o_orderdate")).cast("long").as("doy"))
       .orderBy("o_orderkey")
 
+  /** Fixed-width histogram: floor-bucket counts over price — the
+    * distribution-profiling aggregation (floor of a double division is
+    * IEEE-exact, so buckets agree bit-for-bit cross-engine). */
+  val qHistogram: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select(floor(col("l_extendedprice") / 5000.0).cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+      .orderBy("bucket")
+
   val all: Map[String, Q] = Map(
     "q_window_percent_rank" -> qWindowPercentRank,
     "q_array_funcs" -> qArrayFuncs,
     "q_date_arith" -> qDateArith,
+    "q_histogram" -> qHistogram,
   )
 
   val oracles: Map[String, String] = Map(
@@ -85,6 +95,10 @@ object Relational4 {
         |   list_transform(range(1, len(qtys)+1), i -> qtys[i] * i)),
         |   (acc, x) -> acc + x) AS weighted
         |FROM base ORDER BY l_orderkey""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bucket,
+        | count(*) AS cnt
+        |FROM lineitem GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_date_arith" ->
       """SELECT o_orderkey,
         | strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
