@@ -17,6 +17,23 @@ class QueriesSpec extends AnyFunSuite with SharedSpark {
     assert(missing.isEmpty, s"oracleSql without queries: $missing")
   }
 
+  test("typed TypedColumn aggregation equals the udaf fast path") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val typed = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag").as("flag"),
+        col("l_quantity").as("v"), col("l_extendedprice").as("w"))
+      .as[(String, Double, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(graft.functions.WeightedMean.toColumn.name("wmean"))
+      .toDF("flag", "wmean")
+      .select(col("flag"), round(col("wmean"), 4).as("wmean"))
+      .orderBy("flag").collect()
+    val untyped = graft.queries.Relational4.qWeightedMean(spark, sfDir).collect()
+    assert(typed.sameElements(untyped))
+  }
+
   /** Queries whose result is legitimately empty at tiny scale factors
     * (no exact-duplicate texts are planted below sf0.1). */
   private val mayBeEmpty = Set("q_dedup_exact")
