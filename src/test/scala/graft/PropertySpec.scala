@@ -78,6 +78,69 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
     assert(got.toSeq == want)
   }
 
+  test("property: redact is idempotent and leaves clean text untouched") {
+    val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+    val dirtyPart = Gen.oneOf(
+      word.map(w => s"$w@host.example.com"),
+      word.map(w => s"https://x.example.org/$w"),
+      Gen.choose(100000L, 99999999L).map(_.toString))
+    val gen = for {
+      pre <- word; mid <- word; post <- word
+      dirty <- Gen.option(dirtyPart)
+    } yield dirty match {
+      case Some(x) => s"$pre $x $mid $post"
+      case None => s"$pre $mid $post"
+    }
+    val cases = samples(gen, 300).zipWithIndex.map(_.swap)
+    val out = cases.toDF("id", "t")
+      .withColumn("r1", graft.text.TextFunctions.redact(col("t")))
+      .withColumn("r2", graft.text.TextFunctions.redact(col("r1")))
+      .orderBy("id").collect()
+    out.foreach { r =>
+      val (t, r1, r2) = (r.getString(1), r.getString(2), r.getString(3))
+      assert(r1 == r2, s"not idempotent: '$r1' vs '$r2'")
+      assert(!r1.contains("@") && !r1.contains("http"), s"leak in '$r1'")
+      // clean inputs (no planted dirty part) pass through verbatim
+      if (!t.exists(_.isDigit) && !t.contains("@") && !t.contains("http"))
+        assert(r1 == t)
+    }
+  }
+
+  test("property: fingerprint obeys the rolling-hash composition law") {
+    // fp(a ++ b) = (fp(a) * 31^|b| + fpFromZero(b)) mod M — the property
+    // that makes the fold a true polynomial hash (order-sensitive,
+    // incrementally computable); checked against driver-side math
+    val M = 1000000007L
+    val word = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    val gen = for { a <- word; b <- word } yield (a, b)
+    def fpLocal(s: String, seed: Long): Long =
+      s.foldLeft(seed)((acc, c) => (acc * 31 + c.toLong) % M)
+    val cases = samples(gen, 200).zipWithIndex.map(_.swap)
+    val got = cases.map { case (id, (a, b)) => (id, a + b) }.toDF("id", "t")
+      .withColumn("fp", graft.text.TextFunctions.fingerprint(col("t")))
+      .orderBy("id").select("fp").collect().map(_.getLong(0))
+    cases.zip(got).foreach { case ((_, (a, b)), sparkFp) =>
+      val pow = b.foldLeft(1L)((acc, _) => acc * 31 % M)
+      val composed = (fpLocal(a, 0L) * pow % M + fpLocal(b, 0L)) % M
+      assert(sparkFp == composed, s"fp('$a'++'$b')")
+      assert(sparkFp == fpLocal(a + b, 0L))
+    }
+  }
+
+  test("property: idSplit bucket arithmetic matches the driver-side replay") {
+    val gen = Gen.choose(0L, 10000000L)
+    val cases = samples(gen, 400).distinct.zipWithIndex.map(_.swap)
+    val got = graft.operators.Scale
+      .idSplit(cases.map(_._2).toDF("doc_id"), "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.map(_._2).foreach { id =>
+      val b = java.lang.Math.floorMod(id * 2654435761L, 100L)
+      val want = if (b < 80) "train" else if (b < 90) "val" else "test"
+      assert(got(id) == want, s"id $id bucket $b")
+    }
+  }
+
   test("property: nanToNull removes every NaN, preserves everything else") {
     val gen = Gen.frequency(
       6 -> Gen.choose(-1e6, 1e6),
