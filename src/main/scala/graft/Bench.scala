@@ -39,7 +39,14 @@ object Bench {
     // "materialization" documents the timing methodology change from r1
     // (count(), which let Catalyst elide final sorts) to the noop write
     // (full plan incl. sorts) — totals are not directly comparable to r1
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","materialization":"noop-write"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","materialization":"noop-write"}"""
+    println(json)
+    // Stdout of this run may be tail-truncated by the harness that
+    // launched it; the on-disk copy keeps the complete per-query map
+    // available for cross-round diffing regardless.
+    val out = java.nio.file.Paths.get("target/bench.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -221,40 +221,89 @@ object Dedup {
     hs.groupBy("doc_id").agg(minExprs.head, minExprs.tail: _*)
   }
 
-  /** MinHash+LSH near-dup pairs: shingle → k-minhash → band → bucket
-    * equality join → exact-Jaccard verification of candidates only.
-    * Default 64 hashes, 8 bands × 8 rows ⇒ P(caught) ≈ 99% at j=0.9,
-    * band false-positive rate ~j_rand⁸ ≈ 0 for unrelated docs. */
-  def minhashPairs(docs: DataFrame, threshold: Double,
-                   numHashes: Int = 64, bands: Int = 8): DataFrame = {
+  /** LSH band buckets per doc: (doc_id, band, bucket) — the banding of
+    * the k-hash MinHash signature that drives candidate generation in
+    * [[minhashPairs]], and the exact artifact a cross-run signature store
+    * persists ([[SignatureStore]]). */
+  def bandBuckets(docs: DataFrame, numHashes: Int = 64, bands: Int = 8): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sh = shingled(docs)
-    val sig = minhashSignatures(docs, numHashes)
+    minhashSignatures(docs, numHashes)
       .withColumn("bandArr", array((0 until bands).map { b =>
         xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
           .map(j => col(s"m$j")): _*)
       }: _*))
-    val buckets = sig.select(col("doc_id"),
-        posexplode(col("bandArr")).as(Seq("band", "bucket")))
-    val cand = buckets.as("x").join(buckets.as("y"), Seq("band", "bucket"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      .distinct()
-    // verify on sorted shingle-hash sets: one merge pass per candidate
-    // (SortedIntersectCount) instead of array_intersect on string arrays;
-    // same 2⁻⁶⁴-collision caveat as the prefix variant's hashed index
-    val hsets = sh.select(col("doc_id"),
+      .select(col("doc_id"), posexplode(col("bandArr")).as(Seq("band", "bucket")))
+  }
+
+  /** (doc_id, hs): each doc's sorted shingle-hash set — the exact-verify
+    * artifact (one zero-allocation merge pass per candidate via
+    * SortedIntersectCount; same 2⁻⁶⁴-collision caveat as the prefix
+    * variant's hashed index). */
+  def shingleHashSets(docs: DataFrame): DataFrame =
+    shingled(docs).select(col("doc_id"),
       array_sort(transform(col("sh"), s => xxhash64(s))).as("hs"))
-    val withSh = cand
+
+  /** Exact-Jaccard verification of a candidate pair list against sorted
+    * shingle-hash sets; emits (a_id, b_id, jaccard) for pairs ≥ t. */
+  private def verifyJaccard(cand: DataFrame, hsets: DataFrame,
+                            threshold: Double): DataFrame =
+    cand
       .join(hsets.select(col("doc_id").as("a_id"), col("hs").as("sha")), Seq("a_id"))
       .join(hsets.select(col("doc_id").as("b_id"), col("hs").as("shb")), Seq("b_id"))
-    withSh
       .withColumn("common",
         graft.functions.SortedIntersectCount.sorted_intersect_count(col("sha"), col("shb")))
       .withColumn("jaccard", col("common").cast("double") /
         (size(col("sha")) + size(col("shb")) - col("common")))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+
+  /** MinHash+LSH near-dup pairs: shingle → k-minhash → band → bucket
+    * equality join → exact-Jaccard verification of candidates only.
+    * Default 64 hashes, 8 bands × 8 rows ⇒ P(caught) ≈ 99% at j=0.9,
+    * band false-positive rate ~j_rand⁸ ≈ 0 for unrelated docs. */
+  def minhashPairs(docs: DataFrame, threshold: Double,
+                   numHashes: Int = 64, bands: Int = 8): DataFrame = {
+    val buckets = bandBuckets(docs, numHashes, bands)
+    val cand = buckets.as("x").join(buckets.as("y"), Seq("band", "bucket"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    verifyJaccard(cand, shingleHashSets(docs), threshold)
+  }
+
+  /** Cross-run INCREMENTAL near-dup pairs: dedup a NEW batch against the
+    * persisted signature store of everything already kept, without
+    * re-signing or re-shuffling the historical corpus — the cadence a
+    * real training pipeline runs (daily crawl increments appended to a
+    * warehouse; the reference's own schedule is a daily append,
+    * `/root/reference/spark-bq-dag.py:35,160`).
+    *
+    * Candidates = (new × store) band-bucket collisions ∪ (new × new)
+    * within-batch collisions; each candidate is then exact-Jaccard
+    * verified against the union of stored + new shingle-hash sets. With
+    * the same hash family and banding, emitted pairs are EXACTLY the
+    * full-recompute pairs on (store ∪ new) that involve ≥1 new doc —
+    * spec-proven: store(b1) pairs ∪ incremental(b2 | store(b1)) equals
+    * minhashPairs(b1 ∪ b2) (DedupSimSpec).
+    *
+    * Scale shape: the store is parquet keyed by (band, bucket); the
+    * cross join shuffles only the new batch's buckets (tiny vs corpus)
+    * against it, and the store never re-derives signatures. Assumes
+    * doc_ids are globally unique across runs (a curation pipeline's
+    * invariant). */
+  def incrementalPairs(newDocs: DataFrame, store: SignatureStore,
+                       threshold: Double,
+                       numHashes: Int = 64, bands: Int = 8): DataFrame = {
+    val newBuckets = bandBuckets(newDocs, numHashes, bands)
+    val cross = newBuckets.as("x").join(store.buckets.as("y"), Seq("band", "bucket"))
+      .filter(col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("a_id"),
+              greatest(col("x.doc_id"), col("y.doc_id")).as("b_id"))
+    val within = newBuckets.as("x").join(newBuckets.as("y"), Seq("band", "bucket"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+    val cand = cross.union(within).distinct()
+    verifyJaccard(cand, store.sets.union(shingleHashSets(newDocs)), threshold)
   }
 
   /** Resolve near-dup PAIRS into duplicate CLUSTERS — the step a real

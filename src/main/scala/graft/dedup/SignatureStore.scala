@@ -1,0 +1,53 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The persisted artifact of cross-run incremental dedup: the LSH band
+  * buckets (candidate generation) and sorted shingle-hash sets (exact
+  * verification) of every document already admitted to the corpus.
+  *
+  * Lifecycle per increment: read the store → [[Dedup.incrementalPairs]]
+  * (new batch vs store + within batch) → drop/cluster the flagged docs →
+  * [[SignatureStore.append]] the SURVIVORS' signatures so the next
+  * increment dedups against everything kept so far. Only the new batch is
+  * ever tokenized/shingled/hashed; the historical corpus contributes
+  * 8-byte bucket keys and hash arrays straight from parquet.
+  *
+  * 100 TB notes: `buckets` is the join-heavy side — on a real cluster
+  * write it bucketed/partitioned by (band, bucket % N) so each daily
+  * increment's bucket join is co-located with the store layout instead of
+  * shuffling the full store; `sets` is only ever joined on doc_id for the
+  * (small) candidate list, so a semi-join prunes the scan to candidate
+  * row groups.
+  */
+final case class SignatureStore(buckets: DataFrame, sets: DataFrame)
+
+object SignatureStore {
+  private def bucketsPath(path: String) = s"$path/buckets"
+  private def setsPath(path: String) = s"$path/sets"
+
+  /** Compute the store frames for a batch (nothing is written). */
+  def build(docs: DataFrame, numHashes: Int = 64, bands: Int = 8): SignatureStore =
+    SignatureStore(Dedup.bandBuckets(docs, numHashes, bands),
+      Dedup.shingleHashSets(docs))
+
+  /** Initialize (or replace) the on-disk store with a batch's signatures. */
+  def write(docs: DataFrame, path: String,
+            numHashes: Int = 64, bands: Int = 8): Unit =
+    save(build(docs, numHashes, bands), path, "overwrite")
+
+  /** Store-update writer: append a new batch's signatures (run AFTER its
+    * incremental pass, over the batch's surviving docs). */
+  def append(docs: DataFrame, path: String,
+             numHashes: Int = 64, bands: Int = 8): Unit =
+    save(build(docs, numHashes, bands), path, "append")
+
+  def read(spark: SparkSession, path: String): SignatureStore =
+    SignatureStore(spark.read.parquet(bucketsPath(path)),
+      spark.read.parquet(setsPath(path)))
+
+  private def save(store: SignatureStore, path: String, mode: String): Unit = {
+    store.buckets.write.mode(mode).parquet(bucketsPath(path))
+    store.sets.write.mode(mode).parquet(setsPath(path))
+  }
+}

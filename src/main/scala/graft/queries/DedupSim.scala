@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.dedup.Dedup
+import graft.dedup.{Dedup, SignatureStore}
 import graft.similarity.Similarity
 
 /** Dedup + similarity-search query registry (training-data-pipeline layer).
@@ -44,6 +44,22 @@ object DedupSim {
   val qDedupSimhash: Q = (s, d) =>
     Dedup.simhashPairs(Tables.documents(s, d), 10)
       .orderBy("a_id", "b_id")
+
+  /** Cross-run incremental dedup, end-to-end through the PERSISTED store:
+    * even-id docs are "yesterday's corpus" — their signatures written to a
+    * parquet signature store — and odd-id docs are today's increment,
+    * deduped against the store + within-batch without touching yesterday's
+    * text. Deterministic rows-only (xxhash64 banding isn't portable SQL);
+    * the full-recompute-equality property is spec-proven (DedupSimSpec). */
+  val qDedupIncremental: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val batch1 = docs.filter(col("doc_id") % 2 === 0)
+    val batch2 = docs.filter(col("doc_id") % 2 === 1)
+    val path = System.getProperty("java.io.tmpdir") + "/graft_sigstore"
+    SignatureStore.write(batch1, path)
+    Dedup.incrementalPairs(batch2, SignatureStore.read(s, path), 0.6)
+      .orderBy("a_id", "b_id")
+  }
 
   /** Embedding-cosine near-dup pairs via the LSH-bucketed scale path.
     * The raw corpus has no planted embedding dups (max off-diagonal cosine
@@ -86,6 +102,7 @@ object DedupSim {
     "q_dedup_clusters" -> qDedupClusters,
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_simhash" -> qDedupSimhash,
+    "q_dedup_incremental" -> qDedupIncremental,
     "q_dedup_embed" -> qDedupEmbed,
     "q_knn_brute" -> qKnnBrute,
     "q_knn_lsh" -> qKnnLsh,

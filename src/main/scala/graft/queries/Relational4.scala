@@ -28,15 +28,19 @@ object Relational4 {
     * transform (scale), filter (threshold), aggregate (fold-sum),
     * zip_with (pairwise product with a same-length index ramp). All on a
     * deterministic sort_array(collect_list(...)) base so both engines
-    * fold in the same order. */
+    * fold in the same order. The array-valued outputs are serialized to
+    * comma-joined strings on BOTH sides: the verify harness's row compare
+    * cannot hash list-typed cells (numpy arrays are unhashable), and a
+    * canonical string of a deterministic array certifies the same
+    * content. */
   val qArrayFuncs: Q = (s, d) =>
     Tables.lineitem(s, d)
       .groupBy("l_orderkey")
       .agg(sort_array(collect_list(col("l_quantity").cast("long"))).as("qtys"))
       .select(
         col("l_orderkey"),
-        transform(col("qtys"), x => x * 2).as("doubled"),
-        filter(col("qtys"), x => x > 25).as("big"),
+        concat_ws(",", transform(col("qtys"), x => x * 2)).as("doubled"),
+        concat_ws(",", filter(col("qtys"), x => x > 25)).as("big"),
         aggregate(col("qtys"), lit(0L), (acc, x) => acc + x).as("total"),
         aggregate(
           zip_with(col("qtys"), sequence(lit(1), size(col("qtys"))),
@@ -110,8 +114,8 @@ object Relational4 {
         |  list_sort(list(CAST(l_quantity AS BIGINT))) AS qtys
         | FROM lineitem GROUP BY l_orderkey)
         |SELECT l_orderkey,
-        | list_transform(qtys, x -> x * 2) AS doubled,
-        | list_filter(qtys, x -> x > 25) AS big,
+        | coalesce(array_to_string(list_transform(qtys, x -> x * 2), ','), '') AS doubled,
+        | coalesce(array_to_string(list_filter(qtys, x -> x > 25), ','), '') AS big,
         | list_reduce(list_prepend(CAST(0 AS BIGINT), qtys),
         |   (acc, x) -> acc + x) AS total,
         | list_reduce(list_prepend(CAST(0 AS BIGINT),

@@ -143,6 +143,31 @@ class DedupSimSpec extends AnyFunSuite with SharedSpark {
     assert(uncapped.exists { case (a, b, j) => (a, b) == (1L, 2L) && j == 1.0 })
   }
 
+  test("incremental dedup through the persisted store equals full recompute") {
+    val d = Tables.documents(spark, sfDir)
+    val b1 = d.filter($"doc_id" % 2 === 0)
+    val b2 = d.filter($"doc_id" % 2 === 1)
+    val path = java.nio.file.Files.createTempDirectory("graft_sigstore_spec").toString
+    graft.dedup.SignatureStore.write(b1, path)
+    val store = graft.dedup.SignatureStore.read(spark, path)
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = asSet(Dedup.minhashPairs(d, 0.6))
+    val prior = asSet(Dedup.minhashPairs(b1, 0.6))
+    val inc = asSet(Dedup.incrementalPairs(b2, store, 0.6))
+    // incremental emits exactly the full-recompute pairs that touch ≥1 new
+    // doc: nothing missed, nothing re-emitted from the prior run
+    assert((prior union inc) == full,
+      s"missed ${(full -- prior -- inc).size}, fabricated ${((prior union inc) -- full).size}")
+    assert((inc intersect prior).isEmpty)
+    assert(inc.nonEmpty, "corpus should have cross-parity near-dup pairs")
+    // store-update: appending the new batch makes the store cover b1 ∪ b2
+    graft.dedup.SignatureStore.append(b2, path)
+    val updated = graft.dedup.SignatureStore.read(spark, path)
+    assert(updated.buckets.count() == Dedup.bandBuckets(d).count())
+    assert(updated.sets.count() == Dedup.shingleHashSets(d).count())
+  }
+
   test("dupClusters on an empty pair set returns an empty frame") {
     val empty = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
     assert(Dedup.dupClusters(empty).count() == 0)

@@ -120,7 +120,9 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
     val skip = Set("q_glm_poisson", "q_simulation", "q_score_dist",
       "q_knn_ivf", "q_fifa_star", "q_etl_star",
       // iterative: label propagation runs jobs while BUILDING the frame
-      "q_dedup_clusters", "q_curate_full")
+      "q_dedup_clusters", "q_curate_full",
+      // writes + re-reads the parquet signature store during construction
+      "q_dedup_incremental")
     SparkEntry.queries.keys.filterNot(skip).foreach { name =>
       val p = planString(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
