@@ -104,37 +104,62 @@ object Dedup {
     * space is enormous, most shingles near-unique) the join cost collapses
     * from Σ|docs(shingle)|² over all shingles to the same sum over the
     * ~(1-t)·n prefix shingles only — this is the 100 TB path. On corpora
-    * with a tiny shared vocabulary (like this synthetic testdata, measured:
-    * 5k docs → 291k candidates) the candidate set degenerates and the
-    * count-aggregating [[jaccardPairs]] join is faster; pick per data
-    * shape. Returns (a_id, b_id, jaccard) for pairs ≥ t. */
-  def jaccardPairsPrefix(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingled(docs)
+    * with a tiny shared vocabulary (like this synthetic testdata) the
+    * hash-order candidate set degenerates; `rarestFirst = true` orders
+    * each doc's shingles by GLOBAL document frequency before taking the
+    * prefix (canonical PPJoin ordering) — prefixes then hold the most
+    * discriminative shingles. Measured at sf0.1/t=0.6: 291k → 193k
+    * candidates (1.5× fewer; 650k → 517k at t=0.35), but on THIS
+    * shared-vocab corpus the DF agg + per-doc rebuild costs more wall
+    * than the candidate drop saves (0.9 → 1.7 s) — the ordering pays off
+    * when the candidate join dominates end-to-end, i.e. discriminative-
+    * shingle corpora at real scale, which is why it's a flag. Any single
+    * global total order preserves the prefix lemma; (df, h) lexicographic
+    * is one. Returns (a_id, b_id, jaccard) ≥ t. */
+  def jaccardPairsPrefix(docs: DataFrame, threshold: Double,
+                         rarestFirst: Boolean = false): DataFrame = {
+    val sh = shingleSets(docs)
+    val cand = prefixCandidates(sh, threshold, rarestFirst)
+    verifyJaccard(cand, sh.select(col("doc_id"), col("hs")), threshold)
+  }
+
+  /** (doc_id, hs sorted-distinct shingle hashes, nsh) — prefix-join prep. */
+  private def shingleSets(docs: DataFrame): DataFrame =
+    shingled(docs)
       .select(col("doc_id"),
         array_sort(array_distinct(transform(col("sh"), s => xxhash64(s)))).as("hs"))
       .withColumn("nsh", size(col("hs")))
+
+  /** Prefix-filtered candidate pairs (exposed package-private so specs and
+    * benches can measure the candidate-set size each ordering produces). */
+  private[graft] def prefixCandidates(sh: DataFrame, threshold: Double,
+                                      rarestFirst: Boolean): DataFrame = {
     val prefixLen =
       (col("nsh") - ceil(col("nsh") * lit(threshold)) + 1).cast("int")
-    val prefixes = sh.select(col("doc_id"), col("nsh"),
-      explode(slice(col("hs"), lit(1), prefixLen)).as("h"))
-    val cand = prefixes.as("x").join(prefixes.as("y"), Seq("h"))
+    val prefixes =
+      if (!rarestFirst)
+        sh.select(col("doc_id"), col("nsh"),
+          explode(slice(col("hs"), lit(1), prefixLen)).as("h"))
+      else {
+        // global-DF ordering: count each shingle hash's document frequency
+        // (one agg over the exploded index), then rebuild each doc's
+        // shingle list ordered by (df asc, h) — struct array_sort gives the
+        // lexicographic total order — and take the prefix of THAT
+        val ex = sh.select(col("doc_id"), col("nsh"), explode(col("hs")).as("h"))
+        val dfreq = ex.groupBy("h").agg(count(lit(1)).as("df"))
+        ex.join(dfreq, Seq("h"))
+          .groupBy("doc_id", "nsh")
+          .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("ordered"))
+          .select(col("doc_id"), col("nsh"),
+            explode(transform(slice(col("ordered"), lit(1), prefixLen),
+              s => s.getField("h"))).as("h"))
+      }
+    prefixes.as("x").join(prefixes.as("y"), Seq("h"))
       .filter(col("x.doc_id") < col("y.doc_id") &&
         col("y.nsh") * lit(threshold) <= col("x.nsh") &&
         col("x.nsh") * lit(threshold) <= col("y.nsh"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-    cand
-      .join(sh.select(col("doc_id").as("a_id"), col("hs").as("ha")), Seq("a_id"))
-      .join(sh.select(col("doc_id").as("b_id"), col("hs").as("hb")), Seq("b_id"))
-      // hs is sorted by construction → zero-allocation merge count
-      // (graft.functions.SortedIntersectCount) instead of array_intersect
-      // materializing the intersection just to take its size
-      .withColumn("common",
-        graft.functions.SortedIntersectCount.sorted_intersect_count(col("ha"), col("hb")))
-      .withColumn("jaccard", col("common").cast("double") /
-        (size(col("ha")) + size(col("hb")) - col("common")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
   }
 
   /** Inverted-index Jaccard join with direct count aggregation — every
@@ -326,6 +351,16 @@ object Dedup {
   def dupClusters(pairs: DataFrame): DataFrame = {
     val fwd = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))).cache()
+    // convergence scalar: per-id labels only ever DECREASE (next =
+    // min(current, neighbors)) over a fixed id set, so Σ cluster_id
+    // strictly decreases until the fixpoint — an exact change detector
+    // from one tiny aggregate over the just-checkpointed labels, instead
+    // of a join-and-count job per round (decimal(38,0): no ANSI overflow
+    // however many 2⁶³-range ids are summed)
+    def labelSum(ls: DataFrame): java.math.BigDecimal = {
+      val d = ls.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head.getDecimal(0)
+      if (d == null) java.math.BigDecimal.ZERO else d
+    }
     try {
       // seed = min(self, neighbors): the first propagation round computed
       // directly from the edge list — one fewer loop iteration
@@ -333,15 +368,17 @@ object Dedup {
         .select(col("src").as("id"), least(col("src"), col("dst")).as("cluster_id"))
         .groupBy("id").agg(min("cluster_id").as("cluster_id"))
         .localCheckpoint()
-      var changed = 1L
-      while (changed > 0) {
+      var prevSum = labelSum(labels)
+      var converged = labels.isEmpty
+      while (!converged) {
         val prop = edges.join(labels, edges("dst") === labels("id"))
           .select(edges("src").as("id"), col("cluster_id"))
         val next = labels.union(prop)
           .groupBy("id").agg(min("cluster_id").as("cluster_id"))
           .localCheckpoint()
-        changed = next.as("n").join(labels.as("l"), Seq("id"))
-          .filter(col("n.cluster_id") =!= col("l.cluster_id")).count()
+        val nextSum = labelSum(next)
+        converged = nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
         labels = next
       }
       labels

@@ -17,8 +17,10 @@ object WeightedMean extends Aggregator[(Double, Double), (Double, Double), Doubl
     (b._1 + a._1 * a._2, b._2 + a._2)
   override def merge(b1: (Double, Double), b2: (Double, Double)): (Double, Double) =
     (b1._1 + b2._1, b1._2 + b2._2)
+  // zero summed weight (empty group / cancelling weights) → NaN, not 0.0:
+  // a degenerate group must stay distinguishable from a true zero mean
   override def finish(b: (Double, Double)): Double =
-    if (b._2 == 0.0) 0.0 else b._1 / b._2
+    if (b._2 == 0.0) Double.NaN else b._1 / b._2
   override def bufferEncoder: Encoder[(Double, Double)] =
     Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)
   override def outputEncoder: Encoder[Double] = Encoders.scalaDouble

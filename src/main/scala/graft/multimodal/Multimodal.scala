@@ -10,10 +10,12 @@ import org.apache.spark.sql.types._
   * The Spark-side shape is real and tested — binary columns, explicit
   * metadata schema, partition-aligned batched processing via
   * mapPartitions over an iterator (the JVM analog of an arrow-batched
-  * decode UDF) — while the actual media decode is a STUB: this container
-  * has no image/audio codecs, so [[stubDecode]] derives deterministic fake
-  * dimensions/features from the bytes. Swap `decodeBatch` for a real codec
-  * binding at deploy time; nothing else changes.
+  * decode UDF). IMAGE decode is REAL: [[decodeImages]] runs
+  * `javax.imageio` (PNG/BMP/GIF/JPEG, built into every JVM) per row with
+  * per-row fallback to the deterministic stub for payloads no installed
+  * reader accepts. Audio/video decode stays a STUB ([[stubDecode]] — no
+  * such codecs ship with the JVM or this container); swap the decode
+  * closure for a codec binding at deploy time, nothing else changes.
   */
 object Multimodal {
 
@@ -68,6 +70,84 @@ object Multimodal {
         }
       }
     out.toDF()
+  }
+
+  /** Deterministic synthetic PNGs, ENCODED ON EXECUTORS: one solid-color
+    * image per id with width/height/color pure functions of the id, so a
+    * later decode is verifiable by recomputing those functions — the
+    * fixture generator for the real-decode path ([[decodeImages]]).
+    * Encoding happens inside mapPartitions (`javax.imageio` is in every
+    * JVM — zero new deps), distributed and streaming, never collected. */
+  def syntheticPngs(spark: SparkSession, ids: DataFrame): DataFrame = {
+    import spark.implicits._
+    ids.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = 4 + (id % 60).toInt
+        val h = 4 + ((id * 7) % 60).toInt
+        val rgb = ((id * 2654435761L) % 16777216L).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (id, bos.toByteArray)
+      }
+    }.toDF("media_id", "payload")
+  }
+
+  /** Row-level result of the REAL decode stage. */
+  case class DecodedImage(media_id: Long, media_type: String,
+                          width: Long, height: Long, channels: Long,
+                          mean_r: Double, mean_g: Double, mean_b: Double,
+                          decoded: Boolean)
+
+  /** REAL image decode: `javax.imageio` (PNG/BMP/GIF/JPEG — whatever the
+    * JVM's ImageIO registry carries, no external codec deps) inside the
+    * same mapPartitions batch shape as [[extractFeatures]]. Payloads no
+    * installed reader accepts fall back per-row to the deterministic stub
+    * dimensions, flagged `decoded = false` — so mixed corpora (real
+    * images + formats this JVM can't read) flow through one stage. */
+  def decodeImages(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // ImageIO reader instances are looked up once per call; the
+        // registry scan is JVM-global and cached — per-partition init
+        // would go here for codecs with real setup cost
+        it.map { case (id, bytes) =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+          if (img == null) {
+            val n = bytes.length.toLong
+            DecodedImage(id, "application/octet-stream",
+              64 + n % 512, 64 + (n * 7) % 512, 0L, 0.0, 0.0, 0.0, decoded = false)
+          } else {
+            val w = img.getWidth
+            val h = img.getHeight
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            val n = (w.toLong * h).toDouble
+            DecodedImage(id, "image/decoded", w.toLong, h.toLong,
+              img.getRaster.getNumBands.toLong,
+              sr / n, sg / n, sb / n, decoded = true)
+          }
+        }
+      }.toDF()
   }
 
   /** Resize stub: rescales the decoded metadata to a bounding box

@@ -125,17 +125,22 @@ object Scale {
   }
 
   /** Deterministic train/val/test assignment from a stable id key:
-    * bucket = (id · 2654435761) mod 100 (Knuth multiplicative hashing —
-    * consecutive ids scatter uniformly), then range-mapped by the given
-    * percentage cuts. Id-keyed (not content-keyed) on purpose: the split
-    * survives re-tokenization/re-cleaning of the content, the property a
-    * training pipeline actually needs. Pure per-row arithmetic — no
-    * shuffle, no RNG state, reproducible on any engine (the DuckDB
-    * oracle replays it verbatim). */
+    * bucket = ((id mod 2³¹) · 2654435761) mod 100 (Knuth multiplicative
+    * hashing — consecutive ids scatter uniformly), then range-mapped by
+    * the given percentage cuts. The 31-bit mask before the multiply keeps
+    * the product ≤ 2³¹·2654435761 ≈ 5.7e18 < 2⁶³−1, so the arithmetic
+    * never overflows under ANSI mode at ANY id magnitude (an unmasked
+    * multiply throws ARITHMETIC_OVERFLOW from id ≈ 3.47e9 up); ids beyond
+    * 2³¹ still scatter, they just share the masked id's bucket. Id-keyed
+    * (not content-keyed) on purpose: the split survives
+    * re-tokenization/re-cleaning of the content, the property a training
+    * pipeline actually needs. Pure per-row arithmetic — no shuffle, no
+    * RNG state, reproducible on any engine (the DuckDB oracle replays it
+    * verbatim). */
   def idSplit(df: DataFrame, idCol: String,
               cuts: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 10, "test" -> 10)): DataFrame = {
     require(cuts.map(_._2).sum == 100, "split percentages must sum to 100")
-    val bucket = pmod(col(idCol) * lit(2654435761L), lit(100L))
+    val bucket = pmod(pmod(col(idCol), lit(2147483648L)) * lit(2654435761L), lit(100L))
     val bounds = cuts.scanLeft(0) { case (acc, (_, p)) => acc + p }.tail
     val expr = cuts.zip(bounds).foldLeft(None: Option[Column]) {
       case (acc, ((name, _), hi)) =>
@@ -150,14 +155,33 @@ object Scale {
   /** Deterministic dense ids 1..n ordered by `sortCols`, WITHOUT the
     * single-partition global window that `row_number().over(Window.orderBy)`
     * costs: range-repartition on the sort key (total order across
-    * partitions), sort within each partition, then zipWithIndex — which
-    * adds per-partition offsets from one lightweight count job. Equal to
-    * global row_number when the sort key is unique, and every stage stays
-    * fully parallel at any scale. */
+    * partitions), sort within each partition, then add per-partition
+    * offsets from one lightweight count job. Equal to global row_number
+    * when the sort key is unique, and every stage stays fully parallel at
+    * any scale.
+    *
+    * COLUMNAR — no RDD zipWithIndex (whose `.rdd` decodes every row out
+    * of Tungsten into external `Row`s and re-encodes them): the sorted
+    * layout is materialized ONCE with an eager localCheckpoint, the
+    * within-partition index is the low 33 bits of
+    * `monotonically_increasing_id()` (by its contract: pid << 33 |
+    * per-partition counter — valid while a partition holds < 2³³ ≈ 8.5B
+    * rows, guaranteed by any sane maxPartitionBytes), and the offsets are
+    * one ≤`parts`-row count job turned into a literal lookup map.
+    *
+    * The materialization barrier is load-bearing, not a convenience:
+    * range-exchange boundaries are re-SAMPLED per execution (the sampler
+    * is seeded by the rdd id), so a counts job and the final pass over a
+    * lazy plan can see DIFFERENT partitionings — measured: ids silently
+    * off by ±partition-size drift (in-query ReusedExchange can't be
+    * relied on either; column pruning diverges the branch subtrees).
+    * zipWithIndex pays the same barrier by re-reading its shuffle files;
+    * here the frozen layout stays InternalRow-encoded end to end. On a
+    * real cluster swap localCheckpoint for a reliable checkpoint dir.
+    * The id expression is non-deterministic, which also keeps Catalyst
+    * from reordering it below the checkpoint scan. */
   def denseIds(df: DataFrame, idCol: String, sortCols: Seq[String],
                numPartitions: Int = 0): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.LongType
     val spark = df.sparkSession
     val parts =
       if (numPartitions > 0) numPartitions
@@ -165,10 +189,14 @@ object Scale {
     val sorted = df
       .repartitionByRange(parts, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
-    val schema = sorted.schema.add(idCol, LongType, nullable = false)
-    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ (i + 1L))
-    }
-    spark.createDataFrame(rdd, schema)
+      .localCheckpoint(eager = true)
+    // rows per (now frozen) partition — driver-sized by construction
+    val counts = sorted.groupBy(spark_partition_id().as("__pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until parts).scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L))
+    val offsetByPid = typedLit((0 until parts).map(p => p -> offsets(p)).toMap)
+    sorted.withColumn(idCol,
+      element_at(offsetByPid, spark_partition_id()) +
+        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)) + lit(1L))
   }
 }

@@ -280,8 +280,8 @@ object Text {
     "q_train_split" ->
       """WITH s AS (
         | SELECT lang,
-        |  CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
-        |       WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+        |  CASE WHEN ((doc_id % 2147483648) * 2654435761) % 100 < 80 THEN 'train'
+        |       WHEN ((doc_id % 2147483648) * 2654435761) % 100 < 90 THEN 'val'
         |       ELSE 'test' END AS split
         | FROM documents)
         |SELECT split, lang, count(*) AS cnt FROM s

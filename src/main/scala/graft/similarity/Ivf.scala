@@ -41,19 +41,86 @@ object Ivf {
       (r.getInt(0), r.getSeq[Double](1).toArray)
     }
 
+  /** First-k-by-id seeding — the naive baseline. Degrades on skewed
+    * corpora: if the low ids all sit in one dense cluster, every seed
+    * starts there and Lloyd steps rarely escape (cells collapse, distant
+    * clusters share one cell, probe recall drops). Kept for the spec that
+    * demonstrates exactly that against [[seedCentroids]]. */
+  private def firstKSeeds(v: DataFrame, k: Int): Centroids =
+    collectCentroids(
+      v.orderBy("vec_id").limit(k)
+        .select(col("vec_id").cast("int").as("cid"), col("emb").as("cvec")))
+
+  /** kmeans‖-style oversampled seeding (the shape of Bahmani et al.,
+    * VLDB'12), fully DETERMINISTIC — no RNG state:
+    *
+    *  1. seed point = min-id vector;
+    *  2. ONE distributed pass computes each point's d² to that seed and
+    *     Bernoulli-samples it with p = min(1, l·d²/Σd²), l = 4k, using
+    *     U(id) = xxhash64(id)'s top 53 bits / 2⁵³ as the coin — expected
+    *     ≈l survivors, collected (driver-sized by construction);
+    *  3. driver-side maximin (farthest-point) reduce of the candidates to
+    *     k — the deterministic stand-in for the kmeans++ weighted reduce —
+    *     topped up from first-k ids if the sample ran short.
+    *
+    * Distance-weighted sampling puts seeds ∝ spread instead of ∝ id
+    * order, so skewed corpora start with seeds in every cluster — which
+    * is directly what probe recall depends on. Degenerate corpus
+    * (Σd² = 0: all points identical) falls back to first-k. */
+  private def seedCentroids(v: DataFrame, k: Int): Centroids = {
+    val c0 = firstKSeeds(v, 1).head._2
+    val c0Lit = array(c0.toIndexedSeq.map(lit): _*)
+    val c0sq = c0.map(x => x * x).sum
+    val withD2 = v.select(col("vec_id"), col("emb"),
+      (dot(col("emb"), col("emb")) - lit(2.0) * dot(col("emb"), c0Lit) + lit(c0sq)).as("d2"))
+    val total = withD2.agg(sum("d2")).head().getDouble(0)
+    if (!(total > 0.0)) return firstKSeeds(v, k)
+    val coin = shiftrightunsigned(xxhash64(col("vec_id")), 11).cast("double") /
+      lit((1L << 53).toDouble)
+    val sampled = withD2
+      .filter(coin < least(lit(1.0), lit(4.0 * k) * col("d2") / lit(total)))
+      .select("vec_id", "emb").collect()
+      .sortBy(_.getLong(0))
+      .map(r => r.getSeq[Double](1).toArray)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer(c0)
+    val pool = scala.collection.mutable.ArrayBuffer(sampled.toIndexedSeq: _*)
+    while (chosen.size < k && pool.nonEmpty) {
+      // farthest point from the chosen set (maximin); stable under ties
+      // because the pool is id-ordered and `maxBy` keeps the first max
+      val next = pool.maxBy(c => chosen.map(d2(c, _)).min)
+      chosen += next
+      pool -= next
+    }
+    if (chosen.size < k) {
+      val have = chosen.map(_.toSeq).toSet
+      firstKSeeds(v, k).iterator.map(_._2)
+        .filterNot(c => have(c.toSeq))
+        .take(k - chosen.size)
+        .foreach(chosen += _)
+    }
+    chosen.zipWithIndex.map { case (cv, i) => (i, cv) }.toArray
+  }
+
   /** (vec_id, emb, nrm, cid) assignments plus the centroid table
-    * (cid, cvec). Init = first k vectors by vec_id; `iters` Lloyd steps.
+    * (cid, cvec). Init = kmeans‖-style seeding ([[seedCentroids]]);
+    * `firstKSeed = true` selects the naive first-k-by-id baseline.
+    * `iters` Lloyd steps.
     *
     * Each Lloyd step `collect`s the k×dim centroid table and restarts the
     * next step from local literals (what spark.ml KMeans does). Without
     * this the loop chains lazy plans and iteration i re-executes all of
     * 1..i-1; with it each step is exactly one job over `v`. */
-  def index(vecs: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
+  def index(vecs: DataFrame, k: Int, iters: Int,
+            firstKSeed: Boolean = false): (DataFrame, DataFrame) = {
     val spark = vecs.sparkSession
     val v = prepared(vecs).select("vec_id", "emb", "nrm")
-    var cents: Centroids = collectCentroids(
-      v.orderBy("vec_id").limit(k)
-        .select(col("vec_id").cast("int").as("cid"), col("emb").as("cvec")))
+    var cents: Centroids =
+      if (firstKSeed) firstKSeeds(v, k) else seedCentroids(v, k)
     for (_ <- 0 until iters) {
       cents = collectCentroids(
         v.withColumn("cid", assignExpr(col("emb"), cents))
@@ -80,9 +147,10 @@ object Ivf {
     * same inlined-centroid expression (array_sort of (d2, cid) structs,
     * slice nprobe) — no crossJoin or window on the query side either. */
   def topK(vecs: DataFrame, queries: DataFrame, k: Int,
-           nCells: Int = 16, nprobe: Int = 8, iters: Int = 2): DataFrame = {
+           nCells: Int = 16, nprobe: Int = 8, iters: Int = 2,
+           firstKSeed: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (assigned, centroidDf) = index(vecs, nCells, iters)
+    val (assigned, centroidDf) = index(vecs, nCells, iters, firstKSeed)
     val cents = collectCentroids(centroidDf)
     val q = prepared(queries)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))

@@ -56,6 +56,12 @@ class DedupSimSpec extends AnyFunSuite with SharedSpark {
     // a lower threshold exercises longer prefixes
     assert(asSet(Dedup.jaccardPairsPrefix(d, 0.35)) ==
       asSet(Dedup.jaccardPairs(d, 0.35)))
+    // rarest-first ordering: same output (the prefix lemma holds under any
+    // single global total order), strictly fewer-or-equal candidates
+    assert(asSet(Dedup.jaccardPairsPrefix(d, 0.6, rarestFirst = true)) ==
+      asSet(Dedup.jaccardPairs(d, 0.6)))
+    assert(asSet(Dedup.jaccardPairsPrefix(d, 0.35, rarestFirst = true)) ==
+      asSet(Dedup.jaccardPairs(d, 0.35)))
   }
 
   test("minhash LSH recalls the exact-jaccard pairs on testdata") {
@@ -106,6 +112,43 @@ class DedupSimSpec extends AnyFunSuite with SharedSpark {
     assert(recall >= 0.4, s"IVF recall@10 too low: $recall")
   }
 
+  test("kmeans|| seeding beats first-k on a skewed planted-cluster corpus") {
+    // adversarial id layout: ids 0..49 ALL sit in cluster 0, so first-k
+    // seeding starts every centroid inside one tight cluster; 4 clusters
+    // at the corners of a scaled simplex, hash-jittered
+    val dim = 8
+    val rows = (0 until 200).map { id =>
+      val cluster = id / 50
+      val emb = Array.tabulate(dim) { j =>
+        val base = if (j == cluster) 10.0f else 0.0f
+        // avalanche-mixed jitter: with all first-k seeds near one center,
+        // assignment among them is decided by jitter alone — mixing makes
+        // that split pseudo-random, scattering each cluster across cells
+        var h = id.toLong * 0x9E3779B97F4A7C15L + j.toLong * 0xC2B2AE3D27D4EB4FL
+        h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+        base + (java.lang.Math.floorMod(h, 201L) - 100L) * 0.001f
+      }
+      (id.toLong, emb.toSeq)
+    }
+    val vecs = rows.toDF("vec_id", "embedding")
+    val qs = vecs.filter($"vec_id" % 50 < 3) // 3 queries per cluster
+    val brute = Similarity.bruteTopK(vecs, qs, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    // iters = 0 isolates SEEDING quality (Lloyd steps can partially bail
+    // out a bad init; the point here is where the seeds start)
+    def recall(firstK: Boolean): Double = {
+      val hits = graft.similarity.Ivf.topK(vecs, qs, 10,
+          nCells = 4, nprobe = 1, iters = 0, firstKSeed = firstK)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      (hits & brute).size.toDouble / brute.size
+    }
+    val naive = recall(firstK = true)
+    val seeded = recall(firstK = false)
+    assert(seeded >= naive, s"kmeans|| recall $seeded < first-k $naive")
+    assert(seeded >= 0.9, s"kmeans|| seeding should near-fully recall tight clusters: $seeded")
+    assert(naive < 0.9, s"fixture no longer adversarial for first-k (recall $naive) — strengthen it")
+  }
+
   test("poisson_pmf expression matches the driver-side math") {
     val df = Seq((0, 2.3), (2, 2.3), (10, 0.5)).toDF("k", "lam")
       .select(graft.functions.PoissonPmf.poisson_pmf($"k", $"lam").as("p"))
@@ -141,6 +184,21 @@ class DedupSimSpec extends AnyFunSuite with SharedSpark {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(capped == uncapped)
     assert(uncapped.exists { case (a, b, j) => (a, b) == (1L, 2L) && j == 1.0 })
+  }
+
+  test("DF-16 cap is output-equal to uncapped on the sf0.1 oracle corpus") {
+    // q_dedup_jaccard/q_dedup_clusters/q_curate_full run capped (maxDf=16)
+    // against UNCAPPED DuckDB oracles; this certifies cap-safety on the
+    // exact corpus the correctness gate measures, so a data regen that
+    // broke the all-common-shingles-hot assumption would fail HERE first,
+    // not as a mystery oracle mismatch
+    val dir = "/root/testdata/sf0.1"
+    assume(new java.io.File(dir).isDirectory)
+    val d = Tables.documents(spark, dir)
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(asSet(Dedup.jaccardPairs(d, 0.6, maxDf = 16)) ==
+      asSet(Dedup.jaccardPairs(d, 0.6)))
   }
 
   test("incremental dedup through the persisted store equals full recompute") {

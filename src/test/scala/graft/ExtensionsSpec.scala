@@ -58,6 +58,46 @@ class ExtensionsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("real PNG decode: round trip matches a driver-side ImageIO replay") {
+    val ids = Tables.documents(spark, sfDir).select("doc_id").limit(50)
+    val decoded = Multimodal.decodeImages(spark, Multimodal.syntheticPngs(spark, ids))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getBoolean(8))).toMap
+    assert(decoded.nonEmpty)
+    decoded.foreach { case (id, (w, h, channels, meanR, wasDecoded)) =>
+      assert(wasDecoded, s"PNG for id=$id fell back to the stub")
+      assert(channels == 3L)
+      // driver-side replay: independently re-encode and re-decode this id
+      val ew = 4 + (id % 60).toInt
+      val eh = 4 + ((id * 7) % 60).toInt
+      val rgb = ((id * 2654435761L) % 16777216L).toInt
+      assert((w, h) == (ew.toLong, eh.toLong), s"id=$id dims")
+      val img = new java.awt.image.BufferedImage(
+        ew, eh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until eh).foreach(y => (0 until ew).foreach(x => img.setRGB(x, y, rgb)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      val back = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bos.toByteArray))
+      assert(meanR == (((back.getRGB(0, 0) >> 16) & 0xff).toDouble), s"id=$id mean_r")
+    }
+  }
+
+  test("decode falls back per-row to stub dims on undecodable payloads") {
+    val mixed = Multimodal.syntheticPngs(spark,
+        Seq(1L, 2L).toDF("doc_id"))
+      .union(Seq((99L, "not an image at all".getBytes("UTF-8")))
+        .toDF("media_id", "payload"))
+    val rows = Multimodal.decodeImages(spark, mixed).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getBoolean(8) && rows(2L).getBoolean(8))
+    val garbage = rows(99L)
+    assert(!garbage.getBoolean(8))
+    val n = "not an image at all".getBytes("UTF-8").length.toLong
+    assert(garbage.getLong(2) == 64 + n % 512) // stub width
+    assert(garbage.getLong(4) == 0L)           // channels: none decoded
+  }
+
   test("resize stub: aspect preserved, no-op under bound, payload intact") {
     val media = Multimodal.stubDecode(Multimodal.asMediaTable(
       Tables.documents(spark, sfDir)))

@@ -67,9 +67,15 @@ class ScaleSpec extends AnyFunSuite with SharedSpark {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val viaDense = Scale.denseIds(o, "id", Seq("o_orderkey"), 4)
     assert(viaDense.rdd.getNumPartitions > 1)
-    val got = viaDense.select("o_orderkey", "id").collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = viaDense.collect()
+      .map(r => r.getAs[Long]("o_orderkey") -> r.getAs[Long]("id")).toMap
     assert(got == viaWindow)
+    // columnar: the checkpoint scan serves InternalRows directly — no
+    // DeserializeToObject/SerializeFromObject row round trip in the plan
+    // (which is what .rdd + createDataFrame(zipWithIndex) used to insert)
+    val plan = viaDense.queryExecution.executedPlan.toString
+    assert(!plan.contains("SerializeFromObject"), plan)
+    assert(!plan.contains("DeserializeToObject"), plan)
   }
 
   test("writeShards: n disjoint sorted shards") {
