@@ -84,6 +84,54 @@ object Dedup {
       .select("doc_id").distinct()
   }
 
+  /** Benchmark decontamination via a BLOOM-FILTER pre-filter — the shape
+    * for probe sets too large to broadcast as a semi-join build side
+    * ([[contaminatedBy]]'s limit): the probe shingle set collapses to a
+    * fixed-size bit sketch (≈9.6 bits/key at 1% FPP — a 10⁸-shingle
+    * benchmark suite is ~120 MB, broadcastable anywhere), the corpus is
+    * probed per-row with `might_contain` (no join, no shuffle), and ONLY
+    * the surviving ~1%+ε rows pay the exact semi-join that removes bloom
+    * false positives. Output is identical to [[contaminatedBy]] — the
+    * bloom stage is a one-sided pre-filter, never the verdict. */
+  def contaminatedByBloom(docs: DataFrame, probes: DataFrame,
+                          expectedProbeShingles: Long = 1L << 20): DataFrame = {
+    import graft.functions.BloomFilters._
+    val probeShingles = shingled(probes)
+      .select(explode(col("sh")).as("shingle")).distinct()
+    // the sketch is driver-sized by construction: aggregate it and inline
+    // the bytes as a binary literal (might_contain requires a constant /
+    // scalar-subquery sketch; the literal rides the task closure exactly
+    // like a broadcast, same pattern as the inlined IVF centroids)
+    val bloomBytes = probeShingles
+      .agg(bloom_filter_agg(xxhash64(col("shingle")), expectedProbeShingles).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val candidates = shingled(docs)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .filter(might_contain(lit(bloomBytes), xxhash64(col("shingle"))))
+    candidates
+      .join(broadcast(probeShingles), Seq("shingle"), "left_semi")
+      .select("doc_id").distinct()
+  }
+
+  /** New-batch doc ids to DROP under cross-run EXACT dedup: docs whose
+    * content hash already exists in the store ([[SignatureStore.hashes]])
+    * plus non-min-id copies within the batch. Hash-only across runs — the
+    * store keeps 16-byte (doc_id, xxhash64) rows, not text, so a 2⁻⁶⁴
+    * collision is accepted as the price of not persisting the corpus
+    * twice (the batch-mode [[exactDupLosers]] keeps its exact text
+    * verification). */
+  def incrementalExactLosers(newDocs: DataFrame, store: SignatureStore): DataFrame = {
+    val newHashes = newDocs.select(col("doc_id"), xxhash64(col("text")).as("h"))
+    val inStore = newHashes
+      .join(store.hashes.select("h"), Seq("h"), "left_semi")
+      .select("doc_id")
+    val keepMin = newHashes.groupBy("h").agg(min("doc_id").as("keep"))
+    val withinBatch = newHashes.join(keepMin, Seq("h"))
+      .filter(col("doc_id") =!= col("keep"))
+      .select("doc_id")
+    inStore.union(withinBatch).distinct()
+  }
+
   /** N-gram Jaccard near-dup pairs via a PREFIX-FILTERED inverted-index
     * join (PPJoin-style prefix filtering, Xiao et al., WWW'08). Identical
     * output to [[jaccardPairsNaive]], far fewer candidates:
@@ -267,6 +315,21 @@ object Dedup {
   def shingleHashSets(docs: DataFrame): DataFrame =
     shingled(docs).select(col("doc_id"),
       array_sort(transform(col("sh"), s => xxhash64(s))).as("hs"))
+
+  /** PER-ROW band-bucket array over a shingle-hash array column — pure
+    * expressions, no aggregation, so it runs where a groupBy signature
+    * pass can't: inside a streaming micro-batch pipeline. Values are
+    * IDENTICAL to [[bandBuckets]]'s (m_j = min over xxhash64(j, h),
+    * banded by xxhash64 of each band's row hashes) — spec-pinned, so
+    * stream-side candidates match the batch-built store exactly. */
+  def bandBucketArray(hs: Column, numHashes: Int = 64, bands: Int = 8): Column = {
+    val rowsPerBand = numHashes / bands
+    val mins = (0 until numHashes).map(j =>
+      array_min(transform(hs, h => xxhash64(lit(j), h))))
+    array((0 until bands).map { b =>
+      xxhash64(mins.slice(b * rowsPerBand, (b + 1) * rowsPerBand): _*)
+    }: _*)
+  }
 
   /** Exact-Jaccard verification of a candidate pair list against sorted
     * shingle-hash sets; emits (a_id, b_id, jaccard) for pairs ≥ t. */

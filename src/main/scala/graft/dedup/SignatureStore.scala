@@ -20,16 +20,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (small) candidate list, so a semi-join prunes the scan to candidate
   * row groups.
   */
-final case class SignatureStore(buckets: DataFrame, sets: DataFrame)
+final case class SignatureStore(buckets: DataFrame, sets: DataFrame,
+                                hashes: DataFrame)
 
 object SignatureStore {
   private def bucketsPath(path: String) = s"$path/buckets"
   private def setsPath(path: String) = s"$path/sets"
+  private def hashesPath(path: String) = s"$path/hashes"
 
-  /** Compute the store frames for a batch (nothing is written). */
+  /** Compute the store frames for a batch (nothing is written):
+    * band buckets + shingle-hash sets (near-dup) and content hashes
+    * (exact dedup, [[Dedup.incrementalExactLosers]]). */
   def build(docs: DataFrame, numHashes: Int = 64, bands: Int = 8): SignatureStore =
     SignatureStore(Dedup.bandBuckets(docs, numHashes, bands),
-      Dedup.shingleHashSets(docs))
+      Dedup.shingleHashSets(docs),
+      docs.select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.xxhash64(
+          org.apache.spark.sql.functions.col("text")).as("h")))
 
   /** Initialize (or replace) the on-disk store with a batch's signatures. */
   def write(docs: DataFrame, path: String,
@@ -44,10 +51,12 @@ object SignatureStore {
 
   def read(spark: SparkSession, path: String): SignatureStore =
     SignatureStore(spark.read.parquet(bucketsPath(path)),
-      spark.read.parquet(setsPath(path)))
+      spark.read.parquet(setsPath(path)),
+      spark.read.parquet(hashesPath(path)))
 
   private def save(store: SignatureStore, path: String, mode: String): Unit = {
     store.buckets.write.mode(mode).parquet(bucketsPath(path))
     store.sets.write.mode(mode).parquet(setsPath(path))
+    store.hashes.write.mode(mode).parquet(hashesPath(path))
   }
 }

@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, graftshim}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+
+/** Column bindings for Spark's internal bloom-filter sketch expressions
+  * (the machinery behind runtime row-level filtering, exposed through the
+  * same `private[sql]` bridge as the custom codegen expressions).
+  *
+  * The sketch is an `org.apache.spark.util.sketch.BloomFilter` serialized
+  * to a binary column: build it with one aggregation over the (hashed)
+  * key set, broadcast the single-row result, and probe with
+  * [[might_contain]] — a per-row bit test, no join. The scale story: a
+  * 10⁸-key probe set at 1% FPP is a ~120 MB sketch, a broadcastable
+  * stand-in for a broadcast semi-join whose build side would be tens of
+  * GB of strings. False positives make the filter one-sided (keeps ⊇
+  * matches), so compositions must re-verify survivors exactly —
+  * [[graft.dedup.Dedup.contaminatedByBloom]] does.
+  */
+object BloomFilters {
+
+  /** Aggregate a long column (hash your keys with xxhash64 first) into a
+    * serialized bloom filter sized for `expectedItems`. */
+  def bloom_filter_agg(hashed: Column, expectedItems: Long): Column =
+    graftshim.column(new BloomFilterAggregate(
+      graftshim.expression(hashed), expectedItems).toAggregateExpression())
+
+  /** Aggregate with an explicit bit budget (numBits ≈ items · bitsPerKey;
+    * ~9.6 bits/key ⇒ 1% FPP). */
+  def bloom_filter_agg(hashed: Column, expectedItems: Long, numBits: Long): Column =
+    graftshim.column(new BloomFilterAggregate(
+      graftshim.expression(hashed),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+
+  /** True when `hashed` MIGHT be in the sketch (one-sided: false ⇒
+    * definitely absent). `bloom` is the binary column produced by
+    * [[bloom_filter_agg]]. */
+  def might_contain(bloom: Column, hashed: Column): Column =
+    graftshim.column(BloomFilterMightContain(
+      graftshim.expression(bloom), graftshim.expression(hashed)))
+}

@@ -82,6 +82,17 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Same decontamination contract through the bloom-sketch pre-filter
+    * path (large-probe-set shape: sketch broadcast + per-row might_contain
+    * + exact verify of survivors only). Same DuckDB oracle as q_decontam —
+    * a green row certifies the bloom stage is output-invisible. */
+  val qDecontamBloom: Q = (s, d) => {
+    val all = Tables.documents(s, d)
+    graft.dedup.Dedup.contaminatedByBloom(
+        all.filter(col("doc_id") >= 5), all.filter(col("doc_id") < 5))
+      .orderBy("doc_id")
+  }
+
   /** Vocabulary construction: tokens ranked by global frequency into
     * dense ids (count desc, token asc tiebreak) — the id-assignment step
     * of tokenizer training, top 100 here. The vocab cap comes FIRST
@@ -201,6 +212,7 @@ object Text {
     "q_fingerprint" -> qFingerprint,
     "q_redact" -> qRedact,
     "q_decontam" -> qDecontam,
+    "q_decontam_bloom" -> qDecontamBloom,
     "q_vocab" -> qVocab,
     "q_sessionize" -> qSessionize,
     "q_curation" -> qCuration,
@@ -287,6 +299,20 @@ object Text {
         |SELECT split, lang, count(*) AS cnt FROM s
         |GROUP BY split, lang ORDER BY split, lang""".stripMargin,
     "q_decontam" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents),
+        |sh AS (
+        | SELECT doc_id, list_distinct(list_transform(range(1, len(ts)-1),
+        |   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+        | FROM toks WHERE len(ts) >= 3),
+        |e AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |probe AS (SELECT DISTINCT shingle FROM e WHERE doc_id < 5)
+        |SELECT DISTINCT doc_id FROM e
+        |WHERE doc_id >= 5 AND shingle IN (SELECT shingle FROM probe)
+        |ORDER BY doc_id""".stripMargin,
+    // the bloom path must be output-identical to the semi-join path:
+    // same oracle text
+    "q_decontam_bloom" ->
       """WITH toks AS (
         | SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents),
         |sh AS (

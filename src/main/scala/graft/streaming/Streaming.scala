@@ -91,6 +91,51 @@ object Streaming {
   def enriched(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key))
 
+  /** STREAMING incremental near-dup flagging — the in-flight form of
+    * [[graft.dedup.Dedup.incrementalPairs]]: each micro-batch of incoming
+    * docs computes its minhash band buckets PER ROW (pure expressions —
+    * [[graft.dedup.Dedup.bandBucketArray]] — no aggregation, so no stream
+    * state), stream-static joins them against the persisted store's
+    * buckets, and exact-verifies surviving candidates against the store's
+    * shingle-hash sets. Emits (doc_id, dup_of, jaccard): an arriving doc
+    * flagged against every stored near-dup ≥ t.
+    *
+    * No state store anywhere — the store side is a static parquet scan
+    * re-resolved per batch (so appending the batch's survivors between
+    * triggers is picked up automatically), and dedup WITHIN an increment
+    * stays the batch pass's job ([[graft.dedup.Dedup.incrementalPairs]]),
+    * keeping the stream unconditionally replay-safe. Statelessness has a
+    * price: a pair colliding in k > 1 bands is emitted k times
+    * (a streaming `distinct` would grow a state store forever) — flag
+    * consumers key on (doc_id, dup_of), where the multiplicity is
+    * idempotent. */
+  def incrementalDedupStream(docs: DataFrame, store: graft.dedup.SignatureStore,
+                             threshold: Double,
+                             numHashes: Int = 64, bands: Int = 8): DataFrame = {
+    import graft.text.TextFunctions._
+    val withSig = docs
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("hs", array_sort(transform(shingles3(col("toks")), s => xxhash64(s))))
+      .withColumn("bucket_arr",
+        graft.dedup.Dedup.bandBucketArray(col("hs"), numHashes, bands))
+      .select(col("doc_id"), col("hs"),
+        posexplode(col("bucket_arr")).as(Seq("band", "bucket")))
+    val cand = withSig
+      .join(store.buckets.withColumnRenamed("doc_id", "dup_of"), Seq("band", "bucket"))
+      .filter(col("doc_id") =!= col("dup_of"))
+      .select("doc_id", "hs", "dup_of")
+    cand
+      .join(store.sets.select(col("doc_id").as("dup_of"), col("hs").as("hsb")),
+        Seq("dup_of"))
+      .withColumn("common",
+        graft.functions.SortedIntersectCount.sorted_intersect_count(col("hs"), col("hsb")))
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("hs")) + size(col("hsb")) - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_id"), col("dup_of"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** foreachBatch parquet sink — the escape hatch to any batch writer,
     * made replay-safe: each micro-batch overwrites its own
     * `batch_id=<id>` directory, so a batch replayed after a failure

@@ -224,6 +224,38 @@ class DedupSimSpec extends AnyFunSuite with SharedSpark {
     val updated = graft.dedup.SignatureStore.read(spark, path)
     assert(updated.buckets.count() == Dedup.bandBuckets(d).count())
     assert(updated.sets.count() == Dedup.shingleHashSets(d).count())
+    assert(updated.hashes.count() == d.count())
+  }
+
+  test("incremental exact losers: cross-run hash matches + within-batch copies") {
+    val b1 = docs(1L -> "alpha beta gamma delta", 2L -> "epsilon zeta eta theta")
+    val b2 = docs(
+      10L -> "alpha beta gamma delta",  // copy of stored doc 1 → drop
+      11L -> "iota kappa lambda mu",    // new unique, min of its pair → keep
+      12L -> "iota kappa lambda mu",    // within-batch copy of 11 → drop
+      13L -> "nu xi omicron pi")        // new unique → keep
+    val store = graft.dedup.SignatureStore.build(b1)
+    val losers = Dedup.incrementalExactLosers(b2, store)
+      .collect().map(_.getLong(0)).toSet
+    assert(losers == Set(10L, 12L))
+  }
+
+  test("bloom decontamination equals the broadcast semi-join path") {
+    val d = Tables.documents(spark, sfDir)
+    val corpus = d.filter($"doc_id" >= 5)
+    val probes = d.filter($"doc_id" < 5)
+    val exact = Dedup.contaminatedBy(corpus, probes)
+      .collect().map(_.getLong(0)).toSet
+    val bloom = Dedup.contaminatedByBloom(corpus, probes)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.nonEmpty)
+    assert(bloom == exact, s"bloom path diverged: missing ${(exact -- bloom).size}, " +
+      s"extra ${(bloom -- exact).size}")
+    // an undersized sketch (high FPP) must still be output-identical —
+    // the exact verify stage owns correctness, the bloom only pre-filters
+    val tiny = Dedup.contaminatedByBloom(corpus, probes, expectedProbeShingles = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(tiny == exact)
   }
 
   test("dupClusters on an empty pair set returns an empty frame") {

@@ -122,7 +122,9 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
       // iterative: label propagation runs jobs while BUILDING the frame
       "q_dedup_clusters", "q_curate_full",
       // writes + re-reads the parquet signature store during construction
-      "q_dedup_incremental")
+      "q_dedup_incremental",
+      // aggregates the bloom sketch into a literal during construction
+      "q_decontam_bloom")
     SparkEntry.queries.keys.filterNot(skip).foreach { name =>
       val p = planString(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")

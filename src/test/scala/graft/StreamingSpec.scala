@@ -7,6 +7,48 @@ import graft.streaming.Streaming
 /** Streaming == batch parity on the same files (AvailableNow replay). */
 class StreamingSpec extends AnyFunSuite with SharedSpark {
 
+  test("per-row bandBucketArray equals the aggregated bandBuckets") {
+    // the stream side signs docs with pure expressions; the store was
+    // built with the groupBy signature pass — candidates only line up if
+    // the (band, bucket) values are bit-identical
+    val d = Tables.documents(spark, sfDir)
+    val viaAgg = graft.dedup.Dedup.bandBuckets(d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val viaExpr = graft.dedup.Dedup.shingleHashSets(d)
+      .select(col("doc_id"),
+        posexplode(graft.dedup.Dedup.bandBucketArray(col("hs"))).as(Seq("band", "bucket")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaExpr == viaAgg)
+  }
+
+  test("streaming incremental dedup equals the batch cross-store pairs") {
+    val d = Tables.documents(spark, sfDir)
+    val b1 = d.filter(col("doc_id") % 2 === 0)
+    val b2 = d.filter(col("doc_id") % 2 === 1)
+    val storePath = java.nio.file.Files.createTempDirectory("graft_stream_store").toString
+    graft.dedup.SignatureStore.write(b1, storePath)
+    val store = graft.dedup.SignatureStore.read(spark, storePath)
+    // stream the increment from parquet files
+    val incPath = java.nio.file.Files.createTempDirectory("graft_stream_inc").toString
+    b2.write.mode("overwrite").parquet(incPath)
+    val streamDocs = spark.readStream.schema(b2.schema).parquet(incPath)
+    val flagged = Streaming.runAvailableNow(spark,
+      Streaming.incrementalDedupStream(streamDocs, store, 0.6),
+      "stream_incremental", org.apache.spark.sql.streaming.OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // expected: exactly the batch incremental pairs that CROSS the store
+    // boundary (within-increment pairs are the batch pass's job); the
+    // stream emits (new_doc, stored_doc), i.e. (odd, even) ids here
+    val expected = graft.dedup.Dedup.incrementalPairs(b2, store, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => (a % 2 == 0) != (b % 2 == 0) }
+      .map { case (a, b, j) => if (a % 2 == 1) (a, b, j) else (b, a, j) }
+      .toSet
+    assert(expected.nonEmpty, "fixture should have cross-parity near-dups")
+    assert(flagged == expected,
+      s"stream missed ${(expected -- flagged).size}, fabricated ${(flagged -- expected).size}")
+  }
+
   test("foreachBatch sink: batch-id overwrite is replay-idempotent") {
     val out = java.nio.file.Files.createTempDirectory("graft_fb_out").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_fb_ckpt").toString
