@@ -80,6 +80,22 @@ object Relational2 {
         regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"))
       .orderBy("c_custkey")
 
+  /** Second string battery: edit distance + character-level rewrites
+    * (levenshtein, translate, repeat, reverse, rpad, ascii) — the
+    * fuzzy-matching / normalization surface the first battery doesn't
+    * cover; every function replays exactly in DuckDB. */
+  val qStringFuncs2: Q = (s, d) =>
+    Tables.customer(s, d)
+      .select(
+        col("c_custkey"),
+        levenshtein(col("c_name"), col("c_mktsegment")).cast("long").as("lev"),
+        translate(col("c_name"), "Customer#", "cUSTOMER_").as("tr"),
+        repeat(col("c_mktsegment"), 2).as("rep"),
+        reverse(col("c_name")).as("rev"),
+        rpad(col("c_mktsegment"), 12, ".").as("rp"),
+        ascii(col("c_name")).cast("long").as("first_code"))
+      .orderBy("c_custkey")
+
   /** Math scalar surface on stored doubles (IEEE-exact ops only: abs,
     * floor, ceil, sqrt, sign, greatest/least — no pow/exp/log, whose libm
     * results differ across engines in the last ulp). */
@@ -137,6 +153,24 @@ object Relational2 {
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
 
+  /** MERGEABLE HLL sketches — the re-aggregation pattern approx_count_
+    * distinct can't do: per-group Datasketches HLL sketches are built
+    * once (`hll_sketch_agg`), persisted as binary, and then UNIONED to
+    * answer coarser-rollup distinct counts WITHOUT rescanning the fact
+    * table. At 100 TB this is the difference between one scan feeding
+    * every rollup level and one scan per level: daily sketches merge
+    * into monthly into all-time, each merge touching kilobytes.
+    * Rows-only: sketch estimates are engine-specific; spec asserts the
+    * merged estimate equals re-sketching from scratch and tracks exact. */
+  val qHllUnion: Q = (s, d) => {
+    val perFlag = Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(hll_sketch_agg(col("l_partkey")).as("sketch"))
+    perFlag.agg(
+      hll_sketch_estimate(hll_union_agg(col("sketch"))).as("approx_parts_all"),
+      count(lit(1)).as("n_sketches"))
+  }
+
   val all: Map[String, Q] = Map(
     "q_cube" -> qCube,
     "q_grouping_sets" -> qGroupingSets,
@@ -145,11 +179,13 @@ object Relational2 {
     "q_union_distinct" -> qUnionDistinct,
     "q_window_analytic" -> qWindowAnalytic,
     "q_string_funcs" -> qStringFuncs,
+    "q_string_funcs2" -> qStringFuncs2,
     "q_math_funcs" -> qMathFuncs,
     "q_percentiles" -> qPercentiles,
     "q_asof_join" -> qAsofJoin,
     "q_range_join" -> qRangeJoin,
     "q_approx_distinct" -> qApproxDistinct,
+    "q_hll_union" -> qHllUnion,
   )
 
   val oracles: Map[String, String] = Map(
@@ -194,6 +230,15 @@ object Relational2 {
         | lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
         | upper(c_mktsegment) AS seg_upper,
         | regexp_extract(c_name, '([0-9]+)', 1) AS digits
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_string_funcs2" ->
+      """SELECT c_custkey,
+        | CAST(levenshtein(c_name, c_mktsegment) AS BIGINT) AS lev,
+        | translate(c_name, 'Customer#', 'cUSTOMER_') AS tr,
+        | repeat(c_mktsegment, 2) AS rep,
+        | reverse(c_name) AS rev,
+        | rpad(c_mktsegment, 12, '.') AS rp,
+        | CAST(ascii(c_name) AS BIGINT) AS first_code
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "q_math_funcs" ->
       """SELECT s_suppkey,

@@ -149,9 +149,17 @@ object Ivf {
   def topK(vecs: DataFrame, queries: DataFrame, k: Int,
            nCells: Int = 16, nprobe: Int = 8, iters: Int = 2,
            firstKSeed: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val (assigned, centroidDf) = index(vecs, nCells, iters, firstKSeed)
-    val cents = collectCentroids(centroidDf)
+    probe(assigned, collectCentroids(centroidDf), queries, k, nprobe)
+  }
+
+  /** The probe phase alone: each query expands to its `nprobe` nearest
+    * cells (same inlined-centroid expression — array_sort of (d2, cid)
+    * structs, slice nprobe; no crossJoin or window on the query side),
+    * joins the cell assignments, and ranks only those cells' vectors. */
+  private def probe(assigned: DataFrame, cents: Centroids,
+                    queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val q = prepared(queries)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))
       .withColumn("cid",
@@ -164,5 +172,27 @@ object Ivf {
         Window.partitionBy("q_id").orderBy(desc("sim"), asc("vec_id"))).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("vec_id").as("n_id"), col("sim"))
+  }
+
+  /** Persist the index: cell assignments partitioned BY CELL (probing
+    * nprobe of nCells cells then reads exactly that fraction of the
+    * files — partition pruning does the work a specialized ANN index
+    * file format would) plus the driver-sized centroid table. Build
+    * once, probe every later query batch without re-clustering. */
+  def writeIndex(vecs: DataFrame, path: String,
+                 nCells: Int = 16, iters: Int = 2): Unit = {
+    val (assigned, centroidDf) = index(vecs, nCells, iters)
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(s"$path/cells")
+    centroidDf.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Probe a persisted index. The nprobe cell ids per query come from
+    * the (driver-sized, re-inlined) centroid table; the cells scan is
+    * partition-pruned to the probed cells at planning/runtime. */
+  def topKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                    queries: DataFrame, k: Int, nprobe: Int = 8): DataFrame = {
+    val cents = collectCentroids(spark.read.parquet(s"$path/centroids"))
+    val assigned = spark.read.parquet(s"$path/cells")
+    probe(assigned, cents, queries, k, nprobe)
   }
 }

@@ -149,6 +149,22 @@ class DedupSimSpec extends AnyFunSuite with SharedSpark {
     assert(naive < 0.9, s"fixture no longer adversarial for first-k (recall $naive) — strengthen it")
   }
 
+  test("persisted IVF index: probe equals in-memory topK, cells partition-pruned") {
+    val vecs = Tables.embeddings(spark, sfDir)
+    val qs = vecs.filter($"vec_id" < 5)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    graft.similarity.Ivf.writeIndex(vecs, path)
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val fromIndex = graft.similarity.Ivf.topKFromIndex(spark, path, qs, 10)
+    assert(asSet(fromIndex) == asSet(graft.similarity.Ivf.topK(vecs, qs, 10)))
+    // the cells directory is laid out one partition per cell, so an
+    // nprobe-cell probe prunes to that fraction of the files
+    val cellDirs = new java.io.File(s"$path/cells").listFiles()
+      .filter(_.getName.startsWith("cid=")).map(_.getName).toSet
+    assert(cellDirs.size > 1, s"expected per-cell partitions, got $cellDirs")
+  }
+
   test("poisson_pmf expression matches the driver-side math") {
     val df = Seq((0, 2.3), (2, 2.3), (10, 0.5)).toDF("k", "lam")
       .select(graft.functions.PoissonPmf.poisson_pmf($"k", $"lam").as("p"))

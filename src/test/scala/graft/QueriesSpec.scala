@@ -34,6 +34,22 @@ class QueriesSpec extends AnyFunSuite with SharedSpark {
     assert(typed.sameElements(untyped))
   }
 
+  test("hll union of per-group sketches equals one global sketch, tracks exact") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sfDir)
+    val merged = graft.queries.Relational2.qHllUnion(spark, sfDir)
+      .head().getLong(0)
+    // merge-correctness: unioning per-group sketches must give the SAME
+    // estimate as sketching the whole column in one pass (the property
+    // that makes rollup-from-sketches valid)
+    val global = li.agg(hll_sketch_estimate(hll_sketch_agg(col("l_partkey"))))
+      .head().getLong(0)
+    assert(merged == global, s"merged $merged != global $global")
+    val exact = li.select("l_partkey").distinct().count()
+    assert(math.abs(merged - exact).toDouble / exact < 0.05,
+      s"HLL estimate $merged vs exact $exact")
+  }
+
   /** Queries whose result is legitimately empty at tiny scale factors
     * (no exact-duplicate texts are planted below sf0.1). */
   private val mayBeEmpty = Set("q_dedup_exact")
