@@ -25,7 +25,10 @@ object Bench {
     // 3.1-3.9 s warm).
     try {
       Seq("q1_agg", "q_knn_brute", "q_text_stats", "q_value_counts",
-          "q_dedup_jaccard", "q_glm_poisson")
+          "q_dedup_jaccard", "q_glm_poisson",
+          // 64 per-row minhash lambdas / ImageIO: codegen+JIT cold start
+          // measured 2-8x their steady state
+          "q_dedup_incremental", "q_image_decode")
         .foreach(q => SparkEntry.queries.get(q).foreach(fn => materialize(fn(spark, sfDir))))
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>

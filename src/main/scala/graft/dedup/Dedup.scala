@@ -382,7 +382,14 @@ object Dedup {
   def incrementalPairs(newDocs: DataFrame, store: SignatureStore,
                        threshold: Double,
                        numHashes: Int = 64, bands: Int = 8): DataFrame = {
-    val newBuckets = bandBuckets(newDocs, numHashes, bands)
+    // buckets derived from the shingle-hash sets via the per-row
+    // expression (spec-pinned bit-identical to the aggregated path): the
+    // new batch is tokenized/shingled once per consumer instead of twice,
+    // and the batch path stays symmetric with the streaming one
+    val newSets = shingleHashSets(newDocs)
+    val newBuckets = newSets.select(col("doc_id"),
+      posexplode(bandBucketArray(col("hs"), numHashes, bands))
+        .as(Seq("band", "bucket")))
     val cross = newBuckets.as("x").join(store.buckets.as("y"), Seq("band", "bucket"))
       .filter(col("x.doc_id") =!= col("y.doc_id"))
       .select(least(col("x.doc_id"), col("y.doc_id")).as("a_id"),
@@ -391,7 +398,7 @@ object Dedup {
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
     val cand = cross.union(within).distinct()
-    verifyJaccard(cand, store.sets.union(shingleHashSets(newDocs)), threshold)
+    verifyJaccard(cand, store.sets.union(newSets), threshold)
   }
 
   /** Resolve near-dup PAIRS into duplicate CLUSTERS — the step a real

@@ -30,13 +30,20 @@ object SignatureStore {
 
   /** Compute the store frames for a batch (nothing is written):
     * band buckets + shingle-hash sets (near-dup) and content hashes
-    * (exact dedup, [[Dedup.incrementalExactLosers]]). */
-  def build(docs: DataFrame, numHashes: Int = 64, bands: Int = 8): SignatureStore =
-    SignatureStore(Dedup.bandBuckets(docs, numHashes, bands),
-      Dedup.shingleHashSets(docs),
-      docs.select(org.apache.spark.sql.functions.col("doc_id"),
-        org.apache.spark.sql.functions.xxhash64(
-          org.apache.spark.sql.functions.col("text")).as("h")))
+    * (exact dedup, [[Dedup.incrementalExactLosers]]). Buckets come from
+    * the per-row banding expression over the sets (spec-pinned identical
+    * to the aggregated path) so both artifacts share one shingling
+    * lineage. */
+  def build(docs: DataFrame, numHashes: Int = 64, bands: Int = 8): SignatureStore = {
+    import org.apache.spark.sql.functions._
+    val sets = Dedup.shingleHashSets(docs)
+    SignatureStore(
+      sets.select(col("doc_id"),
+        posexplode(Dedup.bandBucketArray(col("hs"), numHashes, bands))
+          .as(Seq("band", "bucket"))),
+      sets,
+      docs.select(col("doc_id"), xxhash64(col("text")).as("h")))
+  }
 
   /** Initialize (or replace) the on-disk store with a batch's signatures. */
   def write(docs: DataFrame, path: String,
@@ -55,8 +62,14 @@ object SignatureStore {
       spark.read.parquet(hashesPath(path)))
 
   private def save(store: SignatureStore, path: String, mode: String): Unit = {
-    store.buckets.write.mode(mode).parquet(bucketsPath(path))
-    store.sets.write.mode(mode).parquet(setsPath(path))
-    store.hashes.write.mode(mode).parquet(hashesPath(path))
+    // three artifacts, one shingling: the sets frame feeds the bucket
+    // derivation, so cache it across the two writes (eager, so the
+    // unpersist in `finally` is safe)
+    val sets = store.sets.persist()
+    try {
+      sets.write.mode(mode).parquet(setsPath(path))
+      store.buckets.write.mode(mode).parquet(bucketsPath(path))
+      store.hashes.write.mode(mode).parquet(hashesPath(path))
+    } finally { sets.unpersist(); () }
   }
 }

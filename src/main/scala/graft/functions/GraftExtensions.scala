@@ -14,10 +14,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * [[GraftExtensions.install]] does the same on an already-built session
   * (the driver owns session construction in this harness). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.definitions.foreach { case (name, info, builder) =>
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    e.injectOptimizerRule(_ => SortedIntersectRewrite)
+  }
 }
 
 object GraftExtensions {
@@ -34,10 +36,16 @@ object GraftExtensions {
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
       (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1))))
 
-  /** Runtime registration on an existing session. */
-  def install(spark: SparkSession): Unit =
+  /** Runtime registration on an existing session (functions + the
+    * sorted-intersect optimizer rule via experimental.extraOptimizations,
+    * the post-construction injection point). */
+  def install(spark: SparkSession): Unit = {
     definitions.foreach { case (name, info, builder) =>
       spark.sessionState.functionRegistry
         .registerFunction(FunctionIdentifier(name), info, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(SortedIntersectRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ SortedIntersectRewrite
+  }
 }

@@ -98,6 +98,32 @@ class ExtensionsSpec extends AnyFunSuite with SharedSpark {
     assert(garbage.getLong(4) == 0L)           // channels: none decoded
   }
 
+  test("optimizer rule rewrites size(array_intersect) of sorted distinct sets") {
+    GraftExtensions.install(spark)
+    // spark.range input: literal Seqs would be constant-folded into a
+    // LocalRelation before the rule could be observed
+    val base = spark.range(3).select(
+      array($"id", $"id" * 2 + 1, lit(4L)).as("a"),
+      array($"id" + 1, lit(4L)).as("b"))
+    val df = base.select(size(array_intersect(
+      array_sort(array_distinct($"a")),
+      array_sort(array_distinct($"b")))).as("n"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("sorted_intersect_count"),
+      "rewrite did not fire:\n" + optimized)
+    // values match the un-rewritten semantics
+    // id=0: [0,1,4]∩[1,4]=2; id=1: [1,3,4]∩[2,4]=1; id=2: [2,4,5]∩[3,4]=1
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(2, 1, 1))
+    // soundness guards hold the rewrite back where it would change results
+    val unsorted = base.select(size(array_intersect($"a", $"b")).as("n"))
+    assert(!unsorted.queryExecution.optimizedPlan.toString
+      .contains("sorted_intersect_count"))
+    val dups = base.select(
+      size(array_intersect(array_sort($"a"), array_sort($"b"))).as("n"))
+    assert(!dups.queryExecution.optimizedPlan.toString
+      .contains("sorted_intersect_count"), "no array_distinct proof → must not fire")
+  }
+
   test("resize stub: aspect preserved, no-op under bound, payload intact") {
     val media = Multimodal.stubDecode(Multimodal.asMediaTable(
       Tables.documents(spark, sfDir)))

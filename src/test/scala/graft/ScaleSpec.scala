@@ -78,6 +78,35 @@ class ScaleSpec extends AnyFunSuite with SharedSpark {
     assert(!plan.contains("DeserializeToObject"), plan)
   }
 
+  test("AQE splits a skewed shuffle-join partition at runtime") {
+    // the 100 TB skew story AQE owns (salting covers aggregation skew):
+    // one hot key dominating a sort-merge join gets its partition split
+    // into parallel subtasks. Thresholds lowered so local-scale data
+    // qualifies as "skewed"; the executed plan must record the split.
+    import spark.implicits._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.get(k))
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "20KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "10KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      // 50k rows on ONE key vs 100 spread keys; payload pads partition size
+      val big = (1 to 50000).map(i => (if (i <= 49900) 7L else (i % 100).toLong,
+        "x" * 40 + i)).toDF("k", "payload")
+      val dim = (0 until 100).map(i => (i.toLong, s"d$i")).toDF("k", "name")
+      val joined = big.join(dim, "k")
+      // collect() executes joined's OWN query execution (count() would
+      // wrap it in a new one and leave this plan un-finalized)
+      assert(joined.collect().length == 50000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew="), "no skew handling recorded:\n" + plan)
+      assert(plan.contains("isFinalPlan=true"))
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
   test("writeShards: n disjoint sorted shards") {
     val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
     Scale.writeShards(Tables.documents(spark, sfDir), 4, "doc_id", dir)
