@@ -197,6 +197,49 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Within-document repetition signals — the n-gram repetition quality
+    * gates a web-scale curation pipeline runs per doc (duplicate-bigram
+    * fraction and most-frequent-bigram mass; high values = boilerplate /
+    * degenerate repetition): two chained hash-aggs over the exploded
+    * bigrams, linear in corpus size. */
+  val qRepetition: Q = (s, d) => {
+    val bg = Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bg"))
+    bg.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_bigrams"), count(lit(1)).as("n_distinct"),
+        max("c").as("mx"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(lit(1.0) - col("n_distinct") / col("n_bigrams"), 4).as("dup_frac"),
+        round(col("mx") / col("n_bigrams"), 4).as("top_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Sequence PACKING: assign docs to fixed-token-budget training
+    * sequences (2048 here) by running token count — the
+    * concatenate-and-chunk step between curation and tokenization.
+    * Sharded FIRST (doc_id mod 8), cumulative window per shard: the
+    * global-order window a naive packer uses is a single-partition
+    * bottleneck; per-shard packing is how it parallelizes at corpus
+    * scale (each shard's sequences are independent). */
+  val qPackSequences: Q = (s, d) => {
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+      .withColumn("shard", pmod(col("doc_id"), lit(8L)))
+      .withColumn("prev_tokens", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        floor(col("prev_tokens") / 2048.0).cast("long").as("seq_id"))
+      .orderBy("doc_id")
+  }
+
   /** Train/val/test split counts: deterministic id-hash assignment
     * (80/10/10), aggregated per (split, lang) to show stratification. */
   val qTrainSplit: Q = (s, d) =>
@@ -213,6 +256,8 @@ object Text {
     "q_redact" -> qRedact,
     "q_decontam" -> qDecontam,
     "q_decontam_bloom" -> qDecontamBloom,
+    "q_repetition" -> qRepetition,
+    "q_pack_sequences" -> qPackSequences,
     "q_vocab" -> qVocab,
     "q_sessionize" -> qSessionize,
     "q_curation" -> qCuration,
@@ -289,6 +334,37 @@ object Text {
         |    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
         |  (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_repetition" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents),
+        |bg AS (
+        | SELECT doc_id, list_transform(range(1, len(ts)),
+        |   i -> ts[i] || ' ' || ts[i+1]) AS bgs
+        | FROM toks WHERE len(ts) >= 2),
+        |e AS (SELECT doc_id, unnest(bgs) AS b FROM bg),
+        |cnt AS (SELECT doc_id, b, count(*) AS c FROM e GROUP BY 1, 2),
+        |agg AS (
+        | SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |  count(*) AS n_distinct, max(c) AS mx
+        | FROM cnt GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams,
+        | round(1.0 - CAST(n_distinct AS DOUBLE) / n_bigrams, 4) AS dup_frac,
+        | round(CAST(mx AS DOUBLE) / n_bigrams, 4) AS top_frac
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH base AS (
+        | SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  doc_id % 8 AS shard
+        | FROM documents),
+        |cum AS (
+        | SELECT doc_id, shard, n_tokens,
+        |  coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_tokens
+        | FROM base)
+        |SELECT doc_id, shard, n_tokens,
+        | CAST(floor(prev_tokens / 2048.0) AS BIGINT) AS seq_id
+        |FROM cum ORDER BY doc_id""".stripMargin,
     "q_train_split" ->
       """WITH s AS (
         | SELECT lang,
