@@ -51,6 +51,15 @@ object Sources {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** Schema-evolution parquet scan: daily increments that GAINED columns
+    * (the WRITE_APPEND reality of a long-lived ingest path) read as one
+    * table — mergeSchema unions the footers, old files yield null for
+    * columns they predate. Off by default in Spark because footer-merging
+    * costs a pass over file metadata; turn it on per-read at the
+    * evolution boundary only, not globally. */
+  def readParquetMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", true).parquet(path)
+
   /** ORC scan — the other columnar format a warehouse migration brings;
     * same pushdown/pruning machinery as parquet (predicate pushdown via
     * ORC searchArguments, column pruning, vectorized read). */

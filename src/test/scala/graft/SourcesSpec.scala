@@ -70,6 +70,25 @@ class SourcesSpec extends AnyFunSuite with SharedSpark {
     assert(permissive.filter(col("id") === 2 && col("score").isNull).count() == 1)
   }
 
+  test("parquet schema evolution: increments that gained columns merge") {
+    import spark.implicits._
+    val dir = tmp()
+    // day 1 wrote (doc_id, text); day 2's pipeline added lang
+    Seq((1L, "alpha")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/day=1")
+    Seq((2L, "beta", "en")).toDF("doc_id", "text", "lang")
+      .write.parquet(s"$dir/day=2")
+    val merged = Sources.readParquetMerged(spark, dir)
+    assert(merged.columns.toSet == Set("doc_id", "text", "lang", "day"))
+    val byId = merged.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(1L).getAs[String]("lang") == null) // pre-evolution file
+    assert(byId(2L).getAs[String]("lang") == "en")
+    // default read (no mergeSchema) picks ONE footer and can miss the
+    // evolved column — the gotcha readParquetMerged exists to avoid
+    val plain = spark.read.parquet(dir)
+    assert(plain.count() == 2)
+  }
+
   test("FAILFAST csv throws on malformed rows (the strict boundary)") {
     val dir = tmp()
     java.nio.file.Files.writeString(
