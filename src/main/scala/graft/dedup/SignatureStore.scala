@@ -56,6 +56,45 @@ object SignatureStore {
              numHashes: Int = 64, bands: Int = 8): Unit =
     save(build(docs, numHashes, bands), path, "append")
 
+  /** ONE FULL INGEST INCREMENT — the lifecycle the store exists for,
+    * composed end to end: drop the new batch's exact duplicates
+    * ([[Dedup.incrementalExactLosers]]) and near-duplicates
+    * ([[Dedup.incrementalPairs]] ≥ threshold), append the survivors'
+    * signatures, return (survivors, dropped).
+    *
+    * Drop policy per near-dup pair: the STORE side is always canonical
+    * (those docs were already accepted by an earlier increment); within
+    * the batch, keep-min-id (greedy per pair, the standard streaming-
+    * corpus policy — a kept doc is one no smaller-id kept doc pairs
+    * with). Idempotent by construction: re-ingesting the same batch
+    * drops everything (spec-pinned). Docs too short to shingle can only
+    * be dropped by the exact-hash path. */
+  def ingest(spark: SparkSession, newDocs: DataFrame, path: String,
+             threshold: Double,
+             numHashes: Int = 64, bands: Int = 8): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions._
+    val store = read(spark, path)
+    val exactLosers = Dedup.incrementalExactLosers(newDocs, store)
+    val pairs = Dedup.incrementalPairs(newDocs, store, threshold, numHashes, bands)
+    val storeIds = store.sets.select("doc_id")
+    val dropPartnerOfStoreA = pairs
+      .join(storeIds.withColumnRenamed("doc_id", "a_id"), Seq("a_id"), "left_semi")
+      .select(col("b_id").as("doc_id"))
+    val dropPartnerOfStoreB = pairs
+      .join(storeIds.withColumnRenamed("doc_id", "b_id"), Seq("b_id"), "left_semi")
+      .select(col("a_id").as("doc_id"))
+    val dropNewerOfNewPair = pairs
+      .join(storeIds.withColumnRenamed("doc_id", "a_id"), Seq("a_id"), "left_anti")
+      .join(storeIds.withColumnRenamed("doc_id", "b_id"), Seq("b_id"), "left_anti")
+      .select(col("b_id").as("doc_id"))
+    val dropped = exactLosers
+      .union(dropPartnerOfStoreA).union(dropPartnerOfStoreB)
+      .union(dropNewerOfNewPair).distinct()
+    val survivors = newDocs.join(dropped, Seq("doc_id"), "left_anti")
+    append(survivors, path, numHashes, bands)
+    (survivors, dropped)
+  }
+
   def read(spark: SparkSession, path: String): SignatureStore =
     SignatureStore(spark.read.parquet(bucketsPath(path)),
       spark.read.parquet(setsPath(path)),

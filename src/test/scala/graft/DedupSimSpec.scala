@@ -243,6 +243,34 @@ class DedupSimSpec extends AnyFunSuite with SharedSpark {
     assert(updated.hashes.count() == d.count())
   }
 
+  test("ingest increment: drops dups vs store and batch, appends survivors, idempotent") {
+    val d = Tables.documents(spark, sfDir)
+    val b1 = d.filter($"doc_id" % 2 === 0)
+    val b2 = d.filter($"doc_id" % 2 === 1)
+    val path = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    graft.dedup.SignatureStore.write(b1, path)
+    val storeBefore = graft.dedup.SignatureStore.read(spark, path)
+    val (survivors, dropped) =
+      graft.dedup.SignatureStore.ingest(spark, b2, path, 0.6)
+    val sIds = survivors.select("doc_id").collect().map(_.getLong(0)).toSet
+    val dIds = dropped.collect().map(_.getLong(0)).toSet
+    assert((sIds & dIds).isEmpty)
+    assert(sIds.size + dIds.size == b2.count())
+    assert(dIds.nonEmpty, "fixture should drop some cross-parity near-dups")
+    // the clean-corpus guarantee: survivors qualify against NOTHING —
+    // not the pre-ingest store (those were dropped) and not each other
+    // (every new-new pair drops its larger id), so re-running the
+    // detector over the survivors finds zero pairs
+    assert(graft.dedup.Dedup
+      .incrementalPairs(d.filter($"doc_id".isin(sIds.toSeq: _*)), storeBefore, 0.6)
+      .count() == 0, "survivors still contain qualifying pairs")
+    // idempotency: re-ingesting the same batch drops EVERYTHING (every
+    // doc now exact-matches either a stored survivor or a stored original)
+    val (again, droppedAgain) = graft.dedup.SignatureStore.ingest(spark, b2, path, 0.6)
+    assert(again.count() == 0)
+    assert(droppedAgain.count() == b2.count())
+  }
+
   test("incremental exact losers: cross-run hash matches + within-batch copies") {
     val b1 = docs(1L -> "alpha beta gamma delta", 2L -> "epsilon zeta eta theta")
     val b2 = docs(
