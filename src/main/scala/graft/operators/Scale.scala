@@ -70,6 +70,44 @@ object Scale {
   def writePartitioned(df: DataFrame, partitionCol: String, path: String): Unit =
     df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
 
+  /** The hash-bucketed layout [[upsertByKey]] maintains: rows land in
+    * `part = pmod(xxhash64(key), buckets)` directories. */
+  def writeKeyed(df: DataFrame, keyCol: String, buckets: Int, path: String): Unit =
+    df.withColumn("part", pmod(xxhash64(col(keyCol)), lit(buckets.toLong)))
+      .write.mode("overwrite").partitionBy("part").parquet(path)
+
+  /** Keyed UPSERT over partitioned parquet WITHOUT a table format: the
+    * update set is hashed to its partitions, ONLY those partitions are
+    * read back (partition-pruned scan), old versions of updated keys are
+    * anti-joined away, and the merged rows are written with DYNAMIC
+    * partition overwrite — untouched partitions' files are never read or
+    * rewritten. Cost scales with the update set's partition footprint,
+    * not the table: the mutation pattern for a corpus that receives
+    * corrections, next to the append-only signature-store path (a table
+    * format like Iceberg/Delta buys ACID on top; the data movement is
+    * exactly this). NOT safe under concurrent writers — that's what the
+    * table formats' commit protocols add. */
+  def upsertByKey(spark: SparkSession, path: String, updates: DataFrame,
+                  keyCol: String, buckets: Int): Unit = {
+    val upd = updates
+      .withColumn("part", pmod(xxhash64(col(keyCol)), lit(buckets.toLong)))
+    val touched = upd.select("part").distinct()
+      .collect().map(_.getLong(0)) // ≤ buckets values — driver-sized
+    val existing = spark.read.parquet(path)
+      .filter(col("part").isin(touched.toIndexedSeq: _*)) // partition-pruned
+    val kept = existing.join(
+      upd.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+    val saved = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      kept.unionByName(upd)
+        .write.mode("overwrite").partitionBy("part").parquet(path)
+    finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   /** Training-shard export: exactly `n` parquet files, range-partitioned
     * and sorted by `sortCol` — downstream loaders get disjoint ordered
     * shards, and parquet row-group min/max stats actually prune on the

@@ -107,6 +107,36 @@ class ScaleSpec extends AnyFunSuite with SharedSpark {
     } finally saved.foreach { case (k, v) => conf.set(k, v) }
   }
 
+  test("upsertByKey: updates land, others persist, untouched partitions untouched") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val base = (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
+    Scale.writeKeyed(base, "k", 8, dir)
+    // record the file set of every partition before the upsert
+    def partFiles(): Map[String, Set[String]] =
+      new java.io.File(dir).listFiles().filter(_.getName.startsWith("part="))
+        .map(d => d.getName -> d.listFiles().map(_.getName)
+          .filter(_.endsWith(".parquet")).toSet).toMap
+    val before = partFiles()
+    // update 2 keys, insert 1 new one
+    val updates = Seq((7L, "SEVEN"), (42L, "FORTY-TWO"), (101L, "new")).toDF("k", "v")
+    Scale.upsertByKey(spark, dir, updates, "k", 8)
+    val after = spark.read.parquet(dir).select("k", "v").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after.size == 101)
+    assert(after(7L) == "SEVEN" && after(42L) == "FORTY-TWO" && after(101L) == "new")
+    assert(after(8L) == "v8") // untouched keys keep their values
+    // dynamic overwrite: partitions not hit by an update keep their
+    // exact original files
+    val touched = updates.select(pmod(xxhash64($"k"), lit(8L))).collect()
+      .map("part=" + _.getLong(0)).toSet
+    val untouchedSame = partFiles().filter { case (p, _) => !touched(p) }
+    assert(untouchedSame.nonEmpty)
+    untouchedSame.foreach { case (p, files) =>
+      assert(files == before(p), s"partition $p was rewritten")
+    }
+  }
+
   test("writeShards: n disjoint sorted shards") {
     val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
     Scale.writeShards(Tables.documents(spark, sfDir), 4, "doc_id", dir)
