@@ -141,6 +141,39 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("property: idSplit never overflows, even at Long-extreme ids") {
+    // the pre-fix form (id * 2654435761 unmasked) throws
+    // ARITHMETIC_OVERFLOW under ANSI from id ≈ 3.47e9; the 31-bit mask
+    // must keep ANY id legal and replayable
+    val gen = Gen.oneOf(
+      Gen.choose(0L, Long.MaxValue),
+      Gen.const(Long.MaxValue), Gen.const(3470000000L), Gen.const(1L << 62))
+    val cases = samples(gen, 200).distinct.zipWithIndex.map(_.swap)
+    val got = graft.operators.Scale
+      .idSplit(cases.map(_._2).toDF("doc_id"), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.map(_._2).foreach { id =>
+      val b = java.lang.Math.floorMod(
+        java.lang.Math.floorMod(id, 2147483648L) * 2654435761L, 100L)
+      val want = if (b < 80) "train" else if (b < 90) "val" else "test"
+      assert(got(id) == want, s"id $id bucket $b")
+    }
+  }
+
+  test("property: per-row band buckets equal aggregated ones on random docs") {
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    val doc = Gen.choose(3, 12).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val cases = samples(doc, 60).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = cases.toDF("doc_id", "text")
+    val viaAgg = graft.dedup.Dedup.bandBuckets(df).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val viaExpr = graft.dedup.Dedup.shingleHashSets(df)
+      .select(col("doc_id"),
+        posexplode(graft.dedup.Dedup.bandBucketArray(col("hs"))).as(Seq("band", "bucket")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaExpr == viaAgg)
+  }
+
   test("property: nanToNull removes every NaN, preserves everything else") {
     val gen = Gen.frequency(
       6 -> Gen.choose(-1e6, 1e6),
