@@ -197,6 +197,30 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Sequential-funnel analysis over the events stream: users who signed
+    * up, then clicked AFTER signing up, then purchased AFTER that click —
+    * each stage a min-timestamp aggregation joined to the previous
+    * stage's frontier (three hash-aggs + two id-equality joins; no
+    * window over the full stream, no per-user collect). The per-stage
+    * time ordering is what distinguishes a funnel from three counts. */
+  val qFunnel: Q = (s, d) => {
+    val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("t_signup"))
+    val click = ev.filter(col("event_type") === "click")
+      .join(signup, "user_id").filter(col("ts") >= col("t_signup"))
+      .groupBy("user_id").agg(min("ts").as("t_click"))
+    val purchase = ev.filter(col("event_type") === "purchase")
+      .join(click, "user_id").filter(col("ts") >= col("t_click"))
+      .groupBy("user_id").agg(min("ts").as("t_purchase"))
+    signup.agg(count(lit(1)).as("n_signup"))
+      .crossJoin(click.agg(count(lit(1)).as("n_click")))
+      .crossJoin(purchase.agg(count(lit(1)).as("n_purchase")))
+      .select(col("n_signup"), col("n_click"), col("n_purchase"),
+        round(col("n_click") / col("n_signup"), 4).as("click_rate"),
+        round(col("n_purchase") / col("n_signup"), 4).as("purchase_rate"))
+  }
+
   /** Within-document repetition signals — the n-gram repetition quality
     * gates a web-scale curation pipeline runs per doc (duplicate-bigram
     * fraction and most-frequent-bigram mass; high values = boilerplate /
@@ -258,6 +282,7 @@ object Text {
     "q_decontam_bloom" -> qDecontamBloom,
     "q_repetition" -> qRepetition,
     "q_pack_sequences" -> qPackSequences,
+    "q_funnel" -> qFunnel,
     "q_vocab" -> qVocab,
     "q_sessionize" -> qSessionize,
     "q_curation" -> qCuration,
@@ -334,6 +359,28 @@ object Text {
         |    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
         |  (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_funnel" ->
+      """WITH signup AS (
+        | SELECT user_id, min(ts) AS t_signup FROM events
+        | WHERE event_type = 'signup' GROUP BY user_id),
+        |click AS (
+        | SELECT e.user_id, min(e.ts) AS t_click
+        | FROM events e JOIN signup s ON e.user_id = s.user_id
+        | WHERE e.event_type = 'click' AND e.ts >= s.t_signup
+        | GROUP BY e.user_id),
+        |purchase AS (
+        | SELECT e.user_id, min(e.ts) AS t_purchase
+        | FROM events e JOIN click c ON e.user_id = c.user_id
+        | WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+        | GROUP BY e.user_id)
+        |SELECT
+        | (SELECT count(*) FROM signup) AS n_signup,
+        | (SELECT count(*) FROM click) AS n_click,
+        | (SELECT count(*) FROM purchase) AS n_purchase,
+        | round(CAST((SELECT count(*) FROM click) AS DOUBLE)
+        |   / (SELECT count(*) FROM signup), 4) AS click_rate,
+        | round(CAST((SELECT count(*) FROM purchase) AS DOUBLE)
+        |   / (SELECT count(*) FROM signup), 4) AS purchase_rate""".stripMargin,
     "q_repetition" ->
       """WITH toks AS (
         | SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents),
