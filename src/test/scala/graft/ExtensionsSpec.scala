@@ -98,6 +98,19 @@ class ExtensionsSpec extends AnyFunSuite with SharedSpark {
     assert(garbage.getLong(4) == 0L)           // channels: none decoded
   }
 
+  test("GraftSession.tune wires confs, SQL functions, and the optimizer rule") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val s = GraftSession.tune(spark, before.toInt)
+      assert(s.conf.get("spark.sql.files.maxPartitionBytes") == (256L << 20).toString)
+      assert(s.conf.get("spark.sql.session.timeZone") == "UTC")
+      assert(s.sql("SELECT sorted_intersect_count(array(1L,2L), array(2L,3L))")
+        .head().getLong(0) == 1L)
+      assert(s.experimental.extraOptimizations
+        .contains(graft.functions.SortedIntersectRewrite))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("optimizer rule rewrites size(array_intersect) of sorted distinct sets") {
     GraftExtensions.install(spark)
     // spark.range input: literal Seqs would be constant-folded into a
