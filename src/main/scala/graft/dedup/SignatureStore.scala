@@ -75,7 +75,13 @@ object SignatureStore {
     import org.apache.spark.sql.functions._
     val store = read(spark, path)
     val exactLosers = Dedup.incrementalExactLosers(newDocs, store)
+    // persist: the pair subtree (signing + store joins + exact verify) is
+    // referenced three times by the drop policy below, and the returned
+    // frames re-reference it on every caller action — without the cache
+    // the dominant cost of the lifecycle runs 3×+. Released by the
+    // ContextCleaner when the returned frames are dropped.
     val pairs = Dedup.incrementalPairs(newDocs, store, threshold, numHashes, bands)
+      .persist()
     val storeIds = store.sets.select("doc_id")
     val dropPartnerOfStoreA = pairs
       .join(storeIds.withColumnRenamed("doc_id", "a_id"), Seq("a_id"), "left_semi")

@@ -18,8 +18,11 @@ import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType}
   * Soundness guards (all three load-bearing):
   *  - sorted: the side IS an ascending `sort_array` / default-comparator
   *    `array_sort` node (the merge needs order);
-  *  - distinct: an `array_distinct` sits inside the sort (array_intersect
-  *    dedups, the merge counts min-multiplicity — equal only on sets);
+  *  - distinct: the sort's DIRECT child is `array_distinct`
+  *    (array_intersect dedups, the merge counts min-multiplicity — equal
+  *    only on sets; an array_distinct merely somewhere BELOW the sort
+  *    proves nothing, since a concat/transform above it can reintroduce
+  *    duplicates);
   *  - long element type, `containsNull = false` (the merge reads raw
   *    longs; null elements also sort differently across the two sort
   *    functions);
@@ -54,7 +57,7 @@ object SortedIntersectRewrite extends Rule[LogicalPlan] {
       case _ => None
     }
     sortedChild.exists { c =>
-      c.exists { case _: ArrayDistinct => true; case _ => false } &&
+      c.isInstanceOf[ArrayDistinct] &&
         (e.dataType match {
           case ArrayType(LongType, containsNull) => !containsNull
           case _ => false

@@ -55,7 +55,9 @@ object DedupSim {
     val docs = Tables.documents(s, d)
     val batch1 = docs.filter(col("doc_id") % 2 === 0)
     val batch2 = docs.filter(col("doc_id") % 2 === 1)
-    val path = System.getProperty("java.io.tmpdir") + "/graft_sigstore"
+    // per-invocation store dir: a fixed shared path would let two
+    // concurrent graft processes overwrite each other mid-query
+    val path = java.nio.file.Files.createTempDirectory("graft_sigstore").toString
     SignatureStore.write(batch1, path)
     Dedup.incrementalPairs(batch2, SignatureStore.read(s, path), 0.6)
       .orderBy("a_id", "b_id")

@@ -68,7 +68,11 @@ object Ivf {
     * is directly what probe recall depends on. Degenerate corpus
     * (Σd² = 0: all points identical) falls back to first-k. */
   private def seedCentroids(v: DataFrame, k: Int): Centroids = {
-    val c0 = firstKSeeds(v, 1).head._2
+    val c0s = firstKSeeds(v, 1)
+    // empty corpus: degrade like first-k always did (empty centroid set,
+    // degenerate-but-defined results) instead of crashing at .head
+    if (c0s.isEmpty) return c0s
+    val c0 = c0s.head._2
     val c0Lit = array(c0.toIndexedSeq.map(lit): _*)
     val c0sq = c0.map(x => x * x).sum
     val withD2 = v.select(col("vec_id"), col("emb"),

@@ -112,11 +112,10 @@ object Streaming {
   def incrementalDedupStream(docs: DataFrame, store: graft.dedup.SignatureStore,
                              threshold: Double,
                              numHashes: Int = 64, bands: Int = 8): DataFrame = {
-    import graft.text.TextFunctions._
-    val withSig = docs
-      .withColumn("toks", tokens(col("text")))
-      .filter(size(col("toks")) >= 3)
-      .withColumn("hs", array_sort(transform(shingles3(col("toks")), s => xxhash64(s))))
+    // the ONE spec-pinned signature lineage (Dedup.shingleHashSets) —
+    // not a local re-derivation, so a tokenizer/shingling change can't
+    // silently desynchronize stream-side candidates from the store
+    val withSig = graft.dedup.Dedup.shingleHashSets(docs)
       .withColumn("bucket_arr",
         graft.dedup.Dedup.bandBucketArray(col("hs"), numHashes, bands))
       .select(col("doc_id"), col("hs"),

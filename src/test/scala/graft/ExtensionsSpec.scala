@@ -99,16 +99,24 @@ class ExtensionsSpec extends AnyFunSuite with SharedSpark {
   }
 
   test("GraftSession.tune wires confs, SQL functions, and the optimizer rule") {
-    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    // snapshot EVERY conf tune mutates — the shared session serves every
+    // suite, so a leaked codec/timezone would be order-dependent flake
+    val keys = Seq("spark.sql.shuffle.partitions", "spark.sql.session.timeZone",
+      "spark.sql.files.maxPartitionBytes", "spark.sql.parquet.compression.codec")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
     try {
-      val s = GraftSession.tune(spark, before.toInt)
+      val s = GraftSession.tune(spark,
+        spark.conf.get("spark.sql.shuffle.partitions").toInt)
       assert(s.conf.get("spark.sql.files.maxPartitionBytes") == (256L << 20).toString)
       assert(s.conf.get("spark.sql.session.timeZone") == "UTC")
       assert(s.sql("SELECT sorted_intersect_count(array(1L,2L), array(2L,3L))")
         .head().getLong(0) == 1L)
       assert(s.experimental.extraOptimizations
         .contains(graft.functions.SortedIntersectRewrite))
-    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("optimizer rule rewrites size(array_intersect) of sorted distinct sets") {
@@ -135,6 +143,15 @@ class ExtensionsSpec extends AnyFunSuite with SharedSpark {
       size(array_intersect(array_sort($"a"), array_sort($"b"))).as("n"))
     assert(!dups.queryExecution.optimizedPlan.toString
       .contains("sorted_intersect_count"), "no array_distinct proof → must not fire")
+    // an array_distinct BELOW the sort is not proof either: transform
+    // above it reintroduces duplicates (here: everything mod 2), where
+    // array_intersect dedups but a merge count would not
+    val reintroduced = base.select(size(array_intersect(
+      array_sort(transform(array_distinct($"a"), x => pmod(x, lit(2L)))),
+      array_sort(transform(array_distinct($"b"), x => pmod(x, lit(2L)))))).as("n"))
+    assert(!reintroduced.queryExecution.optimizedPlan.toString
+      .contains("sorted_intersect_count"),
+      "distinct-below-transform must not count as a distinctness proof")
   }
 
   test("resize stub: aspect preserved, no-op under bound, payload intact") {
