@@ -19,6 +19,10 @@ import graft.functions.GraftExtensions
   *    scan I/O than snappy.
   *  - UTC session timezone: timestamp determinism across engines (the
   *    DuckDB oracle replays in UTC).
+  *  - bloom-filter size caps raised to 10⁸ items / 2³⁰ bits:
+  *    `BloomFilterAggregate` silently CLAMPS to these confs (defaults:
+  *    4M items, 8 MB), which would quietly turn a large decontamination
+  *    sketch ([[graft.functions.BloomFilters]]) into a pass-through.
   *  - [[graft.functions.GraftExtensions]]: the custom expressions reach
   *    SQL strings, and the sorted-intersect optimizer rewrite is active.
   *
@@ -37,6 +41,8 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.files.maxPartitionBytes", (256L << 20).toString)
       .config("spark.sql.parquet.compression.codec", "zstd")
+      .config("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", (100_000_000L).toString)
+      .config("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", (1L << 30).toString)
 
   /** Apply the same wiring to an ALREADY-BUILT session (the harness
     * driver owns session construction): runtime-settable confs plus the
@@ -46,6 +52,10 @@ object GraftSession {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.files.maxPartitionBytes", (256L << 20).toString)
     spark.conf.set("spark.sql.parquet.compression.codec", "zstd")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
+      (100_000_000L).toString)
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
+      (1L << 30).toString)
     GraftExtensions.install(spark)
     spark
   }

@@ -108,8 +108,13 @@ object Dedup {
     val candidates = shingled(docs)
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
       .filter(might_contain(lit(bloomBytes), xxhash64(col("shingle"))))
+    // NO broadcast hint on the verify join — at the scale this function
+    // exists for, the probe set is exactly what can't broadcast; the
+    // bloom already shrank the candidate side to ~FPP of the corpus, so
+    // a shuffle semi-join of two small-ish sides is the right plan (and
+    // at testdata scale AQE broadcasts it on its own anyway)
     candidates
-      .join(broadcast(probeShingles), Seq("shingle"), "left_semi")
+      .join(probeShingles, Seq("shingle"), "left_semi")
       .select("doc_id").distinct()
   }
 

@@ -64,11 +64,16 @@ object SignatureStore {
     *
     * Drop policy per near-dup pair: the STORE side is always canonical
     * (those docs were already accepted by an earlier increment); within
-    * the batch, keep-min-id (greedy per pair, the standard streaming-
-    * corpus policy — a kept doc is one no smaller-id kept doc pairs
-    * with). Idempotent by construction: re-ingesting the same batch
-    * drops everything (spec-pinned). Docs too short to shingle can only
-    * be dropped by the exact-hash path. */
+    * the batch, CONSERVATIVE single-pass greedy — the larger id of EVERY
+    * new-new pair is dropped, whether or not its partner survives. On a
+    * chain (1,2),(2,3) this drops both 2 and 3 even though 3's only
+    * partner was itself dropped: near-dup chains lose everything but
+    * their smallest member. That over-drops relative to a
+    * frontier/cluster policy (which needs the iterative closure —
+    * [[Dedup.dupClusters]] — per increment) but guarantees pairwise-
+    * clean survivors in ONE pass with no iteration. Idempotent:
+    * re-ingesting the same batch drops everything (spec-pinned). Docs
+    * too short to shingle can only be dropped by the exact-hash path. */
   def ingest(spark: SparkSession, newDocs: DataFrame, path: String,
              threshold: Double,
              numHashes: Int = 64, bands: Int = 8): (DataFrame, DataFrame) = {
@@ -96,7 +101,9 @@ object SignatureStore {
     val dropped = exactLosers
       .union(dropPartnerOfStoreA).union(dropPartnerOfStoreB)
       .union(dropNewerOfNewPair).distinct()
-    val survivors = newDocs.join(dropped, Seq("doc_id"), "left_anti")
+    // survivors feed all three store-artifact writes AND the caller's
+    // actions — persisted so the exact-dedup + policy joins run once
+    val survivors = newDocs.join(dropped, Seq("doc_id"), "left_anti").persist()
     append(survivors, path, numHashes, bands)
     (survivors, dropped)
   }

@@ -17,6 +17,16 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
   * GB of strings. False positives make the filter one-sided (keeps ⊇
   * matches), so compositions must re-verify survivors exactly —
   * [[graft.dedup.Dedup.contaminatedByBloom]] does.
+  *
+  * SIZING CAVEAT: `BloomFilterAggregate` silently CLAMPS to
+  * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` (default 4M
+  * keys) and `...maxNumBits` (default 2²⁶ bits = 8 MB) — no error.
+  * Requesting the 10⁸-key sketch above at default confs yields an 8 MB
+  * filter at ~0.7 bits/key, FPP → 1, and the pre-filter degrades to a
+  * pass-through (output stays correct — the exact verify owns
+  * correctness — but the bloom buys nothing). Raise those two confs to
+  * the real probe cardinality before building big sketches;
+  * [[graft.GraftSession]] sets them as part of the recommended wiring.
   */
 object BloomFilters {
 

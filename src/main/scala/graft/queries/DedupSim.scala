@@ -51,15 +51,20 @@ object DedupSim {
     * deduped against the store + within-batch without touching yesterday's
     * text. Deterministic rows-only (xxhash64 banding isn't portable SQL);
     * the full-recompute-equality property is spec-proven (DedupSimSpec). */
+  /** One scratch store dir per JVM: isolated from concurrent processes
+    * (a fixed shared path would let two graft processes overwrite each
+    * other mid-query) without leaking a new directory per invocation
+    * (bench + verify run this query repeatedly; overwrite mode reuses
+    * the dir). */
+  private lazy val sigStoreScratch: String =
+    java.nio.file.Files.createTempDirectory("graft_sigstore").toString
+
   val qDedupIncremental: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     val batch1 = docs.filter(col("doc_id") % 2 === 0)
     val batch2 = docs.filter(col("doc_id") % 2 === 1)
-    // per-invocation store dir: a fixed shared path would let two
-    // concurrent graft processes overwrite each other mid-query
-    val path = java.nio.file.Files.createTempDirectory("graft_sigstore").toString
-    SignatureStore.write(batch1, path)
-    Dedup.incrementalPairs(batch2, SignatureStore.read(s, path), 0.6)
+    SignatureStore.write(batch1, sigStoreScratch)
+    Dedup.incrementalPairs(batch2, SignatureStore.read(s, sigStoreScratch), 0.6)
       .orderBy("a_id", "b_id")
   }
 

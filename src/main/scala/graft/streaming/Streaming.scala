@@ -100,11 +100,16 @@ object Streaming {
     * shingle-hash sets. Emits (doc_id, dup_of, jaccard): an arriving doc
     * flagged against every stored near-dup ≥ t.
     *
-    * No state store anywhere — the store side is a static parquet scan
-    * re-resolved per batch (so appending the batch's survivors between
-    * triggers is picked up automatically), and dedup WITHIN an increment
-    * stays the batch pass's job ([[graft.dedup.Dedup.incrementalPairs]]),
-    * keeping the stream unconditionally replay-safe. Statelessness has a
+    * No state store anywhere — the store side is a static parquet scan,
+    * and dedup WITHIN an increment stays the batch pass's job
+    * ([[graft.dedup.Dedup.incrementalPairs]]), keeping the stream
+    * unconditionally replay-safe. CAVEAT: a path-based parquet static
+    * side freezes its FILE LISTING when the store DataFrames are
+    * created — survivors appended to the store while this stream runs
+    * are NOT picked up by later micro-batches. To dedup against a store
+    * that grows mid-stream, rebuild the join inside `foreachBatch`
+    * (re-reading the store per batch) or back the store with a table
+    * format whose file index refreshes. Statelessness has a
     * price: a pair colliding in k > 1 bands is emitted k times
     * (a streaming `distinct` would grow a state store forever) — flag
     * consumers key on (doc_id, dup_of), where the multiplicity is

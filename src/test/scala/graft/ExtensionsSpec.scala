@@ -102,7 +102,9 @@ class ExtensionsSpec extends AnyFunSuite with SharedSpark {
     // snapshot EVERY conf tune mutates — the shared session serves every
     // suite, so a leaked codec/timezone would be order-dependent flake
     val keys = Seq("spark.sql.shuffle.partitions", "spark.sql.session.timeZone",
-      "spark.sql.files.maxPartitionBytes", "spark.sql.parquet.compression.codec")
+      "spark.sql.files.maxPartitionBytes", "spark.sql.parquet.compression.codec",
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
     val saved = keys.map(k => k -> spark.conf.getOption(k))
     try {
       val s = GraftSession.tune(spark,
