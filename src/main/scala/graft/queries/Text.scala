@@ -197,6 +197,30 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Count-based bigram language model over the corpus: conditional
+    * probabilities P(w2 | w1) = c(w1,w2) / Σ_w c(w1,w) for bigrams seen
+    * ≥ 5 times — the n-gram-LM estimation step (quality/perplexity
+    * scoring's statistical core) as two hash-aggs and one join on w1.
+    * Integer-count division is IEEE-exact, so the probabilities compare
+    * bit-for-bit cross-engine. */
+  val qNgramLm: Q = (s, d) => {
+    val bg = Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val cnt = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy("w1").agg(sum("c").as("tot"))
+    cnt.join(tot, "w1")
+      .filter(col("c") >= 5)
+      .select(col("w1"), col("w2"), col("c"),
+        round(col("c") / col("tot"), 4).as("p_cond"))
+      .orderBy("w1", "w2")
+  }
+
   /** Sequential-funnel analysis over the events stream: users who signed
     * up, then clicked AFTER signing up, then purchased AFTER that click —
     * each stage a min-timestamp aggregation joined to the previous
@@ -283,6 +307,7 @@ object Text {
     "q_repetition" -> qRepetition,
     "q_pack_sequences" -> qPackSequences,
     "q_funnel" -> qFunnel,
+    "q_ngram_lm" -> qNgramLm,
     "q_vocab" -> qVocab,
     "q_sessionize" -> qSessionize,
     "q_curation" -> qCuration,
@@ -359,6 +384,21 @@ object Text {
         |    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
         |  (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_ngram_lm" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents),
+        |bg AS (
+        | SELECT unnest(list_transform(range(1, len(ts)),
+        |   i -> {'w1': ts[i], 'w2': ts[i+1]})) AS p
+        | FROM toks WHERE len(ts) >= 2),
+        |cnt AS (
+        | SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS c FROM bg GROUP BY 1, 2),
+        |tot AS (SELECT w1, CAST(sum(c) AS BIGINT) AS t FROM cnt GROUP BY w1)
+        |SELECT cnt.w1, cnt.w2, CAST(cnt.c AS BIGINT) AS c,
+        | round(CAST(cnt.c AS DOUBLE) / tot.t, 4) AS p_cond
+        |FROM cnt JOIN tot ON cnt.w1 = tot.w1
+        |WHERE cnt.c >= 5
+        |ORDER BY cnt.w1, cnt.w2""".stripMargin,
     "q_funnel" ->
       """WITH signup AS (
         | SELECT user_id, min(ts) AS t_signup FROM events
