@@ -379,9 +379,12 @@ object Dedup {
     * spec-proven: store(b1) pairs ∪ incremental(b2 | store(b1)) equals
     * minhashPairs(b1 ∪ b2) (DedupSimSpec).
     *
-    * Scale shape: the store is parquet keyed by (band, bucket); the
-    * cross join shuffles only the new batch's buckets (tiny vs corpus)
-    * against it, and the store never re-derives signatures. Assumes
+    * Scale shape: the store's buckets are a DISK-BUCKETED table on
+    * (band, bucket) ([[SignatureStore.BucketCount]]), so the cross join
+    * plans with no exchange on the store side — only the new batch's
+    * buckets (tiny vs corpus) shuffle into the store's layout
+    * (spec-pinned, DedupSimSpec) — and the store never re-derives
+    * signatures. Assumes
     * doc_ids are globally unique across runs (a curation pipeline's
     * invariant). */
   def incrementalPairs(newDocs: DataFrame, store: SignatureStore,

@@ -13,20 +13,64 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * ever tokenized/shingled/hashed; the historical corpus contributes
   * 8-byte bucket keys and hash arrays straight from parquet.
   *
-  * 100 TB notes: `buckets` is the join-heavy side — on a real cluster
-  * write it bucketed/partitioned by (band, bucket % N) so each daily
-  * increment's bucket join is co-located with the store layout instead of
-  * shuffling the full store; `sets` is only ever joined on doc_id for the
-  * (small) candidate list, so a semi-join prunes the scan to candidate
-  * row groups.
+  * 100 TB layout: `buckets` is the join-heavy side, so it is PERSISTED
+  * BUCKETED on (band, bucket) — written via `bucketBy(BucketCount).
+  * saveAsTable` to an explicit location, re-registered from disk by
+  * [[SignatureStore.read]] in later sessions — and each increment's
+  * (new × store) bucket join plans with NO exchange on the store side:
+  * only the new batch (tiny vs corpus) shuffles into the store's layout
+  * (spec-pinned in DedupSimSpec). `sets` is only ever joined on doc_id
+  * for the (small) candidate list, so a semi-join prunes that scan to
+  * candidate row groups; it stays flat parquet.
   */
 final case class SignatureStore(buckets: DataFrame, sets: DataFrame,
                                 hashes: DataFrame)
 
 object SignatureStore {
+  /** Disk-bucket count for the `buckets` artifact. Every writer and
+    * reader of one store path must agree on it (the table registration
+    * pins it; saveAsTable append validates against the existing spec).
+    * 8 matches the test harness's parallelism; a 100 TB deployment
+    * raises it to O(cluster cores) — e.g. 4096 — when the store is
+    * FIRST created. Appends add files per bucket, so also re-compact
+    * (one bucketed rewrite) if increments make buckets many-filed. */
+  val BucketCount = 8
+
   private def bucketsPath(path: String) = s"$path/buckets"
   private def setsPath(path: String) = s"$path/sets"
   private def hashesPath(path: String) = s"$path/hashes"
+
+  /** Catalog table name for a store path's buckets — path-derived so
+    * distinct stores in one session never collide and re-registration
+    * is idempotent per path. */
+  private def bucketsTable(path: String): String =
+    "graft_sigstore_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(bucketsPath(path).getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+
+  /** Re-register the bucketed external table over an existing on-disk
+    * store (fresh session — the cross-run case: the in-memory catalog
+    * died with the session that wrote the store, but the bucket-id file
+    * naming survives on disk, so a CLUSTERED BY re-registration restores
+    * exchange-free reads). No-op when already registered. */
+  private def registerBuckets(spark: SparkSession, path: String): Unit = {
+    val tbl = bucketsTable(path)
+    if (!spark.catalog.tableExists(tbl)) {
+      val loc = bucketsPath(path)
+      val ddl = spark.read.parquet(loc).schema.toDDL
+      spark.sql(
+        s"""CREATE TABLE $tbl ($ddl) USING PARQUET
+           |CLUSTERED BY (band, bucket) SORTED BY (band, bucket)
+           |INTO $BucketCount BUCKETS
+           |LOCATION '$loc'""".stripMargin): Unit
+    }
+  }
+
+  private def deleteDir(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) { fs.delete(p, true); () }
+  }
 
   /** Compute the store frames for a batch (nothing is written):
     * band buckets + shingle-hash sets (near-dup) and content hashes
@@ -81,10 +125,11 @@ object SignatureStore {
     val store = read(spark, path)
     val exactLosers = Dedup.incrementalExactLosers(newDocs, store)
     // persist: the pair subtree (signing + store joins + exact verify) is
-    // referenced three times by the drop policy below, and the returned
-    // frames re-reference it on every caller action — without the cache
-    // the dominant cost of the lifecycle runs 3×+. Released by the
-    // ContextCleaner when the returned frames are dropped.
+    // referenced three times by the drop policy below — without the cache
+    // the dominant cost of the lifecycle runs 3×+. Explicitly unpersisted
+    // below once the append write has materialized `dropped` and
+    // `survivors` into their own caches (a long-lived session running
+    // daily increments must not accumulate blocks waiting on GC).
     val pairs = Dedup.incrementalPairs(newDocs, store, threshold, numHashes, bands)
       .persist()
     val storeIds = store.sets.select("doc_id")
@@ -100,27 +145,47 @@ object SignatureStore {
       .select(col("b_id").as("doc_id"))
     val dropped = exactLosers
       .union(dropPartnerOfStoreA).union(dropPartnerOfStoreB)
-      .union(dropNewerOfNewPair).distinct()
+      .union(dropNewerOfNewPair).distinct().persist()
     // survivors feed all three store-artifact writes AND the caller's
     // actions — persisted so the exact-dedup + policy joins run once
     val survivors = newDocs.join(dropped, Seq("doc_id"), "left_anti").persist()
-    append(survivors, path, numHashes, bands)
+    try append(survivors, path, numHashes, bands)
+    finally { pairs.unpersist(); () } // dropped + survivors now hold the results
     (survivors, dropped)
   }
 
-  def read(spark: SparkSession, path: String): SignatureStore =
-    SignatureStore(spark.read.parquet(bucketsPath(path)),
+  def read(spark: SparkSession, path: String): SignatureStore = {
+    registerBuckets(spark, path)
+    SignatureStore(spark.table(bucketsTable(path)),
       spark.read.parquet(setsPath(path)),
       spark.read.parquet(hashesPath(path)))
+  }
 
   private def save(store: SignatureStore, path: String, mode: String): Unit = {
+    val spark = store.sets.sparkSession
     // three artifacts, one shingling: the sets frame feeds the bucket
     // derivation, so cache it across the two writes (eager, so the
     // unpersist in `finally` is safe)
     val sets = store.sets.persist()
     try {
       sets.write.mode(mode).parquet(setsPath(path))
-      store.buckets.write.mode(mode).parquet(bucketsPath(path))
+      val tbl = bucketsTable(path)
+      if (mode == "overwrite") {
+        // drop + clear location so the CREATE under saveAsTable starts
+        // clean (CTAS refuses a non-empty external location)
+        spark.sql(s"DROP TABLE IF EXISTS $tbl"): Unit
+        deleteDir(spark, bucketsPath(path))
+      } else if (new java.io.File(bucketsPath(path).stripPrefix("file:")).exists()) {
+        // appending from a session that didn't create the store: restore
+        // the table entry first so saveAsTable validates the bucket spec
+        // instead of creating a fresh (conflicting) table
+        registerBuckets(spark, path)
+      }
+      store.buckets.write.mode(mode)
+        .bucketBy(BucketCount, "band", "bucket").sortBy("band", "bucket")
+        .option("path", bucketsPath(path))
+        .format("parquet")
+        .saveAsTable(tbl)
       store.hashes.write.mode(mode).parquet(hashesPath(path))
     } finally { sets.unpersist(); () }
   }

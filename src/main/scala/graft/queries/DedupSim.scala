@@ -51,20 +51,24 @@ object DedupSim {
     * deduped against the store + within-batch without touching yesterday's
     * text. Deterministic rows-only (xxhash64 banding isn't portable SQL);
     * the full-recompute-equality property is spec-proven (DedupSimSpec). */
-  /** One scratch store dir per JVM: isolated from concurrent processes
-    * (a fixed shared path would let two graft processes overwrite each
-    * other mid-query) without leaking a new directory per invocation
-    * (bench + verify run this query repeatedly; overwrite mode reuses
-    * the dir). */
-  private lazy val sigStoreScratch: String =
+  /** One scratch ROOT per JVM (isolated from concurrent graft
+    * processes), one SUBDIRECTORY per invocation: two concurrent
+    * invocations in the same JVM (parallel bench/verify threads) would
+    * otherwise overwrite the store one of them is mid-read on —
+    * silently wrong rows, not an error. The per-invocation leak is
+    * bounded: bench + verify run this query a handful of times against
+    * kilobyte-scale stores, all under one auto-cleaned tmp root. */
+  private lazy val sigStoreRoot: String =
     java.nio.file.Files.createTempDirectory("graft_sigstore").toString
+  private val sigStoreRun = new java.util.concurrent.atomic.AtomicLong(0L)
 
   val qDedupIncremental: Q = (s, d) => {
+    val scratch = s"$sigStoreRoot/run_${sigStoreRun.incrementAndGet()}"
     val docs = Tables.documents(s, d)
     val batch1 = docs.filter(col("doc_id") % 2 === 0)
     val batch2 = docs.filter(col("doc_id") % 2 === 1)
-    SignatureStore.write(batch1, sigStoreScratch)
-    Dedup.incrementalPairs(batch2, SignatureStore.read(s, sigStoreScratch), 0.6)
+    SignatureStore.write(batch1, scratch)
+    Dedup.incrementalPairs(batch2, SignatureStore.read(s, scratch), 0.6)
       .orderBy("a_id", "b_id")
   }
 

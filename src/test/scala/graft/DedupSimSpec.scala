@@ -243,6 +243,74 @@ class DedupSimSpec extends AnyFunSuite with SharedSpark {
     assert(updated.hashes.count() == d.count())
   }
 
+  test("incrementalPairs: store side of the bucket join plans with NO exchange") {
+    // the 100 TB contract of the persisted layout: a daily increment must
+    // not re-shuffle the historical corpus's buckets. Broadcast would hide
+    // the question at test scale (and stops applying long before 100 TB),
+    // so force shuffle joins and disable AQE to inspect the static plan.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val d = Tables.documents(spark, sfDir)
+    val path = java.nio.file.Files.createTempDirectory("graft_sigstore_plan").toString
+    graft.dedup.SignatureStore.write(d.filter($"doc_id" % 2 === 0), path)
+    val store = graft.dedup.SignatureStore.read(spark, path)
+    val conf = spark.conf
+    val saved = Seq("spark.sql.adaptive.enabled", "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.get(k))
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = Dedup
+        .incrementalPairs(d.filter($"doc_id" % 2 === 1), store, 0.6)
+        .queryExecution.executedPlan
+      def storeSideNoShuffle(side: SparkPlan): Boolean = {
+        val bucketScans = side.collect {
+          case s: FileSourceScanExec if s.relation.bucketSpec.isDefined &&
+            s.relation.location.rootPaths.exists(_.toString.contains("graft_sigstore_plan")) => s
+        }
+        bucketScans.nonEmpty &&
+          side.collect { case e: ShuffleExchangeExec => e }.isEmpty
+      }
+      val joinSides = plan.collect {
+        case j: SortMergeJoinExec => Seq(j.left, j.right)
+        case j: ShuffledHashJoinExec => Seq(j.left, j.right)
+      }.flatten
+      assert(joinSides.exists(storeSideNoShuffle),
+        "no shuffle join reads the store's buckets exchange-free:\n" + plan)
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
+  test("store read after catalog loss re-registers the bucketed table from disk") {
+    // cross-run reality: the session that wrote the store is gone, and
+    // with it the in-memory catalog entry. read() must restore the
+    // CLUSTERED BY registration from the on-disk bucket files so the
+    // next increment still joins exchange-free — and see identical rows.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val d = Tables.documents(spark, sfDir).limit(200)
+    val path = java.nio.file.Files.createTempDirectory("graft_sigstore_reg").toString
+    graft.dedup.SignatureStore.write(d, path)
+    val before = graft.dedup.SignatureStore.read(spark, path)
+      .buckets.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // simulate the fresh session: drop THIS store's catalog entry
+    // (external table — the bucket files stay on disk); name derivation
+    // mirrors SignatureStore.bucketsTable
+    val tbl = "graft_sigstore_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$path/buckets".getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    spark.sql(s"DROP TABLE $tbl")
+    val reread = graft.dedup.SignatureStore.read(spark, path)
+    assert(reread.buckets.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet == before)
+    val bucketed = reread.buckets.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec if s.relation.bucketSpec.isDefined => s
+    }
+    assert(bucketed.nonEmpty, "re-registered scan lost the bucket spec")
+    // appending from the 'new session' still validates against the spec
+    graft.dedup.SignatureStore.append(
+      Tables.documents(spark, sfDir).limit(250).filter($"doc_id" >= 200), path)
+    assert(graft.dedup.SignatureStore.read(spark, path).buckets.count() > before.size)
+  }
+
   test("ingest increment: drops dups vs store and batch, appends survivors, idempotent") {
     val d = Tables.documents(spark, sfDir)
     val b1 = d.filter($"doc_id" % 2 === 0)
