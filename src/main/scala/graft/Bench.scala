@@ -31,18 +31,29 @@ object Bench {
           "q_dedup_incremental", "q_image_decode")
         .foreach(q => SparkEntry.queries.get(q).foreach(fn => materialize(fn(spark, sfDir))))
     } catch { case _: Throwable => () }
+    // a crashing query must surface as an error, NOT as its
+    // time-to-failure (which would let a regression that breaks a query
+    // *improve* the bench total): failures are excluded from the timing
+    // map and totals and reported in a separate "errors" object
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = try { materialize(fn(spark, sfDir)); None } catch {
+        case t: Throwable =>
+          Some(Option(t.getMessage).getOrElse(t.getClass.getName)
+            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200))
+      }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val ok = results.collect { case (k, v, None) => k -> v }
+    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val errs = results.collect { case (k, _, Some(e)) => s"\"$k\":\"$e\"" }
+      .mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
     // "materialization" documents the timing methodology change from r1
     // (count(), which let Catalyst elide final sorts) to the noop write
     // (full plan incl. sorts) — totals are not directly comparable to r1
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","materialization":"noop-write"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","materialization":"noop-write"}"""
     println(json)
     // Stdout of this run may be tail-truncated by the harness that
     // launched it; the on-disk copy keeps the complete per-query map

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Scaling-curve measurement: time the HEAVY operators (dedup, ANN,
+  * curation, decontamination — the 100 TB-relevant paths) at two scale
+  * factors a 10× data step apart and report per-query wall-time ratios.
+  * Converts the repo's "this plan scales ~linearly" claims (PLANS.md,
+  * PlanSpec) from plan-audit into measurement: a query whose time grows
+  * much faster than the data step has a super-linear stage a plan
+  * inspection missed.
+  *
+  * Methodology mirrors [[Bench]] (noop-write materialization = full
+  * physical plan, no sink I/O), with a full warm-up pass at the smallest
+  * scale factor first so JIT/codegen/footer-cache cold starts don't
+  * inflate the small-sf numbers (which would *understate* the ratios).
+  * Output: one JSON line on stdout + `target/bench_scaling.json`.
+  */
+object BenchScaling {
+  private def materialize(df: DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
+
+  /** The scale-relevant subset: every dedup/similarity/curation path
+    * plus the two decontamination variants. Cheap relational queries are
+    * excluded — at these scale factors they are fixed-overhead-dominated
+    * and their ratios would measure scheduling, not the operator. */
+  private val heavy = Seq(
+    "q_dedup_exact", "q_dedup_jaccard", "q_dedup_clusters",
+    "q_dedup_minhash", "q_dedup_simhash", "q_dedup_incremental",
+    "q_dedup_embed", "q_knn_brute", "q_knn_lsh", "q_knn_ivf",
+    "q_decontam", "q_decontam_bloom", "q_curation", "q_curate_full",
+    "q_fingerprint", "q_token_topk")
+
+  def main(args: Array[String]): Unit = {
+    val smallDir = sys.env.getOrElse("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.01")
+    val bigDir = sys.env.getOrElse("SPARK_GRAFT_SF_BIG", "/root/testdata/sf0.1")
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_SF_WARM", "/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def pass(dir: String): Map[String, Either[String, Double]] =
+      heavy.map { name =>
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        val r = try { materialize(fn(spark, dir)); Right((System.nanoTime() - t0) / 1e9) }
+        catch { case t: Throwable =>
+          Left(Option(t.getMessage).getOrElse(t.getClass.getName)
+            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)) }
+        name -> r
+      }.toMap
+
+    pass(warmDir): Unit // warm-up: JIT + codegen + class loading
+    val small = pass(smallDir)
+    val big = pass(bigDir)
+    val entries = heavy.map { name =>
+      (small(name), big(name)) match {
+        case (Right(s), Right(b)) =>
+          val ratio = if (s > 0) b / s else Double.NaN
+          f""""$name":{"small_sec":$s%.3f,"big_sec":$b%.3f,"ratio":$ratio%.2f}"""
+        case (s, b) =>
+          val err = Seq(s.left.toOption.map("small: " + _),
+            b.left.toOption.map("big: " + _)).flatten.mkString("; ")
+          s""""$name":{"err":"$err"}"""
+      }
+    }.mkString("{", ",", "}")
+    val json =
+      s"""{"metric":"scaling","small":"$smallDir","big":"$bigDir","data_step":10.0,"queries":$entries,"materialization":"noop-write"}"""
+    println(json)
+    val out = java.nio.file.Paths.get("target/bench_scaling.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8")): Unit
+    spark.stop()
+  }
+}

@@ -127,9 +127,9 @@ object SignatureStore {
     // persist: the pair subtree (signing + store joins + exact verify) is
     // referenced three times by the drop policy below — without the cache
     // the dominant cost of the lifecycle runs 3×+. Explicitly unpersisted
-    // below once the append write has materialized `dropped` and
-    // `survivors` into their own caches (a long-lived session running
-    // daily increments must not accumulate blocks waiting on GC).
+    // once the `dropped` checkpoint below has materialized (a long-lived
+    // session running daily increments must not accumulate blocks
+    // waiting on GC).
     val pairs = Dedup.incrementalPairs(newDocs, store, threshold, numHashes, bands)
       .persist()
     val storeIds = store.sets.select("doc_id")
@@ -143,15 +143,38 @@ object SignatureStore {
       .join(storeIds.withColumnRenamed("doc_id", "a_id"), Seq("a_id"), "left_anti")
       .join(storeIds.withColumnRenamed("doc_id", "b_id"), Seq("b_id"), "left_anti")
       .select(col("b_id").as("doc_id"))
-    val dropped = exactLosers
-      .union(dropPartnerOfStoreA).union(dropPartnerOfStoreB)
-      .union(dropNewerOfNewPair).distinct().persist()
-    // survivors feed all three store-artifact writes AND the caller's
-    // actions — persisted so the exact-dedup + policy joins run once
-    val survivors = newDocs.join(dropped, Seq("doc_id"), "left_anti").persist()
-    try append(survivors, path, numHashes, bands)
-    finally { pairs.unpersist(); () } // dropped + survivors now hold the results
+    // The returned frames are locally-CHECKPOINTED (lineage cut), not
+    // merely persisted — load-bearing, not a convenience: the append
+    // below ends with Spark's refreshByPath on the store location, which
+    // invalidates and lazily RE-COMPILES every cached plan referencing
+    // the store's files. A persisted `survivors` would therefore silently
+    // recompute against the GROWN store on the caller's next action —
+    // where every surviving doc exact-matches its own just-appended
+    // signature — and collapse to the empty set (observed; spec-pinned in
+    // StreamingSpec/DedupSimSpec). Checkpointed rows reference nothing,
+    // so they are immune. Blocks release when the frames are GC'd; swap
+    // for a reliable checkpoint dir on a real cluster.
+    val (survivors, dropped) =
+      try {
+        val dropped = exactLosers
+          .union(dropPartnerOfStoreA).union(dropPartnerOfStoreB)
+          .union(dropNewerOfNewPair).distinct().localCheckpoint()
+        (newDocs.join(dropped, Seq("doc_id"), "left_anti").localCheckpoint(), dropped)
+      } finally { pairs.unpersist(); () }
+    append(survivors, path, numHashes, bands)
     (survivors, dropped)
+  }
+
+  /** Drop this session's cached relation/file-listing entry for the
+    * store's bucketed table, so the next [[read]] re-lists the location.
+    * Needed before reading a store ANOTHER process may have appended to:
+    * same-session appends refresh the catalog entry automatically (the
+    * insert command invalidates it), but a foreign writer's new bucket
+    * files are invisible to a session that cached the listing. No-op if
+    * the table isn't registered yet. */
+  def refresh(spark: SparkSession, path: String): Unit = {
+    val tbl = bucketsTable(path)
+    if (spark.catalog.tableExists(tbl)) spark.catalog.refreshTable(tbl)
   }
 
   def read(spark: SparkSession, path: String): SignatureStore = {

@@ -65,7 +65,10 @@ object Multimodal {
         // per-partition init would open the codec once here
         it.map { case (id, bytes) =>
           val n = bytes.length.toLong
-          val mean = if (n == 0) 0.0 else bytes.map(b => (b & 0xff).toLong).sum.toDouble / n
+          var sum = 0L
+          var i = 0
+          while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
+          val mean = if (n == 0) 0.0 else sum.toDouble / n
           MediaFeature(id, n, mean, 64 + (n % 512).toInt, 64 + (n * 7 % 512).toInt)
         }
       }

@@ -85,8 +85,22 @@ object Scale {
     * not the table: the mutation pattern for a corpus that receives
     * corrections, next to the append-only signature-store path (a table
     * format like Iceberg/Delta buys ACID on top; the data movement is
-    * exactly this). NOT safe under concurrent writers — that's what the
-    * table formats' commit protocols add. */
+    * exactly this).
+    *
+    * Failure semantics — two WARNINGS a deployment must plan around:
+    *  - NOT crash-atomic. A crash while the merge job is still WRITING
+    *    is safe (the V1 committer stages output and touches old files
+    *    only at commitJob, after this function's read finished), but a
+    *    crash DURING the commit's delete-then-rename phase can leave a
+    *    touched partition deleted and not yet replaced — those
+    *    partitions' pre-upsert rows are gone and must be RESTORED FROM
+    *    SOURCE (re-derive the lost partitions' rows and [[writeKeyed]]-
+    *    style rewrite them; spec-pinned recovery in ScaleSpec). The read
+    *    also depends on the frozen InMemoryFileIndex listing taken
+    *    before the write begins. A table format's transactional commit
+    *    closes both windows; the data movement is unchanged.
+    *  - NOT safe under concurrent writers — that's what the table
+    *    formats' commit protocols add. */
   def upsertByKey(spark: SparkSession, path: String, updates: DataFrame,
                   keyCol: String, buckets: Int): Unit = {
     val upd = updates
@@ -228,9 +242,33 @@ object Scale {
       .repartitionByRange(parts, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
       .localCheckpoint(eager = true)
-    // rows per (now frozen) partition — driver-sized by construction
-    val counts = sorted.groupBy(spark_partition_id().as("__pid")).count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // rows per (now frozen) partition — driver-sized by construction.
+    // The same job GUARDS the monotonically_increasing_id bit-layout
+    // assumption (pid << 33 | counter is "the current implementation"
+    // per Spark's docs): if a future Spark changes the layout, ids would
+    // silently corrupt at deploy time — so verify, per partition, that
+    // the high bits equal the pid and the low 33 bits are exactly the
+    // contiguous counter 0..n-1, and fail loudly otherwise.
+    val lowMask = (1L << 33) - 1
+    val stats = sorted
+      .select(spark_partition_id().as("__pid"),
+        monotonically_increasing_id().as("__mid"))
+      .groupBy(col("__pid"))
+      .agg(count(lit(1)).as("n"),
+        min(shiftrightunsigned(col("__mid"), 33)).as("hi_min"),
+        max(shiftrightunsigned(col("__mid"), 33)).as("hi_max"),
+        min(col("__mid").bitwiseAND(lit(lowMask))).as("lo_min"),
+        max(col("__mid").bitwiseAND(lit(lowMask))).as("lo_max"))
+      .collect()
+    stats.foreach { r =>
+      val (pid, n) = (r.getInt(0), r.getLong(1))
+      require(r.getLong(2) == pid && r.getLong(3) == pid &&
+        r.getLong(4) == 0L && r.getLong(5) == n - 1,
+        s"monotonically_increasing_id bit layout changed (partition $pid: " +
+          s"hi=[${r.getLong(2)},${r.getLong(3)}] lo=[${r.getLong(4)},${r.getLong(5)}] " +
+          s"n=$n) — denseIds needs a new per-partition index derivation")
+    }
+    val counts = stats.map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = (0 until parts).scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L))
     val offsetByPid = typedLit((0 until parts).map(p => p -> offsets(p)).toMap)
     sorted.withColumn(idCol,

@@ -140,6 +140,53 @@ object Streaming {
       .select(col("doc_id"), col("dup_of"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** STREAMING INGEST — the store-GROWTH-aware form of
+    * [[incrementalDedupStream]]: instead of one stream-static join whose
+    * store file listing freezes when the stream starts, each micro-batch
+    * runs the FULL [[graft.dedup.SignatureStore.ingest]] lifecycle inside
+    * `foreachBatch` — flag duplicates against (store ∪ batch), drop them,
+    * APPEND the survivors' signatures — re-reading the store per batch
+    * (plus an explicit [[graft.dedup.SignatureStore.refresh]], so bucket
+    * files appended by a DIFFERENT process between triggers are re-listed
+    * too). A near-dup arriving a micro-batch after its original is
+    * therefore dropped — the frozen-listing join provably misses it
+    * (spec-pinned, StreamingSpec). The store must exist at `storePath`
+    * before the stream starts ([[graft.dedup.SignatureStore.write]] a
+    * seed batch, possibly empty).
+    *
+    * Batch i's survivors land at `outPath/survivors/batch_id=i` and its
+    * dropped ids at `outPath/dropped/batch_id=i` (idempotent per-batch
+    * overwrite, same pattern as [[runForeachBatchParquet]]).
+    *
+    * Exactly-once CAVEAT: the store append and the checkpoint commit are
+    * two non-atomic writes. A crash BETWEEN them replays the batch
+    * against a store that already holds its signatures, so the replayed
+    * docs exact-match themselves and the batch's survivor set
+    * under-reports (the store itself stays duplicate-free — re-appending
+    * zero survivors is harmless). A transactional table format under the
+    * store (or staging appends keyed by batch id) closes that window;
+    * the data movement is unchanged. */
+  def runStreamingIngest(spark: SparkSession, docs: DataFrame,
+                         storePath: String, threshold: Double,
+                         outPath: String, checkpointDir: String,
+                         numHashes: Int = 64, bands: Int = 8): Unit = {
+    val q = docs.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.dedup.SignatureStore.refresh(spark, storePath)
+        // ingest returns checkpointed snapshots (their blocks release
+        // with the closure's references once this batch completes)
+        val (survivors, dropped) = graft.dedup.SignatureStore.ingest(
+          spark, batch, storePath, threshold, numHashes, bands)
+        survivors.write.mode("overwrite").parquet(s"$outPath/survivors/batch_id=$id")
+        dropped.write.mode("overwrite").parquet(s"$outPath/dropped/batch_id=$id")
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** foreachBatch parquet sink — the escape hatch to any batch writer,
     * made replay-safe: each micro-batch overwrites its own
     * `batch_id=<id>` directory, so a batch replayed after a failure

@@ -325,6 +325,13 @@ class DedupSimSpec extends AnyFunSuite with SharedSpark {
     assert((sIds & dIds).isEmpty)
     assert(sIds.size + dIds.size == b2.count())
     assert(dIds.nonEmpty, "fixture should drop some cross-parity near-dups")
+    // survivors must be NON-empty and stable after the append: a cached
+    // (rather than checkpointed) frame recomputes against the grown
+    // store post-append, where every survivor exact-matches itself, and
+    // silently collapses to ∅ — every other assertion here would still
+    // pass in that degenerate state
+    assert(sIds.nonEmpty, "ingest returned no survivors — post-append recompute bug")
+    assert(survivors.select("doc_id").collect().map(_.getLong(0)).toSet == sIds)
     // the clean-corpus guarantee: survivors qualify against NOTHING —
     // not the pre-ingest store (those were dropped) and not each other
     // (every new-new pair drops its larger id), so re-running the

@@ -93,9 +93,15 @@ class ScaleSpec extends AnyFunSuite with SharedSpark {
       conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "20KB")
       conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "10KB")
       conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
-      // 50k rows on ONE key vs 100 spread keys; payload pads partition size
+      // 50k rows on ONE key vs 100 spread keys; the payload pads the hot
+      // partition's size and is PSEUDO-RANDOM HEX so shuffle compression
+      // can't collapse it under the 20KB skew threshold on any
+      // codec/version (a constant pad compressed to nearly nothing and
+      // flaked the assertion)
+      def pad(i: Int): String =
+        (0 until 8).map(j => f"${i * 2654435761L + j * 40503L}%016x").mkString
       val big = (1 to 50000).map(i => (if (i <= 49900) 7L else (i % 100).toLong,
-        "x" * 40 + i)).toDF("k", "payload")
+        pad(i))).toDF("k", "payload")
       val dim = (0 until 100).map(i => (i.toLong, s"d$i")).toDF("k", "name")
       val joined = big.join(dim, "k")
       // collect() executes joined's OWN query execution (count() would
@@ -135,6 +141,46 @@ class ScaleSpec extends AnyFunSuite with SharedSpark {
     untouchedSame.foreach { case (p, files) =>
       assert(files == before(p), s"partition $p was rewritten")
     }
+  }
+
+  test("upsertByKey crash window: a partition lost at commit is restorable from source") {
+    // the DOCUMENTED failure mode (Scale.upsertByKey): a crash during
+    // commitJob's delete-then-rename phase can leave a touched partition
+    // deleted but not yet replaced. Simulate that end state by removing
+    // one touched partition dir, then run the documented recovery —
+    // re-derive the lost partition's rows from the source of truth and
+    // rewrite JUST that partition (dynamic overwrite) — and verify the
+    // table is whole again.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_crash").toString
+    val base = (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
+    Scale.writeKeyed(base, "k", 8, dir)
+    val updates = Seq((7L, "SEVEN"), (101L, "new")).toDF("k", "v")
+    Scale.upsertByKey(spark, dir, updates, "k", 8)
+    val lostPart = updates.select(pmod(xxhash64($"k"), lit(8L))).head().getLong(0)
+    val lostDir = new java.io.File(dir, s"part=$lostPart")
+    assert(lostDir.isDirectory)
+    lostDir.listFiles().foreach(f => assert(f.delete()))
+    assert(lostDir.delete())
+    assert(spark.read.parquet(dir).count() < 101) // the crash lost rows
+    // recovery: source of truth = base with updates applied (what a real
+    // deployment re-derives from its upstream corpus + correction log)
+    val truth = base.join(updates.select($"k"), Seq("k"), "left_anti")
+      .unionByName(updates)
+    val lostRows = truth
+      .withColumn("part", pmod(xxhash64($"k"), lit(8L)))
+      .filter($"part" === lostPart)
+    val saved = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try lostRows.write.mode("overwrite").partitionBy("part").parquet(dir)
+    finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val after = spark.read.parquet(dir).select("k", "v").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after.size == 101)
+    assert(after(7L) == "SEVEN" && after(101L) == "new" && after(8L) == "v8")
   }
 
   test("writeShards: n disjoint sorted shards") {

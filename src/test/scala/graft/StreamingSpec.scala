@@ -49,6 +49,84 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
       s"stream missed ${(expected -- flagged).size}, fabricated ${(flagged -- expected).size}")
   }
 
+  test("streaming ingest sees store growth from earlier micro-batches") {
+    // the frozen-file-listing caveat, closed: batch 2's drop decisions
+    // must depend on signatures batch 1 APPENDED mid-stream, which the
+    // one-shot stream-static join can never see.
+    val d = Tables.documents(spark, sfDir)
+    val b0 = d.filter(col("doc_id") % 3 === 0)
+    val b1 = d.filter(col("doc_id") % 3 === 1)
+    val b2 = d.filter(col("doc_id") % 3 === 2)
+    val storePath = java.nio.file.Files.createTempDirectory("graft_singest_store").toString
+    graft.dedup.SignatureStore.write(b0, storePath)
+    // stream input: one file per micro-batch, ordered by mod time
+    val inDir = java.nio.file.Files.createTempDirectory("graft_singest_in").toFile
+    def addFile(df: org.apache.spark.sql.DataFrame, name: String, modTime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_singest_tmp").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(inDir, name)
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      assert(dst.setLastModified(modTime))
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    addFile(b1, "0001.parquet", t0)
+    addFile(b2, "0002.parquet", t0 + 30000)
+    val outPath = java.nio.file.Files.createTempDirectory("graft_singest_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_singest_ckpt").toString
+    val stream = spark.readStream.schema(d.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+    Streaming.runStreamingIngest(spark, stream, storePath, 0.6, outPath, ckpt)
+    // equivalence: the streamed two-batch ingest == sequential batch
+    // ingests (the mid-sequence pair/loser snapshots are collected
+    // EAGERLY — the store DataFrames re-list files on action, so lazy
+    // frames would silently see the post-b2 store)
+    val seqPath = java.nio.file.Files.createTempDirectory("graft_singest_seq").toString
+    graft.dedup.SignatureStore.write(b0, seqPath)
+    val (seqS1, _) = graft.dedup.SignatureStore.ingest(spark, b1, seqPath, 0.6)
+    val storeMid = graft.dedup.SignatureStore.read(spark, seqPath)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val exactMid = ids(graft.dedup.Dedup.incrementalExactLosers(b2, storeMid))
+    val pairsMid = graft.dedup.Dedup.incrementalPairs(b2, storeMid, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (seqS2, _) = graft.dedup.SignatureStore.ingest(spark, b2, seqPath, 0.6)
+    val streamS1 = ids(spark.read.parquet(s"$outPath/survivors/batch_id=0"))
+    val streamS2 = ids(spark.read.parquet(s"$outPath/survivors/batch_id=1"))
+    assert(streamS1 == ids(seqS1))
+    assert(streamS2 == ids(seqS2))
+    // the growth-detection witness: a batch-2 doc dropped ONLY because of
+    // a b1-survivor near-dup partner appended mid-stream — droppable for
+    // no other reason (not vs b0, not within-batch, not an exact loser).
+    // The frozen-listing stream-static join could never drop it.
+    val dropped2 = ids(spark.read.parquet(s"$outPath/dropped/batch_id=1"))
+    val dueToB1 = pairsMid.collect {
+      case (a, b) if a % 3 == 1 && b % 3 == 2 => b
+      case (a, b) if b % 3 == 1 && a % 3 == 2 => a
+    }.toSet
+    val withinDrops = pairsMid.collect {
+      case (a, b) if a % 3 == 2 && b % 3 == 2 => b
+    }.toSet
+    val vsB0Only = {
+      val p0 = java.nio.file.Files.createTempDirectory("graft_singest_b0").toString
+      graft.dedup.SignatureStore.write(b0, p0)
+      val s0 = graft.dedup.SignatureStore.read(spark, p0)
+      ids(graft.dedup.Dedup.incrementalPairs(b2, s0, 0.6)
+        .filter(col("a_id") % 3 === 0 || col("b_id") % 3 === 0)
+        .select(when(col("a_id") % 3 === 2, col("a_id"))
+          .otherwise(col("b_id")).as("doc_id")))
+    }
+    val witness = dueToB1 -- vsB0Only -- withinDrops -- exactMid
+    assert(witness.nonEmpty,
+      "no batch-2 drop depended solely on batch-1's mid-stream append — fixture too weak")
+    assert(witness.subsetOf(dropped2),
+      s"stream missed growth-dependent drops: ${witness -- dropped2}")
+    // and the store grew to cover every accepted doc
+    assert(graft.dedup.SignatureStore.read(spark, storePath).hashes.count() ==
+      b0.count() + streamS1.size + streamS2.size)
+  }
+
   test("foreachBatch sink: batch-id overwrite is replay-idempotent") {
     val out = java.nio.file.Files.createTempDirectory("graft_fb_out").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_fb_ckpt").toString
