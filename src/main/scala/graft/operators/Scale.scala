@@ -204,6 +204,27 @@ object Scale {
     df.withColumn("split", expr)
   }
 
+  /** Deterministic per-stratum sampling from a stable id key — the
+    * oracle-replayable form of `df.stat.sampleBy`: keep a row iff its
+    * hash bucket ((id mod 2³¹) · 2246822519 mod 100) falls below the
+    * stratum's kept PERCENTAGE. Same shuffle-free, RNG-free,
+    * re-tokenization-stable properties as [[idSplit]] (any engine
+    * replays it bit-identically — the DuckDB oracle does), and the same
+    * 31-bit mask: the product tops out at 2³¹·2246822519 ≈ 4.8e18 <
+    * 2⁶³−1, so ANSI mode never overflows at any id. The multiplier
+    * DIFFERS from [[idSplit]]'s on purpose: with the same constant a
+    * 25% sample would be a strict subset of the train split (the two
+    * decisions would read the same bucket), biasing any pipeline that
+    * composes them. Strata absent from `percents` are dropped. */
+  def stratifiedHashSample(df: DataFrame, idCol: String, strataCol: String,
+                           percents: Map[String, Int]): DataFrame = {
+    require(percents.values.forall(p => p >= 0 && p <= 100),
+      "percentages must be in [0, 100]")
+    val bucket = pmod(pmod(col(idCol), lit(2147483648L)) * lit(2246822519L), lit(100L))
+    val rate = coalesce(element_at(typedLit(percents), col(strataCol)), lit(0))
+    df.filter(bucket < rate)
+  }
+
   /** Deterministic dense ids 1..n ordered by `sortCols`, WITHOUT the
     * single-partition global window that `row_number().over(Window.orderBy)`
     * costs: range-repartition on the sort key (total order across

@@ -83,16 +83,17 @@ object Relational3 {
         col("cnt"))
       .orderBy("l_returnflag")
 
-  /** Seeded stratified sample (per-stratum Bernoulli rates via sampleBy)
-    * — the training-data mixing knob: downsample over-represented strata
-    * at read time, no shuffle at all. Rows-only (RNG is engine-specific);
-    * the spec asserts per-stratum rates land near the requested
-    * fractions. */
+  /** Stratified sample — the training-data mixing knob: downsample
+    * over-represented strata at read time, no shuffle at all. The
+    * DETERMINISTIC id-hash form ([[graft.operators.Scale.stratifiedHashSample]]:
+    * keep iff Knuth-hash bucket < stratum percent) rather than seeded
+    * `sampleBy`, so the DuckDB oracle replays the exact row set
+    * bit-identically; the seeded-RNG variant stays spec-covered
+    * (ScaleSpec) as the when-you-don't-need-replayability option. */
   val qSampleStratified: Q = (s, d) =>
-    Tables.documents(s, d)
-      .stat.sampleBy("lang",
-        Map("en" -> 0.25, "es" -> 0.8, "fr" -> 0.8, "de" -> 0.8, "zh" -> 0.8),
-        42L)
+    graft.operators.Scale.stratifiedHashSample(
+      Tables.documents(s, d), "doc_id", "lang",
+      Map("en" -> 25, "es" -> 80, "fr" -> 80, "de" -> 80, "zh" -> 80))
       .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
       .orderBy("lang")
 
@@ -274,6 +275,16 @@ object Relational3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_sample_stratified" ->
+      """SELECT lang, count(*) AS n_sampled FROM (
+        | SELECT lang,
+        |  ((doc_id % 2147483648) * 2246822519) % 100 AS bucket
+        | FROM documents)
+        |WHERE bucket < CASE lang WHEN 'en' THEN 25
+        |                         WHEN 'es' THEN 80 WHEN 'fr' THEN 80
+        |                         WHEN 'de' THEN 80 WHEN 'zh' THEN 80
+        |                         ELSE 0 END
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_null_safe_join" ->
       """SELECT coalesce(nullif(c_nationkey, 3), -1) AS nation_key,
         | count(*) AS n_pairs

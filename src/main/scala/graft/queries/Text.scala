@@ -295,10 +295,20 @@ object Text {
       .groupBy("split", "lang").agg(count(lit(1)).as("cnt"))
       .orderBy("split", "lang")
 
+  /** Approximate heavy hitters: top-20 tokens via the bucket-capped
+    * two-phase plan ([[graft.text.HeavyHitters]]) — the scale path for
+    * corpora whose vocabulary is too large to shuffle exactly.
+    * Deterministic rows-only (xxhash64 bucketing isn't portable SQL);
+    * recall + exact-count parity vs [[qTokenTopk]] are spec-pinned. */
+  val qHeavyHitters: Q = (s, d) =>
+    graft.text.HeavyHitters.topTokens(
+      Tables.documents(s, d).select(explode(tokens(col("text"))).as("token")), 20)
+
   val all: Map[String, Q] = Map(
     "q_text_stats" -> qTextStats,
     "q_text_quality" -> qTextQuality,
     "q_token_topk" -> qTokenTopk,
+    "q_heavy_hitters" -> qHeavyHitters,
     "q_lang_id" -> qLangId,
     "q_fingerprint" -> qFingerprint,
     "q_redact" -> qRedact,

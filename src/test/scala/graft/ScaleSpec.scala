@@ -202,6 +202,37 @@ class ScaleSpec extends AnyFunSuite with SharedSpark {
     assert(total == Tables.documents(spark, sfDir).count())
   }
 
+  test("stratifiedHashSample: near-target rates, deterministic, split-uncorrelated") {
+    val docs = Tables.documents(spark, sfDir)
+    val pc = Map("en" -> 25, "es" -> 80, "fr" -> 80, "de" -> 80, "zh" -> 80)
+    def rates(df: org.apache.spark.sql.DataFrame): Map[String, Double] = {
+      val full = docs.groupBy("lang").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      df.groupBy("lang").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1).toDouble / full(r.getString(0))).toMap
+    }
+    val s1 = Scale.stratifiedHashSample(docs, "doc_id", "lang", pc)
+    val r = rates(s1)
+    pc.foreach { case (lang, p) =>
+      assert(math.abs(r.getOrElse(lang, 0.0) - p / 100.0) < 0.25,
+        s"$lang rate ${r.get(lang)} vs requested ${p / 100.0}")
+    }
+    // bit-identical on re-evaluation (no RNG state anywhere)
+    val ids1 = s1.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Scale.stratifiedHashSample(docs, "doc_id", "lang", pc)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+    // decorrelated from idSplit: the 25% en-sample must NOT be a subset
+    // of en-train (same-constant hashing would make it one)
+    val enTrain = Scale.idSplit(docs.filter(col("lang") === "en"), "doc_id")
+      .filter(col("split") === "train")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val enSample = Scale.stratifiedHashSample(
+        docs.filter(col("lang") === "en"), "doc_id", "lang", Map("en" -> 25))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((enSample -- enTrain).nonEmpty, "sample ⊆ train: hash constants correlated")
+  }
+
   test("stratified sample respects per-stratum fractions") {
     val docs = Tables.documents(spark, sfDir)
     val fractions = Map("en" -> 0.25, "es" -> 0.8, "fr" -> 0.8, "de" -> 0.8, "zh" -> 0.8)

@@ -64,4 +64,39 @@ class TextSpec extends AnyFunSuite with SharedSpark {
       .select(TextFunctions.tokenCountBpeIsh(TextFunctions.tokens($"text"))).head().getLong(0)
     assert(r == 1 + 2)
   }
+
+  test("heavy hitters: >=0.9 recall vs exact top-k, reported counts are exact") {
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(TextFunctions.tokens($"text")).as("token"))
+    val k = 20
+    val exact = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("token")).limit(k)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val approx = graft.text.HeavyHitters.topTokens(toks, k)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(approx.length == k)
+    val recall = exact.map(_._1).count(approx.map(_._1).toSet).toDouble / k
+    assert(recall >= 0.9, s"recall $recall vs exact top-$k")
+    // counts are EXACT, not estimates: every reported pair must match
+    // the true global count (collisions add candidates, never inflate)
+    val truth = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    approx.foreach { case (t, c) => assert(truth(t) == c, s"count off for '$t'") }
+  }
+
+  test("heavy hitters: survives tiny bucket budget (collision-heavy) with exact counts") {
+    // 64 buckets over a ~10k-token vocab: every bucket collides; counts
+    // must STILL be exact (phase 2 recounts tokens, not buckets), and the
+    // result keeps the requested arity. Recall may drop — that's the
+    // documented accuracy/shuffle trade.
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(TextFunctions.tokens($"text")).as("token"))
+    val approx = graft.text.HeavyHitters
+      .topTokens(toks, 10, numBuckets = 64, candidateFactor = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(approx.length == 10)
+    val truth = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    approx.foreach { case (t, c) => assert(truth(t) == c) }
+  }
 }
