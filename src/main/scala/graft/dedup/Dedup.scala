@@ -84,6 +84,28 @@ object Dedup {
       .select("doc_id").distinct()
   }
 
+  /** GRADED contamination — the overlap metric behind [[contaminatedBy]]'s
+    * binary flag: per corpus doc, the fraction of its distinct word
+    * 3-grams that appear anywhere in the probe set. A decontamination
+    * policy thresholding on overlap (drop ≥ 0.8, keep ≤ 0.05, review
+    * between) needs the fraction, not the flag; docs too short to
+    * shingle are excluded (no denominator). Same scale shape as the flag
+    * path: probe shingles broadcast, corpus pays one per-shingle lookup
+    * + a map-side-combinable doc_id agg — no corpus shuffle beyond the
+    * (doc_id, hit) pairs. Returns (doc_id, n_shingles, overlap). */
+  def contaminationOverlap(docs: DataFrame, probes: DataFrame): DataFrame = {
+    val probeShingles = shingled(probes)
+      .select(explode(col("sh")).as("shingle")).distinct()
+      .withColumn("hit", lit(1L))
+    shingled(docs)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .join(broadcast(probeShingles), Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        round(sum(coalesce(col("hit"), lit(0L))).cast("double") / count(lit(1)), 4)
+          .as("overlap"))
+  }
+
   /** Benchmark decontamination via a BLOOM-FILTER pre-filter — the shape
     * for probe sets too large to broadcast as a semi-join build side
     * ([[contaminatedBy]]'s limit): the probe shingle set collapses to a

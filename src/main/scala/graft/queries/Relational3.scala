@@ -97,6 +97,27 @@ object Relational3 {
       .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
       .orderBy("lang")
 
+  /** Fixed-SIZE per-stratum sample — exactly n docs per lang (vs the
+    * rate sampling of [[qSampleStratified]], whose output size is
+    * binomial): rank within each stratum by the Knuth-hashed id — a
+    * seedless pseudo-random total order any engine replays (the
+    * multiplier is odd, so ·2654435761 mod 2³¹ permutes ids < 2³¹
+    * bijectively) — and keep the first 20. Plan: the rank-≤-n predicate
+    * over the window becomes partial WindowGroupLimit, so each task
+    * keeps ≤ n rows PER STRATUM before the lang exchange — the
+    * post-shuffle partition sees n·tasks rows, never the stratum. */
+  val qSampleFixedN: Q = (s, d) => {
+    val hv = pmod(pmod(col("doc_id"), lit(2147483648L)) * lit(2654435761L),
+      lit(2147483648L))
+    Tables.documents(s, d)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy(hv.asc, col("doc_id").asc)))
+      .filter(col("rk") <= 20)
+      .select(col("lang"), col("doc_id"), col("rk").cast("long").as("rk"))
+      .orderBy("lang", "rk")
+  }
+
   /** TPC-H Q5-shaped six-table join — revenue per nation for one region
     * and a date band. The plan showcase the star schema exists for:
     * region/nation broadcast (tiny dims), customer/supplier broadcast or
@@ -272,6 +293,7 @@ object Relational3 {
     "q_window_range_frame" -> qWindowRangeFrame,
     "q_approx_percentile" -> qApproxPercentile,
     "q_sample_stratified" -> qSampleStratified,
+    "q_sample_fixed_n" -> qSampleFixedN,
   )
 
   val oracles: Map[String, String] = Map(
@@ -285,6 +307,17 @@ object Relational3 {
         |                         WHEN 'de' THEN 80 WHEN 'zh' THEN 80
         |                         ELSE 0 END
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_sample_fixed_n" ->
+      """WITH h AS (
+        | SELECT lang, doc_id,
+        |  ((doc_id % 2147483648) * 2654435761) % 2147483648 AS hv
+        | FROM documents),
+        |r AS (
+        | SELECT lang, doc_id,
+        |  row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rk
+        | FROM h)
+        |SELECT lang, doc_id, rk FROM r WHERE rk <= 20
+        |ORDER BY lang, rk""".stripMargin,
     "q_null_safe_join" ->
       """SELECT coalesce(nullif(c_nationkey, 3), -1) AS nation_key,
         | count(*) AS n_pairs

@@ -88,15 +88,53 @@ object Relational4 {
       .orderBy("flag")
   }
 
+  /** One scratch root per JVM, one subdirectory per invocation (same
+    * isolation rationale as DedupSim's signature-store scratch). */
+  private lazy val jsonlScratch: String =
+    java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+  private val jsonlRun = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** JSONL round-trip through the schema'd source layer: the documents
+    * table is exported as JSON-lines — the interchange format LLM
+    * corpora actually ship as — then re-read with a DECLARED schema +
+    * PERMISSIVE corrupt-record quarantine ([[graft.sources.Sources]])
+    * and aggregated per stratum with id/char checksums. The oracle
+    * computes the same aggregate from the parquet table directly, so a
+    * green row certifies the export+parse is LOSSLESS (ids, text
+    * lengths, strata all survive JSON escaping) and `n_docs` proves
+    * nothing was quarantined. */
+  val qJsonlRoundtrip: Q = (s, d) => {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val dir = s"$jsonlScratch/run_${jsonlRun.incrementAndGet()}"
+    graft.sources.Sources.writeJsonl(
+      Tables.documents(s, d).select("doc_id", "text", "lang"), dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    val (good, _) = graft.sources.Sources.quarantine(
+      graft.sources.Sources.readJsonl(s, dir, schema))
+    good.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("total_chars"),
+        sum("doc_id").as("id_sum"))
+      .orderBy("lang")
+  }
+
   val all: Map[String, Q] = Map(
     "q_weighted_mean" -> qWeightedMean,
     "q_window_percent_rank" -> qWindowPercentRank,
     "q_array_funcs" -> qArrayFuncs,
     "q_date_arith" -> qDateArith,
     "q_histogram" -> qHistogram,
+    "q_jsonl_roundtrip" -> qJsonlRoundtrip,
   )
 
   val oracles: Map[String, String] = Map(
+    "q_jsonl_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        | CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_weighted_mean" ->
       """SELECT l_returnflag AS flag,
         | round(sum(l_quantity * l_extendedprice) / sum(l_extendedprice), 4) AS wmean

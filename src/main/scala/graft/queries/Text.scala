@@ -93,6 +93,46 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Graded decontamination: per-doc fraction of distinct 3-gram shingles
+    * shared with the probe set ([[graft.dedup.Dedup.contaminationOverlap]]) —
+    * the threshold input a real decontamination policy reads, where
+    * q_decontam only flags. Oracle replays the distinct-shingle left join
+    * in DuckDB. */
+  val qContamOverlap: Q = (s, d) => {
+    val all = Tables.documents(s, d)
+    graft.dedup.Dedup.contaminationOverlap(
+        all.filter(col("doc_id") >= 5), all.filter(col("doc_id") < 5))
+      .orderBy("doc_id")
+  }
+
+  /** Per-document LM quality signal (CCNet-style filtering): perplexity
+    * of each doc under the corpus's OWN bigram LM ([[qNgramLm]]'s
+    * estimator, unfiltered — every doc bigram was counted from this
+    * corpus, so P > 0 and no smoothing is needed). Low perplexity =
+    * templated/repetitive, high = noise — the two tails a quality filter
+    * trims. Plan: one bigram explode, two hash-aggs for the LM, one
+    * (w1,w2) equi-join back to the doc bigram instances, one doc agg —
+    * every stage partial-aggregatable, nothing vocab²-sized. */
+  val qDocPerplexity: Q = (s, d) => {
+    val bg = Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val cnt = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy("w1").agg(sum("c").as("tot"))
+    val lm = cnt.join(tot, "w1")
+      .select(col("w1"), col("w2"), (col("c").cast("double") / col("tot")).as("p"))
+    bg.join(lm, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(exp(-avg(log(col("p")))), 2).as("ppl"))
+      .orderBy("doc_id")
+  }
+
   /** Vocabulary construction: tokens ranked by global frequency into
     * dense ids (count desc, token asc tiebreak) — the id-assignment step
     * of tokenizer training, top 100 here. The vocab cap comes FIRST
@@ -314,6 +354,8 @@ object Text {
     "q_redact" -> qRedact,
     "q_decontam" -> qDecontam,
     "q_decontam_bloom" -> qDecontamBloom,
+    "q_contam_overlap" -> qContamOverlap,
+    "q_doc_perplexity" -> qDocPerplexity,
     "q_repetition" -> qRepetition,
     "q_pack_sequences" -> qPackSequences,
     "q_funnel" -> qFunnel,
@@ -497,6 +539,33 @@ object Text {
         |SELECT DISTINCT doc_id FROM e
         |WHERE doc_id >= 5 AND shingle IN (SELECT shingle FROM probe)
         |ORDER BY doc_id""".stripMargin,
+    "q_contam_overlap" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents),
+        |sh AS (
+        | SELECT doc_id, list_distinct(list_transform(range(1, len(ts)-1),
+        |   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+        | FROM toks WHERE len(ts) >= 3),
+        |e AS (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id >= 5),
+        |probe AS (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id < 5)
+        |SELECT e.doc_id, count(*) AS n_shingles,
+        | round(CAST(count(probe.shingle) AS DOUBLE) / count(*), 4) AS overlap
+        |FROM e LEFT JOIN probe ON e.shingle = probe.shingle
+        |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin,
+    "q_doc_perplexity" ->
+      """WITH t AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents),
+        |bg AS (
+        | SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+        | FROM t, unnest(range(1, len(ts))) AS u(i) WHERE len(ts) >= 2),
+        |cnt AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+        |tot AS (SELECT w1, sum(c) AS tot FROM cnt GROUP BY 1),
+        |lm AS (SELECT w1, w2, CAST(c AS DOUBLE) / tot AS p
+        |       FROM cnt JOIN tot USING (w1))
+        |SELECT doc_id, count(*) AS n_bigrams,
+        | round(exp(-avg(ln(p))), 2) AS ppl
+        |FROM bg JOIN lm USING (w1, w2)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_vocab" ->
       """WITH counts AS (
         | SELECT token, count(*) AS cnt FROM (

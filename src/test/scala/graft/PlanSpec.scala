@@ -61,6 +61,14 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
     // codegen markers in the pre-execution plan string)
   }
 
+  test("q_sample_fixed_n: rank<=n plans as WindowGroupLimit, not full-stratum sort") {
+    // each task must keep <= n rows per stratum BEFORE the lang
+    // exchange; without the partial WindowGroupLimit the whole stratum
+    // funnels through one post-shuffle window task
+    val p = planString("q_sample_fixed_n")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q_multi_join: date filter pushed, tiny dims broadcast") {
     val p = planString("q_multi_join")
     assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
