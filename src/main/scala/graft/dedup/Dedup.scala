@@ -485,9 +485,28 @@ object Dedup {
     } finally edges.unpersist()
   }
 
-  /** 64-bit SimHash per doc as two 32-bit words (avoids sign-bit overflow
-    * in a single long under ANSI mode). Token-hash bit votes. */
+  /** 64-bit SimHash per doc as two 32-bit words, computed PER ROW by the
+    * codegen'd [[graft.functions.SimHash64]] expression — signing is a
+    * pure scan stage: no token explode, no doc_id shuffle, no 64-buffer
+    * aggregation (the word split survives only as the downstream column
+    * contract; the expression itself is plain Java long math with no
+    * ANSI overflow to dodge). Empty-token docs are excluded, matching
+    * the aggregated path (explode emitted no row for them). */
   def simhash(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs
+      .filter(size(toks) > 0)
+      .select(col("doc_id"),
+        graft.functions.SimHash64.simhash64(toks).as("sig"))
+      .select(col("doc_id"),
+        col("sig").bitwiseAND(lit(0xFFFFFFFFL)).as("w0"),
+        shiftrightunsigned(col("sig"), 32).as("w1"))
+  }
+
+  /** The aggregated SimHash derivation the expression replaced — kept as
+    * the independent REFEREE for the parity spec (explode → 64 ±1-vote
+    * sums per doc → word packing; shuffles every token occurrence). */
+  private[graft] def simhashAggregated(docs: DataFrame): DataFrame = {
     val tok = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
       .withColumn("h", xxhash64(col("t")))

@@ -140,6 +140,24 @@ object Streaming {
       .select(col("doc_id"), col("dup_of"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Streaming EXACT dedup with BOUNDED state: drop rows whose content
+    * hash was already seen within the event-time watermark window.
+    * Plain streaming `dropDuplicates` keys state forever — unbounded
+    * growth on an unbounded stream; `dropDuplicatesWithinWatermark`
+    * evicts a key's state once the watermark passes it, so memory is
+    * O(keys per watermark window) at any stream length. The contract a
+    * crawl-ingest front door wants: exact copies land together or close
+    * (re-fetches, mirror bursts), so a disorder-bounded window catches
+    * them; copies farther apart than the watermark are the batch/store
+    * layer's job ([[runStreamingIngest]]'s exact-hash path, which
+    * consults ALL history). Emits first-seen rows. */
+  def dedupedStream(docs: DataFrame, tsCol: String, watermark: String): DataFrame =
+    docs
+      .withColumn("__h", xxhash64(col("text")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__h")
+      .drop("__h")
+
   /** STREAMING INGEST — the store-GROWTH-aware form of
     * [[incrementalDedupStream]]: instead of one stream-static join whose
     * store file listing freezes when the stream starts, each micro-batch

@@ -88,6 +88,21 @@ class DedupSimSpec extends AnyFunSuite with SharedSpark {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("per-row simhash64 expression is bit-identical to the aggregated referee") {
+    // the codegen'd expression replaced the explode+64-vote-agg path in
+    // the hot pipeline; both derive from xxhash64(token, seed 42) ±1
+    // votes, so every (w0, w1) must match exactly — corpus-wide, not
+    // just on toy docs (multiplicity, ties, and unicode all exercised)
+    val d = Tables.documents(spark, sfDir)
+    val fast = Dedup.simhash(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ref = Dedup.simhashAggregated(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fast.keySet == ref.keySet)
+    assert(fast.nonEmpty)
+    fast.foreach { case (id, sig) => assert(sig == ref(id), s"doc $id differs") }
+  }
+
   test("brute-force knn is exact and deterministic") {
     val vecs = Tables.embeddings(spark, sfDir)
     val res = Similarity.bruteTopK(vecs, vecs.filter($"vec_id" < 2), 5).collect()

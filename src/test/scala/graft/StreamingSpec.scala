@@ -49,6 +49,28 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
       s"stream missed ${(expected -- flagged).size}, fabricated ${(flagged -- expected).size}")
   }
 
+  test("dedupedStream: bounded-state dedup emits exactly one row per in-window content") {
+    val base = Tables.documents(spark, sfDir).limit(50)
+      .withColumn("ts", col("doc_id").cast("timestamp"))
+    // planted copies arrive 60s after their originals — inside the
+    // 10-minute disorder window, so state still remembers the original
+    val copies = base.filter(col("doc_id") < 10)
+      .withColumn("doc_id", col("doc_id") + 100000)
+      .withColumn("ts", col("ts") + expr("INTERVAL 60 SECONDS"))
+    val inDir = java.nio.file.Files.createTempDirectory("graft_ddw_in").toString
+    val all = base.unionByName(copies)
+    all.write.mode("overwrite").parquet(inDir)
+    val stream = spark.readStream.schema(all.schema).parquet(inDir)
+    val out = Streaming.runAvailableNow(spark,
+      Streaming.dedupedStream(stream, "ts", "10 minutes"),
+      "stream_ddw", org.apache.spark.sql.streaming.OutputMode.Append())
+    // exactly one survivor per distinct content (the corpus itself has
+    // planted exact dups, so expected = distinct texts of the union)
+    val expected = all.select("text").distinct().count()
+    assert(out.count() == expected)
+    assert(out.select("text").distinct().count() == expected)
+  }
+
   test("streaming ingest sees store growth from earlier micro-batches") {
     // the frozen-file-listing caveat, closed: batch 2's drop decisions
     // must depend on signatures batch 1 APPENDED mid-stream, which the
