@@ -13,8 +13,11 @@ import org.apache.spark.sql.types._
   * decode UDF). IMAGE decode is REAL: [[decodeImages]] runs
   * `javax.imageio` (PNG/BMP/GIF/JPEG, built into every JVM) per row with
   * per-row fallback to the deterministic stub for payloads no installed
-  * reader accepts. Audio/video decode stays a STUB ([[stubDecode]] — no
-  * such codecs ship with the JVM or this container); swap the decode
+  * reader accepts. AUDIO decode is REAL for WAV/AU/AIFF:
+  * [[decodeAudio]] runs `javax.sound.sampled` (also in every JVM — no
+  * external codec) with the same per-row stub fallback. Compressed
+  * audio (mp3/ogg) and video stay STUBS ([[stubDecode]] — those codecs
+  * ship with neither the JVM nor this container); swap the decode
   * closure for a codec binding at deploy time, nothing else changes.
   */
 object Multimodal {
@@ -180,4 +183,91 @@ object Multimodal {
     decoded.select(
       col("media_id"),
       explode(sequence(lit(0), col("meta.n_frames") - 1, lit(every))).as("frame_idx"))
+
+  /** Deterministic synthetic WAVs, ENCODED ON EXECUTORS (PCM 16-bit
+    * mono): sample rate, frame count, and a sine frequency are pure
+    * functions of the id, so a later decode is verifiable by
+    * recomputing those functions — the fixture generator for the real
+    * audio path ([[decodeAudio]]), exactly parallel to
+    * [[syntheticPngs]]. `javax.sound.sampled` writes the RIFF container
+    * — in every JVM, zero new deps. */
+  def syntheticWavs(spark: SparkSession, ids: DataFrame): DataFrame = {
+    import spark.implicits._
+    ids.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val rate = 8000 + (id % 4).toInt * 4000 // 8/12/16/20 kHz
+        val frames = (rate / 100) * (1 + (id % 5).toInt) // 10–50 ms
+        val freq = 200.0 + (id % 20) * 50.0
+        val data = new Array[Byte](frames * 2)
+        var i = 0
+        while (i < frames) {
+          val s = (math.sin(2 * math.Pi * freq * i / rate) * 0.5 * 32767.0).toInt
+          data(2 * i) = (s & 0xff).toByte
+          data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        (id, bos.toByteArray)
+      }
+    }.toDF("media_id", "payload")
+  }
+
+  /** Row-level result of the REAL audio decode stage. */
+  case class DecodedAudio(media_id: Long, media_type: String,
+                          sample_rate: Long, channels: Long, n_frames: Long,
+                          duration_ms: Double, rms: Double, decoded: Boolean)
+
+  /** REAL audio decode: `javax.sound.sampled` (WAV/AU/AIFF — whatever
+    * the JVM's AudioSystem registry parses, no external codec deps)
+    * inside the same mapPartitions batch shape as [[decodeImages]],
+    * with the same per-row stub fallback (`decoded = false`, metadata
+    * derived from byte length) for payloads no reader accepts — so a
+    * mixed corpus (PCM + compressed formats this JVM can't read) flows
+    * through one stage. Emits container metadata AND a signal-level
+    * feature (RMS amplitude over 16-bit samples) to prove the samples
+    * themselves were decoded, not just the header. */
+  def decodeAudio(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val ais =
+            try javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+          if (ais == null) {
+            val n = bytes.length.toLong
+            DecodedAudio(id, "application/octet-stream",
+              8000 + n % 16000, 1L, n / 2, 0.0, 0.0, decoded = false)
+          } else {
+            val fmt = ais.getFormat
+            val frames = ais.getFrameLength
+            val raw = ais.readAllBytes()
+            // RMS over little-endian 16-bit samples (the PCM case; other
+            // sample widths report container metadata with rms = 0)
+            var sumSq = 0.0
+            var n = 0
+            if (fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian) {
+              var i = 0
+              while (i + 1 < raw.length) {
+                val s = ((raw(i + 1) << 8) | (raw(i) & 0xff)).toShort.toDouble
+                sumSq += s * s
+                n += 1
+                i += 2
+              }
+            }
+            DecodedAudio(id, "audio/decoded",
+              fmt.getSampleRate.toLong, fmt.getChannels.toLong, frames,
+              frames * 1000.0 / fmt.getSampleRate,
+              if (n == 0) 0.0 else math.sqrt(sumSq / n),
+              decoded = true)
+          }
+        }
+      }.toDF()
+  }
 }

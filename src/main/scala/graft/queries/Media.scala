@@ -51,6 +51,22 @@ object Media {
         col("mean_r"), col("mean_g"), col("mean_b"))
       .orderBy("media_id")
 
+  /** REAL audio decode round trip: PCM WAVs are ENCODED on executors
+    * with sample rate / frame count / sine frequency pure functions of
+    * the id, then DECODED back through `javax.sound.sampled` (in every
+    * JVM — no external codec). The DuckDB oracle recomputes the
+    * container metadata arithmetically; frame counts are rate/100
+    * multiples, so duration_ms is exactly 10·(1 + id mod 5) — an
+    * integer-valued double, exact cross-engine. The signal-level RMS
+    * check (samples actually decoded, not just the header) lives in the
+    * spec (sine RMS = amp/√2). */
+  val qAudioDecode: Q = (s, d) =>
+    Multimodal.decodeAudio(s,
+        Multimodal.syntheticWavs(s, Tables.documents(s, d)))
+      .select(col("media_id"), col("sample_rate"), col("channels"),
+        col("n_frames"), col("duration_ms"))
+      .orderBy("media_id")
+
   /** Frame sampling: every 2nd frame index per payload (explode shape). */
   val qFrameSample: Q = (s, d) => {
     val decoded = Multimodal.stubDecode(Multimodal.asMediaTable(Tables.documents(s, d)))
@@ -62,6 +78,7 @@ object Media {
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_media_features" -> qMediaFeatures,
     "q_image_decode" -> qImageDecode,
+    "q_audio_decode" -> qAudioDecode,
     "q_frame_sample" -> qFrameSample,
   )
 
@@ -82,6 +99,13 @@ object Media {
         |       / octet_length(encode(text)) END AS mean_byte,
         | CAST(64 + octet_length(encode(text)) % 512 AS INT) AS width,
         | CAST(64 + (octet_length(encode(text)) * 7) % 512 AS INT) AS height
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "q_audio_decode" ->
+      """SELECT doc_id AS media_id,
+        | CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS sample_rate,
+        | CAST(1 AS BIGINT) AS channels,
+        | CAST(((8000 + (doc_id % 4) * 4000) // 100) * (1 + doc_id % 5) AS BIGINT) AS n_frames,
+        | CAST(10 * (1 + doc_id % 5) AS DOUBLE) AS duration_ms
         |FROM documents ORDER BY media_id""".stripMargin,
     "q_image_decode" ->
       """SELECT doc_id AS media_id,

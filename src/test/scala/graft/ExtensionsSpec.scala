@@ -83,6 +83,36 @@ class ExtensionsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("real WAV decode: samples round-trip (sine RMS = amp/sqrt(2)), garbage falls back") {
+    val ids = Tables.documents(spark, sfDir).select("doc_id").limit(40)
+    val decoded = Multimodal.decodeAudio(spark, Multimodal.syntheticWavs(spark, ids))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6),
+          r.getBoolean(7))).toMap
+    assert(decoded.size == 40)
+    decoded.foreach { case (id, (rate, ch, frames, durMs, rms, wasDecoded)) =>
+      assert(wasDecoded, s"WAV for id=$id fell back to the stub")
+      val eRate = 8000 + (id % 4) * 4000
+      val eFrames = (eRate / 100) * (1 + id % 5)
+      assert(rate == eRate && ch == 1L && frames == eFrames, s"id=$id metadata")
+      assert(durMs == 10.0 * (1 + id % 5), s"id=$id duration")
+      // the SAMPLES decoded, not just the header: a 0.5-amplitude sine's
+      // RMS is 0.5·32767/√2 ≈ 11586, up to windowing error on the
+      // few-cycle clips
+      val expected = 0.5 * 32767.0 / math.sqrt(2.0)
+      assert(math.abs(rms - expected) / expected < 0.15,
+        s"id=$id rms $rms vs ~$expected")
+    }
+    // per-row fallback on undecodable payloads, mixed with real WAVs
+    import spark.implicits._
+    val mixed = Multimodal.syntheticWavs(spark, Seq(1L).toDF("doc_id"))
+      .union(Seq((99L, "not audio".getBytes("UTF-8"))).toDF("media_id", "payload"))
+    val rows = Multimodal.decodeAudio(spark, mixed).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getBoolean(7))
+    assert(!rows(99L).getBoolean(7) && rows(99L).getDouble(6) == 0.0)
+  }
+
   test("decode falls back per-row to stub dims on undecodable payloads") {
     val mixed = Multimodal.syntheticPngs(spark,
         Seq(1L, 2L).toDF("doc_id"))
