@@ -225,6 +225,30 @@ object Scale {
     df.filter(bucket < rate)
   }
 
+  /** Token-budget corpus mixing: per stratum, keep documents — in the
+    * same seedless Knuth-hash pseudo-random order as
+    * [[stratifiedHashSample]] — until the stratum's TOKEN budget is
+    * exhausted (running sum ≤ budget). This is the mixture-weights
+    * primitive of training-corpus assembly: budgets per source express
+    * the target mix in tokens (what the model actually consumes), not
+    * documents, and the hash order makes the selection reproducible and
+    * stable under corpus appends (a new doc displaces only docs hashed
+    * after it in its own stratum). The cumulative-sum window scans each
+    * stratum's partition sequentially — for strata far larger than
+    * their budget, pre-thin with [[stratifiedHashSample]] first so the
+    * window sees a budget-sized candidate set rather than the stratum. */
+  def tokenBudgetSample(df: DataFrame, idCol: String, strataCol: String,
+                        tokenCol: String, budgetPerStratum: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hv = pmod(pmod(col(idCol), lit(2147483648L)) * lit(2654435761L),
+      lit(2147483648L))
+    val cum = sum(col(tokenCol))
+      .over(Window.partitionBy(strataCol).orderBy(hv.asc, col(idCol).asc))
+    df.withColumn("__cum", cum)
+      .filter(col("__cum") <= budgetPerStratum)
+      .drop("__cum")
+  }
+
   /** Deterministic dense ids 1..n ordered by `sortCols`, WITHOUT the
     * single-partition global window that `row_number().over(Window.orderBy)`
     * costs: range-repartition on the sort key (total order across

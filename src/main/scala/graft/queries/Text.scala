@@ -133,6 +133,37 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Sliding-window token chunking — context preparation for training /
+    * retrieval: each doc becomes overlapping 64-token chunks on a
+    * 48-token stride (16-token overlap, so no span is ever split across
+    * a boundary without also appearing whole in a neighbor). Pure
+    * per-row array expressions (sequence → slice), one explode — no
+    * shuffle at all until a consumer aggregates. */
+  val qChunking: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("toks")) - 1, lit(48)),
+        st => slice(col("toks"), st + 1, lit(64)))).as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Token-budget corpus mixing ([[graft.operators.Scale.tokenBudgetSample]]):
+    * every source stratum contributes documents, in seedless hash order,
+    * until its 600-token budget is spent — the mixture-assembly step of
+    * corpus building, reported as per-source kept docs + tokens. */
+  val qCorpusMix: Q = (s, d) =>
+    graft.operators.Scale.tokenBudgetSample(
+      Tables.documents(s, d)
+        .withColumn("n_tokens", size(tokens(col("text"))).cast("long")),
+      "doc_id", "source", "n_tokens", 600L)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("kept_tokens"))
+      .orderBy("source")
+
   /** Vocabulary construction: tokens ranked by global frequency into
     * dense ids (count desc, token asc tiebreak) — the id-assignment step
     * of tokenizer training, top 100 here. The vocab cap comes FIRST
@@ -356,6 +387,8 @@ object Text {
     "q_decontam_bloom" -> qDecontamBloom,
     "q_contam_overlap" -> qContamOverlap,
     "q_doc_perplexity" -> qDocPerplexity,
+    "q_chunking" -> qChunking,
+    "q_corpus_mix" -> qCorpusMix,
     "q_repetition" -> qRepetition,
     "q_pack_sequences" -> qPackSequences,
     "q_funnel" -> qFunnel,
@@ -539,6 +572,31 @@ object Text {
         |SELECT DISTINCT doc_id FROM e
         |WHERE doc_id >= 5 AND shingle IN (SELECT shingle FROM probe)
         |ORDER BY doc_id""".stripMargin,
+    "q_chunking" ->
+      """WITH t AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents),
+        |c AS (
+        | SELECT doc_id, st // 48 AS chunk_idx, ts[st+1 : st+64] AS chunk
+        | FROM t, unnest(range(0, len(ts), 48)) AS u(st)
+        | WHERE len(ts) > 0)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        | CAST(len(chunk) AS BIGINT) AS n_tokens,
+        | array_to_string(chunk, ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_corpus_mix" ->
+      """WITH t AS (
+        | SELECT source, doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  ((doc_id % 2147483648) * 2654435761) % 2147483648 AS hv
+        | FROM documents),
+        |c AS (
+        | SELECT source, n_tokens,
+        |  sum(n_tokens) OVER (PARTITION BY source ORDER BY hv, doc_id) AS cum
+        | FROM t)
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS kept_tokens
+        |FROM c WHERE cum <= 600
+        |GROUP BY source ORDER BY source""".stripMargin,
     "q_contam_overlap" ->
       """WITH toks AS (
         | SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents),
