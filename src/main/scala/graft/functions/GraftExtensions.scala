@@ -34,7 +34,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => PoissonPmf(args(0), args(1))),
     ("sorted_intersect_count",
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
-      (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1))))
+      (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1))),
+    ("simhash64",
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => SimHash64(args(0))))
 
   /** Runtime registration on an existing session (functions + the
     * sorted-intersect optimizer rule via experimental.extraOptimizations,

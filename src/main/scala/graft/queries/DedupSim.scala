@@ -107,6 +107,28 @@ object DedupSim {
       .orderBy("q_id", "rank")
   }
 
+  /** Per-cluster embedding centroids — the summary step of semantic
+    * corpus analysis (cluster quality, drift monitoring, IVF seeding
+    * diagnostics): element-wise mean per label, reported as driver-
+    * friendly scalars (vector count, centroid L2 norm, mean |component|).
+    * Plan: one posexplode → (label, dim) hash-agg (map-side combinable:
+    * 64·|labels| groups) → per-label fold — never a whole-vector
+    * shuffle, no collect. Oracle replays the dim-indexed unnest. */
+  val qEmbedCentroids: Q = (s, d) => {
+    val base = Tables.embeddings(s, d)
+    val dims = base
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim").agg(avg(col("v").cast("double")).as("m"))
+    val stats = dims.groupBy("label").agg(
+      round(sqrt(sum(col("m") * col("m"))), 6).as("centroid_norm"),
+      round(avg(abs(col("m"))), 6).as("mean_abs"))
+    base.groupBy("label").agg(count(lit(1)).as("n_vecs"))
+      .join(stats, "label")
+      .select(col("label").cast("long").as("label"), col("n_vecs"),
+        col("centroid_norm"), col("mean_abs"))
+      .orderBy("label")
+  }
+
   val all: Map[String, Q] = Map(
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_jaccard" -> qDedupJaccard,
@@ -118,9 +140,21 @@ object DedupSim {
     "q_knn_brute" -> qKnnBrute,
     "q_knn_lsh" -> qKnnLsh,
     "q_knn_ivf" -> qKnnIvf,
+    "q_embed_centroids" -> qEmbedCentroids,
   )
 
   val oracles: Map[String, String] = Map(
+    "q_embed_centroids" ->
+      """WITH e AS (
+        | SELECT label, u.i AS dim, CAST(embedding[u.i + 1] AS DOUBLE) AS v
+        | FROM embeddings, unnest(range(0, len(embedding))) AS u(i)),
+        |c AS (SELECT label, dim, avg(v) AS m FROM e GROUP BY 1, 2),
+        |s AS (SELECT label, round(sqrt(sum(m * m)), 6) AS centroid_norm,
+        |       round(avg(abs(m)), 6) AS mean_abs
+        |      FROM c GROUP BY 1),
+        |n AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY 1)
+        |SELECT CAST(n.label AS BIGINT) AS label, n_vecs, centroid_norm, mean_abs
+        |FROM n JOIN s USING (label) ORDER BY label""".stripMargin,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents
         |GROUP BY text HAVING count(*) > 1 ORDER BY keep_id""".stripMargin,

@@ -164,6 +164,23 @@ object Text {
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("kept_tokens"))
       .orderBy("source")
 
+  /** Per-stratum z-score outlier detection on token counts — the
+    * length-filter step of corpus QA (truncated docs, concatenation
+    * accidents): docs beyond 1.8σ of their lang's mean (1.8: tight enough to
+    * flag genuine tails, loose enough to fire on near-uniform synthetic
+    * lengths at every test sf). Two hash-aggs +
+    * one broadcast-sized join; the per-lang stats frame is |langs| rows. */
+  val qOutliers: Q = (s, d) => {
+    val t = Tables.documents(s, d)
+      .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+    val st = t.groupBy("lang")
+      .agg(avg("n_tokens").as("mu"), stddev_samp("n_tokens").as("sigma"))
+    t.join(st, "lang")
+      .filter(abs(col("n_tokens") - col("mu")) > lit(1.8) * col("sigma"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** Vocabulary construction: tokens ranked by global frequency into
     * dense ids (count desc, token asc tiebreak) — the id-assignment step
     * of tokenizer training, top 100 here. The vocab cap comes FIRST
@@ -389,6 +406,7 @@ object Text {
     "q_doc_perplexity" -> qDocPerplexity,
     "q_chunking" -> qChunking,
     "q_corpus_mix" -> qCorpusMix,
+    "q_outliers" -> qOutliers,
     "q_repetition" -> qRepetition,
     "q_pack_sequences" -> qPackSequences,
     "q_funnel" -> qFunnel,
@@ -571,6 +589,17 @@ object Text {
         |probe AS (SELECT DISTINCT shingle FROM e WHERE doc_id < 5)
         |SELECT DISTINCT doc_id FROM e
         |WHERE doc_id >= 5 AND shingle IN (SELECT shingle FROM probe)
+        |ORDER BY doc_id""".stripMargin,
+    "q_outliers" ->
+      """WITH t AS (
+        | SELECT doc_id, lang,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        | FROM documents),
+        |s AS (SELECT lang, avg(n_tokens) AS mu, stddev_samp(n_tokens) AS sigma
+        |      FROM t GROUP BY 1)
+        |SELECT doc_id, t.lang, n_tokens
+        |FROM t JOIN s ON t.lang = s.lang
+        |WHERE abs(n_tokens - mu) > 1.8 * sigma
         |ORDER BY doc_id""".stripMargin,
     "q_chunking" ->
       """WITH t AS (

@@ -58,6 +58,16 @@ class ExtensionsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("simhash64 reachable from SQL, equals the Column-API expression") {
+    GraftExtensions.install(spark)
+    val viaSql = spark.sql(
+      "SELECT simhash64(array('alpha', 'beta', 'gamma'))").head().getLong(0)
+    val viaCol = Seq(Seq("alpha", "beta", "gamma")).toDF("t")
+      .select(graft.functions.SimHash64.simhash64($"t")).head().getLong(0)
+    assert(viaSql == viaCol)
+    assert(viaSql != 0L)
+  }
+
   test("real PNG decode: round trip matches a driver-side ImageIO replay") {
     val ids = Tables.documents(spark, sfDir).select("doc_id").limit(50)
     val decoded = Multimodal.decodeImages(spark, Multimodal.syntheticPngs(spark, ids))
