@@ -29,7 +29,9 @@ object BenchScaling {
     "q_dedup_minhash", "q_dedup_simhash", "q_dedup_incremental",
     "q_dedup_embed", "q_knn_brute", "q_knn_lsh", "q_knn_ivf",
     "q_decontam", "q_decontam_bloom", "q_curation", "q_curate_full",
-    "q_fingerprint", "q_token_topk")
+    "q_fingerprint", "q_token_topk",
+    "q_heavy_hitters", "q_doc_perplexity", "q_contam_overlap",
+    "q_chunking", "q_embed_centroids")
 
   def main(args: Array[String]): Unit = {
     val smallDir = sys.env.getOrElse("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.01")

@@ -174,6 +174,68 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
     assert(viaExpr == viaAgg)
   }
 
+  test("property: heavy-hitter counts are exact on random corpora at any bucket budget") {
+    // Zipf-ish random corpus; whatever the collision pressure, every
+    // (token, cnt) HeavyHitters reports must equal the true global count
+    val gen = for {
+      rank <- Gen.frequency(8 -> Gen.choose(0, 9), 2 -> Gen.choose(10, 499))
+    } yield s"tok$rank"
+    val toks = samples(gen, 2000).toDF("token")
+    val truth = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Seq(16, 256, 1 << 16).foreach { buckets =>
+      val got = graft.text.HeavyHitters.topTokens(toks, 10, numBuckets = buckets)
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      assert(got.length == 10)
+      got.foreach { case (t, c) =>
+        assert(truth(t) == c, s"buckets=$buckets token=$t")
+      }
+    }
+  }
+
+  test("property: tokenBudgetSample never exceeds budget and is append-prefix-stable") {
+    val gen = for {
+      src <- Gen.oneOf("a", "b", "c")
+      n <- Gen.choose(1L, 50L)
+    } yield (src, n)
+    val rows = samples(gen, 300).zipWithIndex
+      .map { case ((src, n), i) => (i.toLong, src, n) }
+    val df = rows.toDF("doc_id", "source", "n_tokens")
+    val kept = graft.operators.Scale
+      .tokenBudgetSample(df, "doc_id", "source", "n_tokens", 200L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // budget respected per stratum
+    kept.groupBy(_._2).foreach { case (src, ks) =>
+      assert(ks.map(_._3).sum <= 200L, s"stratum $src over budget")
+    }
+    assert(kept.nonEmpty)
+    // append stability: adding NEW docs can displace only docs hashed
+    // AFTER them — every previously-kept doc that still fits its
+    // stratum's hash-prefix stays kept. Weaker but exact invariant: the
+    // selection over the original rows is reproducible verbatim
+    val again = graft.operators.Scale
+      .tokenBudgetSample(df, "doc_id", "source", "n_tokens", 200L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(kept.toSet == again.toSet)
+    // and a stratum absent from the data contributes nothing / no crash
+    val empty = graft.operators.Scale
+      .tokenBudgetSample(df.filter(col("source") === "zzz"),
+        "doc_id", "source", "n_tokens", 200L)
+    assert(empty.count() == 0)
+  }
+
+  test("property: stratifiedHashSample 0% drops all, 100% keeps all, unknown stratum drops") {
+    val rows = (0L until 200L).map(i => (i, if (i % 2 == 0) "x" else "y"))
+    val df = rows.toDF("doc_id", "lang")
+    assert(graft.operators.Scale
+      .stratifiedHashSample(df, "doc_id", "lang", Map("x" -> 0, "y" -> 0)).count() == 0)
+    assert(graft.operators.Scale
+      .stratifiedHashSample(df, "doc_id", "lang", Map("x" -> 100, "y" -> 100)).count() == 200)
+    // stratum not in the map → dropped entirely
+    assert(graft.operators.Scale
+      .stratifiedHashSample(df, "doc_id", "lang", Map("x" -> 100)).count() == 100)
+  }
+
   test("property: nanToNull removes every NaN, preserves everything else") {
     val gen = Gen.frequency(
       6 -> Gen.choose(-1e6, 1e6),
