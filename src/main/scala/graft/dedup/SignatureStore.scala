@@ -184,6 +184,25 @@ object SignatureStore {
       spark.read.parquet(hashesPath(path)))
   }
 
+  /** Housekeeping for a long-lived store: every [[append]] adds one file
+    * per task per bucket, so a daily cadence accumulates
+    * O(days × tasks) small files per bucket — eventually the scan's
+    * open-file overhead dwarfs the data. Rewrite all three artifacts in
+    * place (buckets re-bucketed on the same spec, so incremental joins
+    * stay exchange-free; sets/hashes to one compact pass). Same
+    * non-crash-atomic caveat as any in-place rewrite — run it in the
+    * maintenance window, not concurrently with an ingest. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val store = read(spark, path)
+    // materialize all three BEFORE any overwrite: each frame's scan must
+    // not race the rewrite of its own input files (and the checkpoint
+    // also sidesteps the refreshByPath cache invalidation — see ingest)
+    val buckets = store.buckets.localCheckpoint()
+    val sets = store.sets.localCheckpoint()
+    val hashes = store.hashes.localCheckpoint()
+    save(SignatureStore(buckets, sets, hashes), path, "overwrite")
+  }
+
   private def save(store: SignatureStore, path: String, mode: String): Unit = {
     val spark = store.sets.sparkSession
     // three artifacts, one shingling: the sets frame feeds the bucket

@@ -326,6 +326,34 @@ class DedupSimSpec extends AnyFunSuite with SharedSpark {
     assert(graft.dedup.SignatureStore.read(spark, path).buckets.count() > before.size)
   }
 
+  test("store compaction: same rows, fewer bucket files, still exchange-free") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val d = Tables.documents(spark, sfDir).limit(120)
+    val path = java.nio.file.Files.createTempDirectory("graft_sigstore_compact").toString
+    graft.dedup.SignatureStore.write(d.filter($"doc_id" < 40), path)
+    graft.dedup.SignatureStore.append(d.filter($"doc_id" >= 40 && $"doc_id" < 80), path)
+    graft.dedup.SignatureStore.append(d.filter($"doc_id" >= 80), path)
+    def bucketFiles(): Int = new java.io.File(s"$path/buckets").listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    def snapshot() = {
+      val s = graft.dedup.SignatureStore.read(spark, path)
+      (s.buckets.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet,
+        s.sets.count(), s.hashes.count())
+    }
+    val before = snapshot()
+    val filesBefore = bucketFiles()
+    graft.dedup.SignatureStore.compact(spark, path)
+    assert(snapshot() == before, "compaction changed store contents")
+    assert(bucketFiles() < filesBefore,
+      s"expected fewer bucket files, $filesBefore -> ${bucketFiles()}")
+    // still a bucketed scan after the rewrite
+    val scan = graft.dedup.SignatureStore.read(spark, path)
+      .buckets.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec if s.relation.bucketSpec.isDefined => s
+      }
+    assert(scan.nonEmpty, "compacted buckets lost the bucket spec")
+  }
+
   test("ingest increment: drops dups vs store and batch, appends survivors, idempotent") {
     val d = Tables.documents(spark, sfDir)
     val b1 = d.filter($"doc_id" % 2 === 0)
