@@ -113,8 +113,10 @@ object Text {
     * trims. Plan: one bigram explode, two hash-aggs for the LM, one
     * (w1,w2) equi-join back to the doc bigram instances, one doc agg —
     * every stage partial-aggregatable, nothing vocab²-sized. */
-  val qDocPerplexity: Q = (s, d) => {
-    val bg = Tables.documents(s, d)
+  /** (doc_id, n_bigrams, ppl) under the corpus's own bigram LM —
+    * unrounded; shared by [[qDocPerplexity]] and the curation capstone. */
+  private def docPerplexity(base: DataFrame): DataFrame = {
+    val bg = base
       .withColumn("toks", tokens(col("text")))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(zip_with(
@@ -128,10 +130,13 @@ object Text {
       .select(col("w1"), col("w2"), (col("c").cast("double") / col("tot")).as("p"))
     bg.join(lm, Seq("w1", "w2"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(exp(-avg(log(col("p")))), 2).as("ppl"))
-      .orderBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), exp(-avg(log(col("p")))).as("ppl"))
   }
+
+  val qDocPerplexity: Q = (s, d) =>
+    docPerplexity(Tables.documents(s, d))
+      .select(col("doc_id"), col("n_bigrams"), round(col("ppl"), 2).as("ppl"))
+      .orderBy("doc_id")
 
   /** Sliding-window token chunking — context preparation for training /
     * retrieval: each doc becomes overlapping 64-token chunks on a
@@ -179,6 +184,43 @@ object Text {
       .filter(abs(col("n_tokens") - col("mu")) > lit(1.8) * col("sigma"))
       .select(col("doc_id"), col("lang"), col("n_tokens"))
       .orderBy("doc_id")
+  }
+
+  /** The LLM-DATA capstone — the quality-curation pass of a training
+    * corpus assembled from this round's new stages, each already
+    * oracle-verified alone: per-lang token-count outlier removal (1.8σ)
+    * → corpus-LM perplexity gate (26 ≤ ppl ≤ 34, trimming the
+    * templated and noise tails) → graded decontamination (3-gram
+    * overlap with the doc<5 benchmark ≤ 0.2; shingle-less docs pass) →
+    * exact dedup (keep min id) → per-source 600-token budget mixing in
+    * seedless hash order. Reported as the per-source mix actually
+    * assembled. The oracle replays the ENTIRE composition in one DuckDB
+    * query — the capstone claim is that the stages compose, not just
+    * pass alone. */
+  val qCurateLlm: Q = (s, d) => {
+    val base = Tables.documents(s, d)
+    val withTok = base
+      .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+    val st = withTok.groupBy("lang")
+      .agg(avg("n_tokens").as("mu"), stddev_samp("n_tokens").as("sigma"))
+    val inRange = withTok.join(st, "lang")
+      .filter(abs(col("n_tokens") - col("mu")) <= lit(1.8) * col("sigma"))
+      .select("doc_id", "source", "n_tokens")
+    val ppl = docPerplexity(base).select("doc_id", "ppl")
+    val overlap = graft.dedup.Dedup.contaminationOverlap(
+      base.filter(col("doc_id") >= 5), base.filter(col("doc_id") < 5))
+      .select("doc_id", "overlap")
+    val losers = graft.dedup.Dedup.exactDupLosers(base.filter(col("doc_id") >= 5))
+    val curated = inRange.filter(col("doc_id") >= 5)
+      .join(ppl, "doc_id").filter(col("ppl").between(26.0, 34.0))
+      .join(overlap, Seq("doc_id"), "left")
+      .filter(coalesce(col("overlap"), lit(0.0)) <= 0.2)
+      .join(losers, Seq("doc_id"), "left_anti")
+    graft.operators.Scale
+      .tokenBudgetSample(curated, "doc_id", "source", "n_tokens", 600L)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("kept_tokens"))
+      .orderBy("source")
   }
 
   /** Vocabulary construction: tokens ranked by global frequency into
@@ -415,6 +457,7 @@ object Text {
     "q_sessionize" -> qSessionize,
     "q_curation" -> qCuration,
     "q_curate_full" -> qCurateFull,
+    "q_curate_llm" -> qCurateLlm,
     "q_train_split" -> qTrainSplit,
   )
 
@@ -590,6 +633,61 @@ object Text {
         |SELECT DISTINCT doc_id FROM e
         |WHERE doc_id >= 5 AND shingle IN (SELECT shingle FROM probe)
         |ORDER BY doc_id""".stripMargin,
+    "q_curate_llm" ->
+      """WITH t AS (
+        | SELECT doc_id, source, lang, text,
+        |  string_split_regex(trim(text), '\s+') AS ts
+        | FROM documents),
+        |tok AS (SELECT doc_id, source, lang, CAST(len(ts) AS BIGINT) AS n_tokens FROM t),
+        |st AS (SELECT lang, avg(n_tokens) AS mu, stddev_samp(n_tokens) AS sigma
+        |       FROM tok GROUP BY 1),
+        |inrange AS (
+        | SELECT tok.doc_id, tok.source, tok.n_tokens
+        | FROM tok JOIN st ON tok.lang = st.lang
+        | WHERE abs(n_tokens - mu) <= 1.8 * sigma),
+        |bg AS (
+        | SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+        | FROM t, unnest(range(1, len(ts))) AS u(i) WHERE len(ts) >= 2),
+        |cnt AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+        |tot AS (SELECT w1, sum(c) AS tot FROM cnt GROUP BY 1),
+        |lm AS (SELECT w1, w2, CAST(c AS DOUBLE) / tot AS p FROM cnt JOIN tot USING (w1)),
+        |ppl AS (SELECT doc_id, exp(-avg(ln(p))) AS ppl
+        |        FROM bg JOIN lm USING (w1, w2) GROUP BY 1),
+        |sh AS (
+        | SELECT doc_id, list_distinct(list_transform(range(1, len(ts)-1),
+        |   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+        | FROM t WHERE len(ts) >= 3),
+        |e AS (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id >= 5),
+        |probe AS (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id < 5),
+        |ov AS (
+        | SELECT e.doc_id, CAST(count(probe.shingle) AS DOUBLE) / count(*) AS overlap
+        | FROM e LEFT JOIN probe ON e.shingle = probe.shingle GROUP BY 1),
+        |losers AS (
+        | SELECT doc_id FROM (
+        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS keep
+        |  FROM documents WHERE doc_id >= 5)
+        | WHERE doc_id <> keep),
+        |curated AS (
+        | SELECT i.doc_id, i.source, i.n_tokens
+        | FROM inrange i
+        | JOIN ppl ON i.doc_id = ppl.doc_id
+        | LEFT JOIN ov ON i.doc_id = ov.doc_id
+        | WHERE i.doc_id >= 5
+        |  AND ppl.ppl BETWEEN 26 AND 34
+        |  AND coalesce(ov.overlap, 0) <= 0.2
+        |  AND i.doc_id NOT IN (SELECT doc_id FROM losers)),
+        |h AS (
+        | SELECT source, doc_id, n_tokens,
+        |  ((doc_id % 2147483648) * 2654435761) % 2147483648 AS hv
+        | FROM curated),
+        |c AS (
+        | SELECT source, n_tokens,
+        |  sum(n_tokens) OVER (PARTITION BY source ORDER BY hv, doc_id) AS cum
+        | FROM h)
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS kept_tokens
+        |FROM c WHERE cum <= 600
+        |GROUP BY source ORDER BY source""".stripMargin,
     "q_outliers" ->
       """WITH t AS (
         | SELECT doc_id, lang,
