@@ -223,6 +223,21 @@ object Text {
       .orderBy("source")
   }
 
+  /** PII exposure audit — the measurement half of [[qRedact]]'s scrub:
+    * per-source counts of emails, URLs, and 6+-digit runs (the latter on
+    * URL-redacted text, mirroring redact's ordering so URL digits don't
+    * double-fire). The SQL oracle interpolates the SAME regex constants
+    * the Spark expressions use (Java∩RE2 subset — both engines agree). */
+  val qPiiStats: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("no_url", regexp_replace(col("text"), urlRe, "<URL>"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(regexp_count(col("text"), lit(emailRe))).as("n_emails"),
+        sum(regexp_count(col("text"), lit(urlRe))).as("n_urls"),
+        sum(regexp_count(col("no_url"), lit(longNumRe))).as("n_longnums"))
+      .orderBy("source")
+
   /** Vocabulary construction: tokens ranked by global frequency into
     * dense ids (count desc, token asc tiebreak) — the id-assignment step
     * of tokenizer training, top 100 here. The vocab cap comes FIRST
@@ -449,6 +464,7 @@ object Text {
     "q_chunking" -> qChunking,
     "q_corpus_mix" -> qCorpusMix,
     "q_outliers" -> qOutliers,
+    "q_pii_stats" -> qPiiStats,
     "q_repetition" -> qRepetition,
     "q_pack_sequences" -> qPackSequences,
     "q_funnel" -> qFunnel,
@@ -633,6 +649,14 @@ object Text {
         |SELECT DISTINCT doc_id FROM e
         |WHERE doc_id >= 5 AND shingle IN (SELECT shingle FROM probe)
         |ORDER BY doc_id""".stripMargin,
+    "q_pii_stats" ->
+      s"""SELECT source, count(*) AS n_docs,
+         | CAST(sum(len(regexp_extract_all(text, '$emailRe'))) AS BIGINT) AS n_emails,
+         | CAST(sum(len(regexp_extract_all(text, '$urlRe'))) AS BIGINT) AS n_urls,
+         | CAST(sum(len(regexp_extract_all(
+         |   regexp_replace(text, '$urlRe', '<URL>', 'g'), '$longNumRe'))) AS BIGINT)
+         |  AS n_longnums
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_curate_llm" ->
       """WITH t AS (
         | SELECT doc_id, source, lang, text,
