@@ -26,9 +26,9 @@ object Bench {
     try {
       Seq("q1_agg", "q_knn_brute", "q_text_stats", "q_value_counts",
           "q_dedup_jaccard", "q_glm_poisson",
-          // 64 per-row minhash lambdas / ImageIO: codegen+JIT cold start
-          // measured 2-8x their steady state
-          "q_dedup_incremental", "q_image_decode")
+          // 64 per-row minhash lambdas / ImageIO / AudioSystem: codegen +
+          // JIT + codec-registry cold start measured 2-8x steady state
+          "q_dedup_incremental", "q_image_decode", "q_audio_decode")
         .foreach(q => SparkEntry.queries.get(q).foreach(fn => materialize(fn(spark, sfDir))))
     } catch { case _: Throwable => () }
     // a crashing query must surface as an error, NOT as its
