@@ -53,7 +53,11 @@ object Bench {
     // "materialization" documents the timing methodology change from r1
     // (count(), which let Catalyst elide final sorts) to the noop write
     // (full plan incl. sorts) — totals are not directly comparable to r1
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","materialization":"noop-write"}"""
+    // n_errors rides next to the total so a consumer comparing "value"
+    // across runs can't mistake a broken-query drop for a speedup
+    // without ignoring an explicit failure count
+    val nErr = results.count(_._3.isDefined)
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","n_errors":$nErr,"queries":$qs,"errors":$errs,"sf":"$sfDir","materialization":"noop-write"}"""
     println(json)
     // Stdout of this run may be tail-truncated by the harness that
     // launched it; the on-disk copy keeps the complete per-query map

@@ -47,10 +47,13 @@ object BenchScaling {
 
     def pass(dir: String): Map[String, Either[String, Double]] =
       heavy.map { name =>
-        val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
-        val r = try { materialize(fn(spark, dir)); Right((System.nanoTime() - t0) / 1e9) }
-        catch { case t: Throwable =>
+        // registry lookup inside the try: a renamed/removed query must
+        // land in its own err entry, not abort the whole run's output
+        val r = try {
+          materialize(SparkEntry.queries(name)(spark, dir))
+          Right((System.nanoTime() - t0) / 1e9)
+        } catch { case t: Throwable =>
           Left(Option(t.getMessage).getOrElse(t.getClass.getName)
             .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)) }
         name -> r

@@ -58,11 +58,14 @@ object SignatureStore {
     if (!spark.catalog.tableExists(tbl)) {
       val loc = bucketsPath(path)
       val ddl = spark.read.parquet(loc).schema.toDDL
+      // single quotes doubled: a path like /data/bob's corpus must not
+      // terminate the LOCATION string literal
+      val locSql = loc.replace("'", "''")
       spark.sql(
         s"""CREATE TABLE $tbl ($ddl) USING PARQUET
            |CLUSTERED BY (band, bucket) SORTED BY (band, bucket)
            |INTO $BucketCount BUCKETS
-           |LOCATION '$loc'""".stripMargin): Unit
+           |LOCATION '$locSql'""".stripMargin): Unit
     }
   }
 
@@ -70,6 +73,14 @@ object SignatureStore {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) { fs.delete(p, true); () }
+  }
+
+  /** Filesystem-agnostic existence check (java.io.File would always say
+    * no for hdfs:// or s3a:// paths — exactly the deployments the store
+    * exists for). */
+  private def dirExists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** Compute the store frames for a batch (nothing is written):
@@ -217,7 +228,7 @@ object SignatureStore {
         // clean (CTAS refuses a non-empty external location)
         spark.sql(s"DROP TABLE IF EXISTS $tbl"): Unit
         deleteDir(spark, bucketsPath(path))
-      } else if (new java.io.File(bucketsPath(path).stripPrefix("file:")).exists()) {
+      } else if (dirExists(spark, bucketsPath(path))) {
         // appending from a session that didn't create the store: restore
         // the table entry first so saveAsTable validates the bucket spec
         // instead of creating a fresh (conflicting) table

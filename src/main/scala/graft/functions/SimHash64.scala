@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** Native 64-bit SimHash over an array<string> token column — the
   * PER-ROW form of the signature the dedup layer previously built with
@@ -24,9 +24,18 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * `sum > 0`). Plain Java long arithmetic — no ANSI overflow anywhere,
   * which is what forced the aggregated path to split words.
   */
-case class SimHash64(child: Expression) extends UnaryExpression {
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
 
-  // callers guarantee array<string> input (the tokens() column)
+  // declared (not assumed): the SQL registration makes this expression
+  // user-callable, so wrong argument types must fail at ANALYSIS time
+  // (AnalysisException), not as a ClassCastException mid-job. Null
+  // ELEMENTS inside the array are skipped (no vote) rather than crashing
+  // the signing pass; tokens() never emits them, so the aggregated-path
+  // parity spec is unaffected.
+  // (type inferred — AbstractDataType itself is private[sql])
+  override def inputTypes = Seq(ArrayType(StringType))
+
   override def dataType: DataType = LongType
 
   override def prettyName: String = "simhash64"
@@ -37,12 +46,14 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     val votes = new Array[Int](64)
     var j = 0
     while (j < n) {
-      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
-        .hash(arr.getUTF8String(j), org.apache.spark.sql.types.StringType, 42L)
-      var i = 0
-      while (i < 64) {
-        if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
-        i += 1
+      if (!arr.isNullAt(j)) {
+        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(arr.getUTF8String(j), org.apache.spark.sql.types.StringType, 42L)
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+          i += 1
+        }
       }
       j += 1
     }
@@ -67,10 +78,12 @@ case class SimHash64(child: Expression) extends UnaryExpression {
          |int $n = $a.numElements();
          |int[] $votes = new int[64];
          |for (int $j = 0; $j < $n; $j++) {
-         |  long $h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
-         |    $a.getUTF8String($j), org.apache.spark.sql.types.DataTypes.StringType, 42L);
-         |  for (int $i = 0; $i < 64; $i++) {
-         |    if ((($h >>> $i) & 1L) == 1L) $votes[$i]++; else $votes[$i]--;
+         |  if (!$a.isNullAt($j)) {
+         |    long $h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+         |      $a.getUTF8String($j), org.apache.spark.sql.types.DataTypes.StringType, 42L);
+         |    for (int $i = 0; $i < 64; $i++) {
+         |      if ((($h >>> $i) & 1L) == 1L) $votes[$i]++; else $votes[$i]--;
+         |    }
          |  }
          |}
          |long $out = 0L;

@@ -176,23 +176,40 @@ object Scale {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Knuth multiplicative permutation of a (masked) id on the 31-bit
+    * ring: ((id mod 2³¹) · C) mod 2³¹ — a bijection on [0, 2³¹) for odd
+    * C, overflow-free under ANSI at any id (product ≤ 2³¹·C ≈ 5e18 <
+    * 2⁶³−1; ids beyond 2³¹ share the masked id's value). The SEEDLESS
+    * pseudo-random order behind every deterministic sampling/splitting
+    * operator here; the DuckDB oracles replay it verbatim. */
+  def knuthPerm(id: Column, multiplier: Long = 2654435761L): Column =
+    pmod(pmod(id, lit(2147483648L)) * lit(multiplier), lit(2147483648L))
+
+  /** Percentage bucket in [0, 100) from the TOP bits of [[knuthPerm]]:
+    * (perm · 100) >> 31 — Knuth's actual prescription (take the high
+    * bits of id·C). The obvious-looking alternative, (id·C) mod 100, is
+    * NOT a hash: multiplication mod 100 depends only on id mod 100, so
+    * that bucket was PERIODIC in the id with period 100 — strided id
+    * allocations (per-shard blocks of 100, ids scaled by 100) collapsed
+    * whole strata into one bucket, and two different multipliers still
+    * produced functionally dependent buckets (each a fixed permutation
+    * of id mod 100), silently re-correlating decisions that must be
+    * independent. High bits of id·C mix every input bit; spec-pinned on
+    * strided ids (ScaleSpec). */
+  def pctBucket(id: Column, multiplier: Long): Column =
+    shiftrightunsigned(knuthPerm(id, multiplier) * lit(100L), 31)
+
   /** Deterministic train/val/test assignment from a stable id key:
-    * bucket = ((id mod 2³¹) · 2654435761) mod 100 (Knuth multiplicative
-    * hashing — consecutive ids scatter uniformly), then range-mapped by
-    * the given percentage cuts. The 31-bit mask before the multiply keeps
-    * the product ≤ 2³¹·2654435761 ≈ 5.7e18 < 2⁶³−1, so the arithmetic
-    * never overflows under ANSI mode at ANY id magnitude (an unmasked
-    * multiply throws ARITHMETIC_OVERFLOW from id ≈ 3.47e9 up); ids beyond
-    * 2³¹ still scatter, they just share the masked id's bucket. Id-keyed
-    * (not content-keyed) on purpose: the split survives
-    * re-tokenization/re-cleaning of the content, the property a training
-    * pipeline actually needs. Pure per-row arithmetic — no shuffle, no
-    * RNG state, reproducible on any engine (the DuckDB oracle replays it
-    * verbatim). */
+    * bucket = [[pctBucket]] of the Knuth-permuted id, range-mapped by
+    * the given percentage cuts. Id-keyed (not content-keyed) on
+    * purpose: the split survives re-tokenization/re-cleaning of the
+    * content, the property a training pipeline actually needs. Pure
+    * per-row arithmetic — no shuffle, no RNG state, reproducible on any
+    * engine (the DuckDB oracle replays it verbatim). */
   def idSplit(df: DataFrame, idCol: String,
               cuts: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 10, "test" -> 10)): DataFrame = {
     require(cuts.map(_._2).sum == 100, "split percentages must sum to 100")
-    val bucket = pmod(pmod(col(idCol), lit(2147483648L)) * lit(2654435761L), lit(100L))
+    val bucket = pctBucket(col(idCol), 2654435761L)
     val bounds = cuts.scanLeft(0) { case (acc, (_, p)) => acc + p }.tail
     val expr = cuts.zip(bounds).foldLeft(None: Option[Column]) {
       case (acc, ((name, _), hi)) =>
@@ -206,21 +223,18 @@ object Scale {
 
   /** Deterministic per-stratum sampling from a stable id key — the
     * oracle-replayable form of `df.stat.sampleBy`: keep a row iff its
-    * hash bucket ((id mod 2³¹) · 2246822519 mod 100) falls below the
-    * stratum's kept PERCENTAGE. Same shuffle-free, RNG-free,
-    * re-tokenization-stable properties as [[idSplit]] (any engine
-    * replays it bit-identically — the DuckDB oracle does), and the same
-    * 31-bit mask: the product tops out at 2³¹·2246822519 ≈ 4.8e18 <
-    * 2⁶³−1, so ANSI mode never overflows at any id. The multiplier
-    * DIFFERS from [[idSplit]]'s on purpose: with the same constant a
-    * 25% sample would be a strict subset of the train split (the two
-    * decisions would read the same bucket), biasing any pipeline that
-    * composes them. Strata absent from `percents` are dropped. */
+    * [[pctBucket]] (multiplier 2246822519) falls below the stratum's
+    * kept PERCENTAGE. Same shuffle-free, RNG-free, re-tokenization-
+    * stable properties as [[idSplit]]. The multiplier DIFFERS from
+    * [[idSplit]]'s on purpose: with the same constant a 25% sample
+    * would be a strict subset of the train split (the two decisions
+    * would read the same bucket), biasing any pipeline that composes
+    * them. Strata absent from `percents` are dropped. */
   def stratifiedHashSample(df: DataFrame, idCol: String, strataCol: String,
                            percents: Map[String, Int]): DataFrame = {
     require(percents.values.forall(p => p >= 0 && p <= 100),
       "percentages must be in [0, 100]")
-    val bucket = pmod(pmod(col(idCol), lit(2147483648L)) * lit(2246822519L), lit(100L))
+    val bucket = pctBucket(col(idCol), 2246822519L)
     val rate = coalesce(element_at(typedLit(percents), col(strataCol)), lit(0))
     df.filter(bucket < rate)
   }
@@ -240,8 +254,7 @@ object Scale {
   def tokenBudgetSample(df: DataFrame, idCol: String, strataCol: String,
                         tokenCol: String, budgetPerStratum: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hv = pmod(pmod(col(idCol), lit(2147483648L)) * lit(2654435761L),
-      lit(2147483648L))
+    val hv = knuthPerm(col(idCol))
     val cum = sum(col(tokenCol))
       .over(Window.partitionBy(strataCol).orderBy(hv.asc, col(idCol).asc))
     df.withColumn("__cum", cum)

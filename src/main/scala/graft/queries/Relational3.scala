@@ -107,8 +107,7 @@ object Relational3 {
     * keeps ≤ n rows PER STRATUM before the lang exchange — the
     * post-shuffle partition sees n·tasks rows, never the stratum. */
   val qSampleFixedN: Q = (s, d) => {
-    val hv = pmod(pmod(col("doc_id"), lit(2147483648L)) * lit(2654435761L),
-      lit(2147483648L))
+    val hv = graft.operators.Scale.knuthPerm(col("doc_id"))
     Tables.documents(s, d)
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window
@@ -300,7 +299,8 @@ object Relational3 {
     "q_sample_stratified" ->
       """SELECT lang, count(*) AS n_sampled FROM (
         | SELECT lang,
-        |  ((doc_id % 2147483648) * 2246822519) % 100 AS bucket
+        |  ((((doc_id % 2147483648) * 2246822519) % 2147483648) * 100) // 2147483648
+        |   AS bucket
         | FROM documents)
         |WHERE bucket < CASE lang WHEN 'en' THEN 25
         |                         WHEN 'es' THEN 80 WHEN 'fr' THEN 80

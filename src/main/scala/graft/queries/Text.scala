@@ -615,12 +615,17 @@ object Text {
         | CAST(floor(prev_tokens / 2048.0) AS BIGINT) AS seq_id
         |FROM cum ORDER BY doc_id""".stripMargin,
     "q_train_split" ->
-      """WITH s AS (
+      """WITH b AS (
         | SELECT lang,
-        |  CASE WHEN ((doc_id % 2147483648) * 2654435761) % 100 < 80 THEN 'train'
-        |       WHEN ((doc_id % 2147483648) * 2654435761) % 100 < 90 THEN 'val'
+        |  ((((doc_id % 2147483648) * 2654435761) % 2147483648) * 100) // 2147483648
+        |   AS bucket
+        | FROM documents),
+        |s AS (
+        | SELECT lang,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val'
         |       ELSE 'test' END AS split
-        | FROM documents)
+        | FROM b)
         |SELECT split, lang, count(*) AS cnt FROM s
         |GROUP BY split, lang ORDER BY split, lang""".stripMargin,
     "q_decontam" ->
@@ -684,7 +689,8 @@ object Text {
         |e AS (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id >= 5),
         |probe AS (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id < 5),
         |ov AS (
-        | SELECT e.doc_id, CAST(count(probe.shingle) AS DOUBLE) / count(*) AS overlap
+        | SELECT e.doc_id,
+        |  round(CAST(count(probe.shingle) AS DOUBLE) / count(*), 4) AS overlap
         | FROM e LEFT JOIN probe ON e.shingle = probe.shingle GROUP BY 1),
         |losers AS (
         | SELECT doc_id FROM (

@@ -135,10 +135,18 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
       .orderBy("doc_id").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     cases.map(_._2).foreach { id =>
-      val b = java.lang.Math.floorMod(id * 2654435761L, 100L)
+      val b = pctBucketLocal(id)
       val want = if (b < 80) "train" else if (b < 90) "val" else "test"
       assert(got(id) == want, s"id $id bucket $b")
     }
+  }
+
+  /** Driver-side replay of Scale.pctBucket (multiplier 2654435761):
+    * Knuth permutation then HIGH-bit extraction. */
+  private def pctBucketLocal(id: Long): Long = {
+    val perm = java.lang.Math.floorMod(
+      java.lang.Math.floorMod(id, 2147483648L) * 2654435761L, 2147483648L)
+    (perm * 100L) >>> 31
   }
 
   test("property: idSplit never overflows, even at Long-extreme ids") {
@@ -153,8 +161,7 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
       .idSplit(cases.map(_._2).toDF("doc_id"), "doc_id")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     cases.map(_._2).foreach { id =>
-      val b = java.lang.Math.floorMod(
-        java.lang.Math.floorMod(id, 2147483648L) * 2654435761L, 100L)
+      val b = pctBucketLocal(id)
       val want = if (b < 80) "train" else if (b < 90) "val" else "test"
       assert(got(id) == want, s"id $id bucket $b")
     }

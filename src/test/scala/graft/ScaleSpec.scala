@@ -202,6 +202,21 @@ class ScaleSpec extends AnyFunSuite with SharedSpark {
     assert(total == Tables.documents(spark, sfDir).count())
   }
 
+  test("pctBucket survives strided id allocations (the (id*C) mod 100 failure mode)") {
+    import spark.implicits._
+    // ids on a stride of 100: the old low-bit form ((id*C) mod 100) saw
+    // only id mod 100 = 0, mapping EVERY doc to one bucket — a 25%
+    // sample kept 100% or 0% of the stratum. High-bit extraction must
+    // keep ≈25%, and the split must stay ≈80/10/10 on the same ids.
+    val strided = (1L to 400L).map(i => (i * 100L, "en")).toDF("doc_id", "lang")
+    val kept = Scale.stratifiedHashSample(strided, "doc_id", "lang", Map("en" -> 25))
+      .count()
+    assert(kept > 50 && kept < 150, s"strided-id sample rate ${kept / 400.0}")
+    val train = Scale.idSplit(strided, "doc_id")
+      .filter(col("split") === "train").count()
+    assert(train > 250 && train < 390, s"strided-id train share ${train / 400.0}")
+  }
+
   test("stratifiedHashSample: near-target rates, deterministic, split-uncorrelated") {
     val docs = Tables.documents(spark, sfDir)
     val pc = Map("en" -> 25, "es" -> 80, "fr" -> 80, "de" -> 80, "zh" -> 80)
