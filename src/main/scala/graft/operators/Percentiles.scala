@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact grouped percentiles via the sort-based window idiom instead of
+  * `percentile`/`median` aggregates.
+  *
+  * Spark's exact `percentile`/`median` plan as ObjectHashAggregate and
+  * buffer EVERY value of a group in executor memory — at 100 TB a hot
+  * group holds billions of doubles and OOMs with no spill path. This
+  * computes the same `quantile_cont` result in two spillable passes:
+  *
+  *  1. per-group non-null counts (partial-aggregable, tiny result);
+  *  2. `row_number` over (group, value) — WindowExec with a running
+  *     frame streams rows through an external (spilling) sort, holding
+  *     O(1) state per group — then a conditional aggregation keeps only
+  *     the two rows bracketing each requested rank.
+  *
+  * Interpolation matches both Spark's `percentile` and DuckDB's
+  * `quantile_cont`: for 1-indexed continuous position h = 1 + p·(n−1),
+  * result = v⌊h⌋ + (h − ⌊h⌋)·(v⌊h⌋₊₁ − v⌊h⌋).
+  */
+object Percentiles {
+
+  /** Exact interpolated percentiles of `valCol` per `grpCol`.
+    *
+    * @param ps (p, alias) pairs, 0 ≤ p ≤ 1
+    * @return one row per group: (grpCol, aliases…), nulls in `valCol`
+    *         ignored (SQL percentile semantics); empty groups absent.
+    */
+  def groupedQuantiles(df: DataFrame, grpCol: String, valCol: String,
+      ps: Seq[(Double, String)]): DataFrame = {
+    val counts = df.filter(col(valCol).isNotNull)
+      .groupBy(grpCol).agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(grpCol).orderBy(valCol)
+    val ranked = df.select(col(grpCol), col(valCol))
+      .filter(col(valCol).isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      // counts has one row per group — always broadcast-sized
+      .join(broadcast(counts), grpCol)
+
+    def h(p: Double): Column =
+      lit(1.0) + lit(p) * (col("__n") - 1).cast("double")
+    // bracketing values at ranks ⌊h⌋ and ⌊h⌋+1; max() over the single
+    // matching row (or none → null when h is integral and ⌊h⌋ = n)
+    val brackets = ps.zipWithIndex.flatMap { case ((p, _), i) =>
+      val lo = floor(h(p)).cast("long")
+      Seq(
+        max(when(col("__rn") === lo, col(valCol))).as(s"__lo$i"),
+        max(when(col("__rn") === lo + 1, col(valCol))).as(s"__hi$i"))
+    }
+    val agg = ranked.groupBy(grpCol)
+      .agg(first(col("__n")).as("__n"), brackets: _*)
+
+    val results = ps.zipWithIndex.map { case ((p, alias), i) =>
+      val frac = h(p) - floor(h(p))
+      (col(s"__lo$i") +
+        frac * (coalesce(col(s"__hi$i"), col(s"__lo$i")) - col(s"__lo$i")))
+        .as(alias)
+    }
+    agg.select(col(grpCol) +: results: _*)
+  }
+}

@@ -112,16 +112,32 @@ object Relational2 {
       .orderBy("s_suppkey")
 
   /** Order-statistic aggregates: exact median + interpolated percentiles
-    * (portable: both engines interpolate), spread stats rounded. */
-  val qPercentiles: Q = (s, d) =>
-    Tables.lineitem(s, d)
-      .groupBy("l_returnflag")
-      .agg(
-        round(median(col("l_quantity")), 4).as("med_qty"),
-        round(percentile(col("l_extendedprice"), lit(0.25)), 2).as("p25_price"),
-        round(percentile(col("l_extendedprice"), lit(0.75)), 2).as("p75_price"),
-        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"))
+    * (portable: both engines interpolate), spread stats rounded.
+    *
+    * Computed via [[graft.operators.Percentiles.groupedQuantiles]] — the
+    * sort-based spillable path — NOT Spark's `median`/`percentile`
+    * aggregates, whose ObjectHashAggregate buffers every group value in
+    * executor memory (the one plan shape that cannot survive a 100×
+    * scale-up; PlanSpec pins its absence). The approximate sibling for
+    * single-pass sketched answers is `q_approx_percentile`. */
+  val qPercentiles: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val qty = graft.operators.Percentiles.groupedQuantiles(
+      li, "l_returnflag", "l_quantity", Seq(0.5 -> "med_qty_raw"))
+    val price = graft.operators.Percentiles.groupedQuantiles(
+      li, "l_returnflag", "l_extendedprice",
+      Seq(0.25 -> "p25_price_raw", 0.75 -> "p75_price_raw"))
+    val spread = li.groupBy("l_returnflag")
+      .agg(round(stddev_samp(col("l_quantity")), 4).as("sd_qty"))
+    qty.join(price, "l_returnflag").join(spread, "l_returnflag")
+      .select(
+        col("l_returnflag"),
+        round(col("med_qty_raw"), 4).as("med_qty"),
+        round(col("p25_price_raw"), 2).as("p25_price"),
+        round(col("p75_price_raw"), 2).as("p75_price"),
+        col("sd_qty"))
       .orderBy("l_returnflag")
+  }
 
   /** As-of join: each purchase matched to the user's latest signup at or
     * before it (graft.operators.TemporalJoins — DuckDB expresses the same

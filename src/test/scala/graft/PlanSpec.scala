@@ -69,6 +69,19 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q_percentiles: sort-based plan, no ObjectHashAggregate value buffer") {
+    // exact percentile via `percentile`/`median` aggregates plans an
+    // ObjectHashAggregate that buffers EVERY group value in executor
+    // memory — the one plan shape that can't survive a 100× scale-up.
+    // The sort-based rewrite must keep the whole plan spillable:
+    // row_number is a running-frame window over an external sort.
+    val p = planString("q_percentiles")
+    assert(!p.contains("ObjectHashAggregate"),
+      "exact percentile must not buffer group values in memory:\n" + p)
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      "expected the sort-based window selection:\n" + p)
+  }
+
   test("q_multi_join: date filter pushed, tiny dims broadcast") {
     val p = planString("q_multi_join")
     assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),

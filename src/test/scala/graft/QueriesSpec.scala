@@ -50,6 +50,28 @@ class QueriesSpec extends AnyFunSuite with SharedSpark {
       s"HLL estimate $merged vs exact $exact")
   }
 
+  test("sort-based groupedQuantiles equals Spark's exact percentile aggregate") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // edge cases the lineitem oracle can't exercise: a 1-row group
+    // (h integral at the last rank), nulls (ignored), an even-count
+    // group (true interpolation between two values)
+    val df = Seq(
+      ("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)), ("a", Some(10.0)),
+      ("b", Some(5.0)),
+      ("c", Some(4.0)), ("c", None), ("c", Some(8.0)), ("c", Some(6.0))
+    ).toDF("g", "v")
+    for (p <- Seq(0.0, 0.25, 0.5, 0.75, 1.0)) {
+      val sorted = graft.operators.Percentiles
+        .groupedQuantiles(df, "g", "v", Seq(p -> "q"))
+        .orderBy("g").collect().map(r => (r.getString(0), r.getDouble(1)))
+      val builtin = df.groupBy("g")
+        .agg(percentile(col("v"), lit(p)).as("q"))
+        .orderBy("g").collect().map(r => (r.getString(0), r.getDouble(1)))
+      assert(sorted.sameElements(builtin), s"p=$p: ${sorted.toSeq} vs ${builtin.toSeq}")
+    }
+  }
+
   /** Queries whose result is legitimately empty at tiny scale factors
     * (no exact-duplicate texts are planted below sf0.1). */
   private val mayBeEmpty = Set("q_dedup_exact")
