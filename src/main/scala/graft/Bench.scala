@@ -1,5 +1,26 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Shared helpers for the two benchmark mains. */
+private[graft] object BenchUtil {
+  /** Full JSON string escape — quote, backslash, and ALL control chars
+    * (< 0x20). Mirrors Verify's `q()`: an exception message carrying \b
+    * or a raw control byte must not produce invalid JSON and silently
+    * zero a round's bench output. */
+  def jsonEscape(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  def errString(t: Throwable): String =
+    jsonEscape(Option(t.getMessage).getOrElse(t.getClass.getName).take(200))
+}
+
 object Bench {
   /** Materialize the way Verify does: a noop-format write executes the
     * FULL physical plan — including final sorts and exchanges that a
@@ -7,6 +28,14 @@ object Bench {
     * reflect what a consumer of the result actually pays. */
   private def materialize(df: DataFrame): Unit =
     df.write.mode("overwrite").format("noop").save()
+
+  /** Queries whose first timed run exceeds this get two more runs and
+    * report the median: single-shot timings on the heavy set are ±2×
+    * noisy at local[32] (same session measured q_dedup_clusters at both
+    * 8.2 s and 4.1 s), which swamps real regressions. The sub-second
+    * tail stays single-shot to bound wall time — its absolute noise is
+    * correspondingly sub-second. */
+  private val medianThresholdSec = 1.0
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -23,33 +52,53 @@ object Bench {
     // expressions) is 2-3× their steady state and would otherwise
     // dominate run-to-run variance (measured: jaccard 9.1 s cold,
     // 3.1-3.9 s warm).
-    try {
-      Seq("q1_agg", "q_knn_brute", "q_text_stats", "q_value_counts",
-          "q_dedup_jaccard", "q_glm_poisson",
-          // 64 per-row minhash lambdas / ImageIO / AudioSystem: codegen +
-          // JIT + codec-registry cold start measured 2-8x steady state
-          "q_dedup_incremental", "q_image_decode", "q_audio_decode")
-        .foreach(q => SparkEntry.queries.get(q).foreach(fn => materialize(fn(spark, sfDir))))
-    } catch { case _: Throwable => () }
+    Seq("q1_agg", "q_knn_brute", "q_text_stats", "q_value_counts",
+        "q_dedup_jaccard", "q_glm_poisson",
+        // 64 per-row minhash lambdas / ImageIO / AudioSystem: codegen +
+        // JIT + codec-registry cold start measured 2-8x steady state
+        "q_dedup_incremental", "q_image_decode", "q_audio_decode")
+      .foreach { q =>
+        // a failed warm-up must be VISIBLE (it degrades every subsequent
+        // timing) but not abort the run — per-query catch, named warning
+        try SparkEntry.queries.get(q).foreach(fn => materialize(fn(spark, sfDir)))
+        catch { case t: Throwable =>
+          System.err.println(s"[bench] WARM-UP FAILED for $q: ${t.getMessage}")
+        }
+      }
     // a crashing query must surface as an error, NOT as its
     // time-to-failure (which would let a regression that breaks a query
     // *improve* the bench total): failures are excluded from the timing
     // map and totals and reported in a separate "errors" object
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err = try { materialize(fn(spark, sfDir)); None } catch {
-        case t: Throwable =>
-          Some(Option(t.getMessage).getOrElse(t.getClass.getName)
-            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200))
+      try {
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          materialize(fn(spark, sfDir))
+          (System.nanoTime() - t0) / 1e9
+        }
+        val t1 = once()
+        val times =
+          if (t1 >= medianThresholdSec) (t1 +: Seq.fill(2)(once())).sorted
+          else Seq(t1)
+        (name, Some(times), Option.empty[String])
+      } catch {
+        case t: Throwable => (name, None, Some(BenchUtil.errString(t)))
       }
-      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val ok = results.collect { case (k, v, None) => k -> v }
-    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
+    val ok = results.collect { case (k, Some(times), None) => (k, times) }
+    // headline per-query time = median (robust to a single outlier run);
+    // "mins" rides alongside because bench noise is strictly additive
+    // (interference only ever ADDS time), making min-of-3 the more
+    // stable statistic for cross-round regression comparison
+    val qs = ok.map { case (k, ts) => s"\"" + k + "\":" + ts(ts.size / 2) }
+      .mkString("{", ",", "}")
+    val mins = ok.map { case (k, ts) => s"\"" + k + "\":" + ts.head }
+      .mkString("{", ",", "}")
+    val runs = ok.map { case (k, ts) => s"\"" + k + "\":" + ts.size }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => s"\"$k\":\"$e\"" }
       .mkString("{", ",", "}")
-    val total = ok.map(_._2).sum
+    val total = ok.map { case (_, ts) => ts(ts.size / 2) }.sum
     // "materialization" documents the timing methodology change from r1
     // (count(), which let Catalyst elide final sorts) to the noop write
     // (full plan incl. sorts) — totals are not directly comparable to r1
@@ -57,7 +106,7 @@ object Bench {
     // across runs can't mistake a broken-query drop for a speedup
     // without ignoring an explicit failure count
     val nErr = results.count(_._3.isDefined)
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","n_errors":$nErr,"queries":$qs,"errors":$errs,"sf":"$sfDir","materialization":"noop-write"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","n_errors":$nErr,"queries":$qs,"mins":$mins,"runs":$runs,"errors":$errs,"sf":"$sfDir","materialization":"noop-write","timing":"median-of-3 for queries >= ${medianThresholdSec}s, single-shot below; mins = fastest run"}"""
     println(json)
     // Stdout of this run may be tail-truncated by the harness that
     // launched it; the on-disk copy keeps the complete per-query map

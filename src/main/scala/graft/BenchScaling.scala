@@ -53,9 +53,7 @@ object BenchScaling {
         val r = try {
           materialize(SparkEntry.queries(name)(spark, dir))
           Right((System.nanoTime() - t0) / 1e9)
-        } catch { case t: Throwable =>
-          Left(Option(t.getMessage).getOrElse(t.getClass.getName)
-            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)) }
+        } catch { case t: Throwable => Left(BenchUtil.errString(t)) }
         name -> r
       }.toMap
 
@@ -65,8 +63,11 @@ object BenchScaling {
     val entries = heavy.map { name =>
       (small(name), big(name)) match {
         case (Right(s), Right(b)) =>
-          val ratio = if (s > 0) b / s else Double.NaN
-          f""""$name":{"small_sec":$s%.3f,"big_sec":$b%.3f,"ratio":$ratio%.2f}"""
+          // ratio only when finite: a 0-second small_sec would emit a
+          // bare NaN/Infinity token, which is not valid JSON
+          val ratio = if (s > 0 && (b / s).isFinite) f""","ratio":${b / s}%.2f"""
+                      else ""
+          f""""$name":{"small_sec":$s%.3f,"big_sec":$b%.3f$ratio}"""
         case (s, b) =>
           val err = Seq(s.left.toOption.map("small: " + _),
             b.left.toOption.map("big: " + _)).flatten.mkString("; ")
