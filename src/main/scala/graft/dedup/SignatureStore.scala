@@ -40,12 +40,24 @@ object SignatureStore {
   private def setsPath(path: String) = s"$path/sets"
   private def hashesPath(path: String) = s"$path/hashes"
 
-  /** Catalog table name for a store path's buckets — path-derived so
-    * distinct stores in one session never collide and re-registration
-    * is idempotent per path. */
-  private def bucketsTable(path: String): String =
+  /** Fully-qualified canonical spelling of a directory: scheme +
+    * authority added, relative paths resolved against the FS working
+    * directory, duplicate/trailing slashes collapsed. Every spelling of
+    * one location must map to ONE catalog table name below — otherwise
+    * a second registration over the same files would bypass the existing
+    * table's bucket-spec validation on append. */
+  private def qualified(spark: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    p.makeQualified(fs.getUri, fs.getWorkingDirectory).toString
+  }
+
+  /** Catalog table name for a store path's buckets — derived from the
+    * NORMALIZED path so distinct stores in one session never collide and
+    * re-registration is idempotent per location (not per spelling). */
+  private def bucketsTable(spark: SparkSession, path: String): String =
     "graft_sigstore_" + java.security.MessageDigest.getInstance("MD5")
-      .digest(bucketsPath(path).getBytes("UTF-8"))
+      .digest(qualified(spark, bucketsPath(path)).getBytes("UTF-8"))
       .take(8).map("%02x".format(_)).mkString
 
   /** Re-register the bucketed external table over an existing on-disk
@@ -54,7 +66,7 @@ object SignatureStore {
     * naming survives on disk, so a CLUSTERED BY re-registration restores
     * exchange-free reads). No-op when already registered. */
   private def registerBuckets(spark: SparkSession, path: String): Unit = {
-    val tbl = bucketsTable(path)
+    val tbl = bucketsTable(spark, path)
     if (!spark.catalog.tableExists(tbl)) {
       val loc = bucketsPath(path)
       val ddl = spark.read.parquet(loc).schema.toDDL
@@ -184,34 +196,65 @@ object SignatureStore {
     * files are invisible to a session that cached the listing. No-op if
     * the table isn't registered yet. */
   def refresh(spark: SparkSession, path: String): Unit = {
-    val tbl = bucketsTable(path)
+    val tbl = bucketsTable(spark, path)
     if (spark.catalog.tableExists(tbl)) spark.catalog.refreshTable(tbl)
   }
 
   def read(spark: SparkSession, path: String): SignatureStore = {
     registerBuckets(spark, path)
-    SignatureStore(spark.table(bucketsTable(path)),
+    SignatureStore(spark.table(bucketsTable(spark, path)),
       spark.read.parquet(setsPath(path)),
       spark.read.parquet(hashesPath(path)))
+  }
+
+  /** Leftover-staging location for [[compact]]'s rewrite — sibling of the
+    * store dir so the final swap is a same-filesystem rename. */
+  private def stagingPath(path: String) = s"$path.tmp"
+
+  private def rename(spark: SparkSession, src: String, dst: String): Unit = {
+    val s = new org.apache.hadoop.fs.Path(src)
+    val fs = s.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.rename(s, new org.apache.hadoop.fs.Path(dst)),
+      s"rename $src -> $dst failed")
   }
 
   /** Housekeeping for a long-lived store: every [[append]] adds one file
     * per task per bucket, so a daily cadence accumulates
     * O(days × tasks) small files per bucket — eventually the scan's
-    * open-file overhead dwarfs the data. Rewrite all three artifacts in
-    * place (buckets re-bucketed on the same spec, so incremental joins
-    * stay exchange-free; sets/hashes to one compact pass). Same
-    * non-crash-atomic caveat as any in-place rewrite — run it in the
-    * maintenance window, not concurrently with an ingest. */
+    * open-file overhead dwarfs the data. Rewrites all three artifacts
+    * (buckets re-bucketed on the same spec, so incremental joins stay
+    * exchange-free; sets/hashes to one compact pass) into a STAGING dir
+    * (`$path.tmp`), then swaps it in via rename. The entire data-write
+    * phase — the minutes-to-hours part — therefore leaves the live store
+    * untouched: a crash mid-rewrite strands only a `.tmp` dir (cleaned on
+    * the next compact) and readers keep serving the old consistent state
+    * (spec-pinned, DedupSimSpec). Staging also removes the
+    * read-own-input race and the refreshByPath cache invalidation the
+    * old in-place rewrite had to localCheckpoint around.
+    *
+    * Residual non-atomic window: the swap itself is two directory
+    * renames (live → `.old`, staging → live) — pure metadata, no data
+    * copy. A crash between them leaves both `$path.old` and the staged
+    * copy intact; recover by renaming either back. Concurrent ingests
+    * during the swap still belong in a maintenance window (or a
+    * transactional table format). */
   def compact(spark: SparkSession, path: String): Unit = {
+    val staging = stagingPath(path)
+    deleteDir(spark, staging) // clear any crashed predecessor's leftovers
     val store = read(spark, path)
-    // materialize all three BEFORE any overwrite: each frame's scan must
-    // not race the rewrite of its own input files (and the checkpoint
-    // also sidesteps the refreshByPath cache invalidation — see ingest)
-    val buckets = store.buckets.localCheckpoint()
-    val sets = store.sets.localCheckpoint()
-    val hashes = store.hashes.localCheckpoint()
-    save(SignatureStore(buckets, sets, hashes), path, "overwrite")
+    save(store, staging, "overwrite")
+    // the staged table entry points at $path.tmp — drop both catalog
+    // entries before the swap; re-register at the final location after
+    // (bucket-id file naming survives the rename, so the CLUSTERED BY
+    // re-registration restores exchange-free reads)
+    spark.sql(s"DROP TABLE IF EXISTS ${bucketsTable(spark, staging)}"): Unit
+    spark.sql(s"DROP TABLE IF EXISTS ${bucketsTable(spark, path)}"): Unit
+    val old = s"$path.old"
+    deleteDir(spark, old)
+    rename(spark, path, old)
+    rename(spark, staging, path)
+    deleteDir(spark, old)
+    registerBuckets(spark, path)
   }
 
   private def save(store: SignatureStore, path: String, mode: String): Unit = {
@@ -222,7 +265,7 @@ object SignatureStore {
     val sets = store.sets.persist()
     try {
       sets.write.mode(mode).parquet(setsPath(path))
-      val tbl = bucketsTable(path)
+      val tbl = bucketsTable(spark, path)
       if (mode == "overwrite") {
         // drop + clear location so the CREATE under saveAsTable starts
         // clean (CTAS refuses a non-empty external location)

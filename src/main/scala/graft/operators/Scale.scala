@@ -100,7 +100,18 @@ object Scale {
     *    before the write begins. A table format's transactional commit
     *    closes both windows; the data movement is unchanged.
     *  - NOT safe under concurrent writers — that's what the table
-    *    formats' commit protocols add. */
+    *    formats' commit protocols add.
+    *
+    * Deliberately NOT the staging-dir + rename swap that
+    * [[graft.dedup.SignatureStore.compact]] uses: compact rewrites the
+    * WHOLE store anyway, so staging costs nothing extra, while an upsert
+    * touches only the update set's partition footprint — staging+swapping
+    * the whole table would re-copy every untouched partition and destroy
+    * the operation's cost model. Closing the per-partition commit window
+    * without full rewrites is exactly the delta a transactional table
+    * format (Iceberg/Delta) adds over raw parquet; until then, the
+    * spec-pinned restore-from-source recovery (ScaleSpec) is the
+    * documented contract. */
   def upsertByKey(spark: SparkSession, path: String, updates: DataFrame,
                   keyCol: String, buckets: Int): Unit = {
     val upd = updates

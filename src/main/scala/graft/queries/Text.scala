@@ -203,8 +203,13 @@ object Text {
       .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
     val st = withTok.groupBy("lang")
       .agg(avg("n_tokens").as("mu"), stddev_samp("n_tokens").as("sigma"))
+    // gate operands are ROUNDED (4dp z-score, 2dp ppl) in both engines:
+    // mu/sigma/ppl are float aggregates whose partition-merge order and
+    // libm ulps differ Spark vs DuckDB, so an unrounded threshold compare
+    // could flip a boundary doc between runs/engines
     val inRange = withTok.join(st, "lang")
-      .filter(abs(col("n_tokens") - col("mu")) <= lit(1.8) * col("sigma"))
+      .filter(round(abs(col("n_tokens") - col("mu")), 4)
+        <= round(lit(1.8) * col("sigma"), 4))
       .select("doc_id", "source", "n_tokens")
     val ppl = docPerplexity(base).select("doc_id", "ppl")
     val overlap = graft.dedup.Dedup.contaminationOverlap(
@@ -212,7 +217,7 @@ object Text {
       .select("doc_id", "overlap")
     val losers = graft.dedup.Dedup.exactDupLosers(base.filter(col("doc_id") >= 5))
     val curated = inRange.filter(col("doc_id") >= 5)
-      .join(ppl, "doc_id").filter(col("ppl").between(26.0, 34.0))
+      .join(ppl, "doc_id").filter(round(col("ppl"), 2).between(26.0, 34.0))
       .join(overlap, Seq("doc_id"), "left")
       .filter(coalesce(col("overlap"), lit(0.0)) <= 0.2)
       .join(losers, Seq("doc_id"), "left_anti")
@@ -673,7 +678,7 @@ object Text {
         |inrange AS (
         | SELECT tok.doc_id, tok.source, tok.n_tokens
         | FROM tok JOIN st ON tok.lang = st.lang
-        | WHERE abs(n_tokens - mu) <= 1.8 * sigma),
+        | WHERE round(abs(n_tokens - mu), 4) <= round(1.8 * sigma, 4)),
         |bg AS (
         | SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
         | FROM t, unnest(range(1, len(ts))) AS u(i) WHERE len(ts) >= 2),
@@ -703,7 +708,7 @@ object Text {
         | JOIN ppl ON i.doc_id = ppl.doc_id
         | LEFT JOIN ov ON i.doc_id = ov.doc_id
         | WHERE i.doc_id >= 5
-        |  AND ppl.ppl BETWEEN 26 AND 34
+        |  AND round(ppl.ppl, 2) BETWEEN 26 AND 34
         |  AND coalesce(ov.overlap, 0) <= 0.2
         |  AND i.doc_id NOT IN (SELECT doc_id FROM losers)),
         |h AS (

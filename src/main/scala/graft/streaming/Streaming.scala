@@ -150,13 +150,20 @@ object Streaming {
     * (re-fetches, mirror bursts), so a disorder-bounded window catches
     * them; copies farther apart than the watermark are the batch/store
     * layer's job ([[runStreamingIngest]]'s exact-hash path, which
-    * consults ALL history). Emits first-seen rows. */
+    * consults ALL history). Emits first-seen rows.
+    *
+    * State key is (xxhash64, length) — the batch exact-dedup path rejoins
+    * on full text so a 2⁻⁶⁴ hash collision can never drop a
+    * non-duplicate (Dedup.exactDupLosers); streaming state can't hold
+    * full texts, so the length widens the collision bar to "same 64-bit
+    * hash AND same byte length" at 8 bytes/key of extra state. */
   def dedupedStream(docs: DataFrame, tsCol: String, watermark: String): DataFrame =
     docs
       .withColumn("__h", xxhash64(col("text")))
+      .withColumn("__len", length(col("text")).cast("long"))
       .withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark("__h")
-      .drop("__h")
+      .dropDuplicatesWithinWatermark("__h", "__len")
+      .drop("__h", "__len")
 
   /** STREAMING INGEST — the store-GROWTH-aware form of
     * [[incrementalDedupStream]]: instead of one stream-static join whose

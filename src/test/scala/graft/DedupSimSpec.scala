@@ -309,9 +309,14 @@ class DedupSimSpec extends AnyFunSuite with SharedSpark {
       .buckets.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     // simulate the fresh session: drop THIS store's catalog entry
     // (external table — the bucket files stay on disk); name derivation
-    // mirrors SignatureStore.bucketsTable
+    // mirrors SignatureStore.bucketsTable (MD5 of the QUALIFIED path)
+    val qualified = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/buckets")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      p.makeQualified(fs.getUri, fs.getWorkingDirectory).toString
+    }
     val tbl = "graft_sigstore_" + java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$path/buckets".getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      .digest(qualified.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     spark.sql(s"DROP TABLE $tbl")
     val reread = graft.dedup.SignatureStore.read(spark, path)
     assert(reread.buckets.collect()
@@ -352,6 +357,54 @@ class DedupSimSpec extends AnyFunSuite with SharedSpark {
         case s: FileSourceScanExec if s.relation.bucketSpec.isDefined => s
       }
     assert(scan.nonEmpty, "compacted buckets lost the bucket spec")
+  }
+
+  test("store path spellings normalize to one catalog table") {
+    // trailing/duplicate slashes must hash to the SAME table name:
+    // a second registration over the same files would bypass the
+    // existing table's bucket-spec validation on append
+    val d = Tables.documents(spark, sfDir).limit(60)
+    val path = java.nio.file.Files.createTempDirectory("graft_sigstore_norm").toString
+    graft.dedup.SignatureStore.write(d, path)
+    def sigTables(): Set[String] = spark.sql("SHOW TABLES")
+      .collect().map(_.getString(1)).filter(_.startsWith("graft_sigstore_")).toSet
+    graft.dedup.SignatureStore.read(spark, path): Unit
+    val before = sigTables()
+    // same location, different spellings — none may register a new table
+    val rows = graft.dedup.SignatureStore.read(spark, path).buckets.count()
+    for (alias <- Seq(s"$path/", s"$path//", path.replace("/graft", "//graft"))) {
+      assert(graft.dedup.SignatureStore.read(spark, alias).buckets.count() == rows,
+        s"alias $alias read differs")
+    }
+    assert(sigTables() == before,
+      s"aliased spellings registered extra tables: ${sigTables() -- before}")
+  }
+
+  test("crashed compact leaves the live store serving the OLD consistent state") {
+    val d = Tables.documents(spark, sfDir).limit(100)
+    val path = java.nio.file.Files.createTempDirectory("graft_sigstore_crash").toString
+    graft.dedup.SignatureStore.write(d.filter($"doc_id" < 50), path)
+    graft.dedup.SignatureStore.append(d.filter($"doc_id" >= 50), path)
+    def snapshot() = {
+      val s = graft.dedup.SignatureStore.read(spark, path)
+      (s.buckets.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet,
+        s.sets.count(), s.hashes.count())
+    }
+    val before = snapshot()
+    // simulate a compact killed mid-rewrite: a partial staging dir with
+    // a half-written artifact (the dominant crash window — the whole
+    // data-write phase targets $path.tmp, never the live store)
+    val staging = new java.io.File(s"$path.tmp/sets")
+    staging.mkdirs()
+    java.nio.file.Files.write(staging.toPath.resolve("part-00000.parquet"),
+      Array.fill[Byte](16)(0x7f))
+    assert(snapshot() == before,
+      "partial staging leaked into live store reads")
+    // recovery: the next compact clears the leftovers and swaps cleanly
+    graft.dedup.SignatureStore.compact(spark, path)
+    assert(snapshot() == before, "post-crash compact changed store contents")
+    assert(!new java.io.File(s"$path.tmp").exists(), "staging dir not cleaned")
+    assert(!new java.io.File(s"$path.old").exists(), "old dir not cleaned")
   }
 
   test("ingest increment: drops dups vs store and batch, appends survivors, idempotent") {
