@@ -199,4 +199,53 @@ object Ivf {
     val assigned = spark.read.parquet(s"$path/cells")
     probe(assigned, cents, queries, k, nprobe)
   }
+
+  /** New vectors assigned to a persisted index's EXISTING centroids —
+    * the same pure nearest-centroid expression the probe uses. */
+  private def assignToIndex(spark: org.apache.spark.sql.SparkSession,
+                            path: String, vecs: DataFrame): DataFrame = {
+    val cents = collectCentroids(spark.read.parquet(s"$path/centroids"))
+    require(cents.nonEmpty, s"no centroids at $path — writeIndex first")
+    prepared(vecs).select("vec_id", "emb", "nrm")
+      .withColumn("cid", assignExpr(col("emb"), cents))
+  }
+
+  /** INCREMENTAL APPEND — the daily-embedding-pipeline path (the
+    * signature-store ingest pattern applied to ANN): assign the new
+    * batch to the EXISTING centroids (pure per-row expression — no
+    * re-clustering, no job over the old corpus) and append each vector
+    * to its cell's partition. Probes see the appended vectors
+    * immediately, and the result is IDENTICAL to re-assigning the whole
+    * corpus at these centroids ([[rebuildCells]]; spec-pinned): append
+    * changes nothing about where any existing vector lives.
+    *
+    * RECALL-DRIFT BOUND: the centroids are frozen, so probe recall over
+    * appended data matches the original index exactly as long as the
+    * appends come from the SAME distribution the centroids were trained
+    * on — nearest-centroid assignment is distribution-free given the
+    * centroids. What degrades under DRIFT is cell geometry: vectors from
+    * an unseen mode all land in whichever existing cells are least-far
+    * away, those cells bloat (probe cost grows with cell size), and a
+    * query near the new mode finds its true neighbors spread across
+    * cells its nprobe shortlist may miss. Operational rule: re-cluster
+    * ([[writeIndex]]) when appended volume exceeds ~¼ of the indexed
+    * corpus or max/median cell size exceeds ~4× — both driver-cheap to
+    * monitor from the cells partition listing. Until then,
+    * [[rebuildCells]] compacts append-accumulated small files without
+    * re-clustering. Like [[writeIndex]], not crash-atomic — run appends
+    * serially from the ingest job. */
+  def appendToIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                    newVecs: DataFrame): Unit =
+    assignToIndex(spark, path, newVecs)
+      .write.mode("append").partitionBy("cid").parquet(s"$path/cells")
+
+  /** Re-assign a corpus to the existing centroids and rewrite the cells
+    * wholesale — compaction for an index that has taken many appends
+    * (each append adds files per touched cell), without the re-cluster
+    * cost. Assignment is the same expression [[appendToIndex]] uses, so
+    * contents are unchanged when called on the indexed corpus. */
+  def rebuildCells(spark: org.apache.spark.sql.SparkSession, path: String,
+                   vecs: DataFrame): Unit =
+    assignToIndex(spark, path, vecs)
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/cells")
 }

@@ -180,6 +180,68 @@ class DedupSimSpec extends AnyFunSuite with SharedSpark {
     assert(cellDirs.size > 1, s"expected per-cell partitions, got $cellDirs")
   }
 
+  test("IVF incremental append: probes see appends, equals rebuild at same centroids") {
+    val vecs = Tables.embeddings(spark, sfDir)
+    val base = vecs.filter($"vec_id" % 4 =!= 0)
+    val extra = vecs.filter($"vec_id" % 4 === 0)
+    val qs = vecs.filter($"vec_id" < 5)
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val a = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+    graft.similarity.Ivf.writeIndex(base, a)
+    graft.similarity.Ivf.appendToIndex(spark, a, extra)
+    val appended = graft.similarity.Ivf.topKFromIndex(spark, a, qs, 10)
+    // probe results must include appended vectors (the whole point)
+    assert(appended.collect().map(_.getLong(2)).exists(_ % 4 == 0),
+      "no appended vector reachable from the probe")
+    // append+probe == rebuilding the cells at the SAME (frozen) centroids
+    // over the full corpus — exact result equality, not just recall:
+    // append uses the very assignment expression a rebuild would
+    val b = java.nio.file.Files.createTempDirectory("graft_ivf_reb").toString
+    graft.similarity.Ivf.writeIndex(base, b) // deterministic ⇒ same centroids
+    graft.similarity.Ivf.rebuildCells(spark, b, vecs)
+    assert(asSet(appended) ==
+      asSet(graft.similarity.Ivf.topKFromIndex(spark, b, qs, 10)))
+  }
+
+  test("IVF append recall equals full re-clustered rebuild on the planted fixture") {
+    // same-distribution appends (the documented no-drift contract): hold
+    // out 1/5 of each planted cluster, append it, and compare recall
+    // against an index re-clustered from scratch on the full corpus
+    val dim = 8
+    val rows = (0 until 200).map { id =>
+      val cluster = id / 50
+      val emb = Array.tabulate(dim) { j =>
+        val base = if (j == cluster) 10.0f else 0.0f
+        var h = id.toLong * 0x9E3779B97F4A7C15L + j.toLong * 0xC2B2AE3D27D4EB4FL
+        h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+        base + (java.lang.Math.floorMod(h, 201L) - 100L) * 0.001f
+      }
+      (id.toLong, emb.toSeq)
+    }
+    val vecs = rows.toDF("vec_id", "embedding")
+    val qs = vecs.filter($"vec_id" % 50 < 3)
+    val brute = Similarity.bruteTopK(vecs, qs, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recallOf(hits: Set[(Long, Long)]): Double =
+      (hits & brute).size.toDouble / brute.size
+    val p = java.nio.file.Files.createTempDirectory("graft_ivf_drift").toString
+    graft.similarity.Ivf.writeIndex(vecs.filter($"vec_id" % 5 =!= 0), p,
+      nCells = 4)
+    graft.similarity.Ivf.appendToIndex(spark, p, vecs.filter($"vec_id" % 5 === 0))
+    val appendRecall = recallOf(
+      graft.similarity.Ivf.topKFromIndex(spark, p, qs, 10, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet)
+    val full = java.nio.file.Files.createTempDirectory("graft_ivf_full").toString
+    graft.similarity.Ivf.writeIndex(vecs, full, nCells = 4)
+    val rebuildRecall = recallOf(
+      graft.similarity.Ivf.topKFromIndex(spark, full, qs, 10, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet)
+    assert(appendRecall == rebuildRecall,
+      s"append recall $appendRecall != rebuild recall $rebuildRecall")
+    assert(appendRecall >= 0.9, s"planted clusters should near-fully recall: $appendRecall")
+  }
+
   test("poisson_pmf expression matches the driver-side math") {
     val df = Seq((0, 2.3), (2, 2.3), (10, 0.5)).toDF("k", "lam")
       .select(graft.functions.PoissonPmf.poisson_pmf($"k", $"lam").as("p"))
