@@ -17,8 +17,10 @@ import org.apache.spark.sql.types._
   * [[decodeAudio]] runs `javax.sound.sampled` (also in every JVM — no
   * external codec) with the same per-row stub fallback. Compressed
   * audio (mp3/ogg) and video stay STUBS ([[stubDecode]] — those codecs
-  * ship with neither the JVM nor this container); swap the decode
-  * closure for a codec binding at deploy time, nothing else changes.
+  * ship with neither the JVM nor this container); a deployment plugs
+  * its codec jar in through the [[MediaDecoder]] SPI + [[decodeWith]]
+  * runner (chain order = preference, fake-decoder spec pins the
+  * plug-point), nothing else changes.
   */
 object Multimodal {
 
@@ -106,55 +108,95 @@ object Multimodal {
     }.toDF("media_id", "payload")
   }
 
+  /** SPI: one pluggable payload decoder. External codec jars (mp3, ogg,
+    * video, …) implement this against their library and chain themselves
+    * into [[decodeWith]] — the engine never changes. Implementations MUST
+    * be serializable (they ship to executors) and return None for
+    * payloads they don't recognize, letting the next decoder in the
+    * chain (or the deterministic stub fallback) take the row. */
+  trait MediaDecoder[T] extends Serializable {
+    /** Once per partition before any decode — real codec setup
+      * (native lib load, scratch buffers) amortizes here. */
+    def init(): Unit = ()
+    def decode(mediaId: Long, payload: Array[Byte]): Option[T]
+  }
+
+  /** The SPI runner — one mapPartitions stage for ANY decoder chain:
+    * per-partition init, first Some wins, per-row fallback for payloads
+    * no decoder accepts. [[decodeImages]] and [[decodeAudio]] are this
+    * with the JVM's built-in codecs; a deployment with codec jars passes
+    * `Seq(mp3Decoder, JvmAudioDecoder)` and nothing else changes
+    * (plug-point spec-pinned with a fake decoder, ExtensionsSpec). */
+  def decodeWith[T <: Product](spark: SparkSession, media: DataFrame,
+      decoders: Seq[MediaDecoder[T]], fallback: (Long, Array[Byte]) => T)
+      (implicit tt: scala.reflect.runtime.universe.TypeTag[T]): DataFrame = {
+    import spark.implicits._
+    implicit val enc: org.apache.spark.sql.Encoder[T] =
+      org.apache.spark.sql.Encoders.product[T]
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        decoders.foreach(_.init())
+        it.map { case (id, bytes) =>
+          decoders.iterator
+            .flatMap(d => d.decode(id, bytes))
+            .nextOption()
+            .getOrElse(fallback(id, bytes))
+        }
+      }.toDF()
+  }
+
   /** Row-level result of the REAL decode stage. */
   case class DecodedImage(media_id: Long, media_type: String,
                           width: Long, height: Long, channels: Long,
                           mean_r: Double, mean_g: Double, mean_b: Double,
                           decoded: Boolean)
 
-  /** REAL image decode: `javax.imageio` (PNG/BMP/GIF/JPEG — whatever the
-    * JVM's ImageIO registry carries, no external codec deps) inside the
-    * same mapPartitions batch shape as [[extractFeatures]]. Payloads no
-    * installed reader accepts fall back per-row to the deterministic stub
-    * dimensions, flagged `decoded = false` — so mixed corpora (real
-    * images + formats this JVM can't read) flow through one stage. */
-  def decodeImages(spark: SparkSession, media: DataFrame): DataFrame = {
-    import spark.implicits._
-    media.select("media_id", "payload").as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        // ImageIO reader instances are looked up once per call; the
-        // registry scan is JVM-global and cached — per-partition init
-        // would go here for codecs with real setup cost
-        it.map { case (id, bytes) =>
-          val img =
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            catch { case _: Exception => null }
-          if (img == null) {
-            val n = bytes.length.toLong
-            DecodedImage(id, "application/octet-stream",
-              64 + n % 512, 64 + (n * 7) % 512, 0L, 0.0, 0.0, 0.0, decoded = false)
-          } else {
-            val w = img.getWidth
-            val h = img.getHeight
-            var (sr, sg, sb) = (0L, 0L, 0L)
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val p = img.getRGB(x, y)
-                sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
-                x += 1
-              }
-              y += 1
-            }
-            val n = (w.toLong * h).toDouble
-            DecodedImage(id, "image/decoded", w.toLong, h.toLong,
-              img.getRaster.getNumBands.toLong,
-              sr / n, sg / n, sb / n, decoded = true)
-          }
-        }
-      }.toDF()
+  /** Per-row stub fallback for payloads no image decoder accepts:
+    * deterministic dimensions from byte length, `decoded = false`. */
+  def imageStubFallback(id: Long, bytes: Array[Byte]): DecodedImage = {
+    val n = bytes.length.toLong
+    DecodedImage(id, "application/octet-stream",
+      64 + n % 512, 64 + (n * 7) % 512, 0L, 0.0, 0.0, 0.0, decoded = false)
   }
+
+  /** Built-in image decoder: `javax.imageio` (PNG/BMP/GIF/JPEG —
+    * whatever the JVM's ImageIO registry carries, no external deps).
+    * ImageIO reader instances are looked up per call; the registry scan
+    * is JVM-global and cached, so init() has nothing to do. */
+  object ImageIoDecoder extends MediaDecoder[DecodedImage] {
+    def decode(id: Long, bytes: Array[Byte]): Option[DecodedImage] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w.toLong * h).toDouble
+        Some(DecodedImage(id, "image/decoded", w.toLong, h.toLong,
+          img.getRaster.getNumBands.toLong,
+          sr / n, sg / n, sb / n, decoded = true))
+      }
+    }
+  }
+
+  /** REAL image decode — [[decodeWith]] over the JVM's built-in
+    * [[ImageIoDecoder]]: mixed corpora (real images + formats this JVM
+    * can't read) flow through one stage, unreadable payloads falling
+    * back per-row to deterministic stub dimensions, `decoded = false`. */
+  def decodeImages(spark: SparkSession, media: DataFrame): DataFrame =
+    decodeWith(spark, media, Seq(ImageIoDecoder), imageStubFallback)
 
   /** Resize stub: rescales the decoded metadata to a bounding box
     * preserving aspect ratio (integer math only); payload passes through
@@ -222,52 +264,59 @@ object Multimodal {
                           sample_rate: Long, channels: Long, n_frames: Long,
                           duration_ms: Double, rms: Double, decoded: Boolean)
 
-  /** REAL audio decode: `javax.sound.sampled` (WAV/AU/AIFF — whatever
-    * the JVM's AudioSystem registry parses, no external codec deps)
-    * inside the same mapPartitions batch shape as [[decodeImages]],
-    * with the same per-row stub fallback (`decoded = false`, metadata
-    * derived from byte length) for payloads no reader accepts — so a
-    * mixed corpus (PCM + compressed formats this JVM can't read) flows
-    * through one stage. Emits container metadata AND a signal-level
-    * feature (RMS amplitude over 16-bit samples) to prove the samples
-    * themselves were decoded, not just the header. */
-  def decodeAudio(spark: SparkSession, media: DataFrame): DataFrame = {
-    import spark.implicits._
-    media.select("media_id", "payload").as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.map { case (id, bytes) =>
-          val ais =
-            try javax.sound.sampled.AudioSystem.getAudioInputStream(
-              new java.io.ByteArrayInputStream(bytes))
-            catch { case _: Exception => null }
-          if (ais == null) {
-            val n = bytes.length.toLong
-            DecodedAudio(id, "application/octet-stream",
-              8000 + n % 16000, 1L, n / 2, 0.0, 0.0, decoded = false)
-          } else {
-            val fmt = ais.getFormat
-            val frames = ais.getFrameLength
-            val raw = ais.readAllBytes()
-            // RMS over little-endian 16-bit samples (the PCM case; other
-            // sample widths report container metadata with rms = 0)
-            var sumSq = 0.0
-            var n = 0
-            if (fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian) {
-              var i = 0
-              while (i + 1 < raw.length) {
-                val s = ((raw(i + 1) << 8) | (raw(i) & 0xff)).toShort.toDouble
-                sumSq += s * s
-                n += 1
-                i += 2
-              }
-            }
-            DecodedAudio(id, "audio/decoded",
-              fmt.getSampleRate.toLong, fmt.getChannels.toLong, frames,
-              frames * 1000.0 / fmt.getSampleRate,
-              if (n == 0) 0.0 else math.sqrt(sumSq / n),
-              decoded = true)
+  /** Per-row stub fallback for payloads no audio decoder accepts:
+    * deterministic metadata from byte length, `decoded = false`. */
+  def audioStubFallback(id: Long, bytes: Array[Byte]): DecodedAudio = {
+    val n = bytes.length.toLong
+    DecodedAudio(id, "application/octet-stream",
+      8000 + n % 16000, 1L, n / 2, 0.0, 0.0, decoded = false)
+  }
+
+  /** Built-in audio decoder: `javax.sound.sampled` (WAV/AU/AIFF —
+    * whatever the JVM's AudioSystem registry parses, no external codec
+    * deps). Emits container metadata AND a signal-level feature (RMS
+    * amplitude over 16-bit samples) to prove the samples themselves were
+    * decoded, not just the header. */
+  object JvmAudioDecoder extends MediaDecoder[DecodedAudio] {
+    def decode(id: Long, bytes: Array[Byte]): Option[DecodedAudio] = {
+      val ais =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
+      if (ais == null) None
+      else {
+        val fmt = ais.getFormat
+        val frames = ais.getFrameLength
+        val raw = ais.readAllBytes()
+        // RMS over little-endian 16-bit samples (the PCM case; other
+        // sample widths report container metadata with rms = 0)
+        var sumSq = 0.0
+        var n = 0
+        if (fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian) {
+          var i = 0
+          while (i + 1 < raw.length) {
+            val s = ((raw(i + 1) << 8) | (raw(i) & 0xff)).toShort.toDouble
+            sumSq += s * s
+            n += 1
+            i += 2
           }
         }
-      }.toDF()
+        Some(DecodedAudio(id, "audio/decoded",
+          fmt.getSampleRate.toLong, fmt.getChannels.toLong, frames,
+          frames * 1000.0 / fmt.getSampleRate,
+          if (n == 0) 0.0 else math.sqrt(sumSq / n),
+          decoded = true))
+      }
+    }
   }
+
+  /** REAL audio decode — [[decodeWith]] over the JVM's built-in
+    * [[JvmAudioDecoder]]: a mixed corpus (PCM + compressed formats this
+    * JVM can't read) flows through one stage, unreadable payloads
+    * falling back per-row to deterministic stub metadata,
+    * `decoded = false`. A deployment with an mp3/ogg codec jar chains
+    * its decoder in front: `decodeWith(spark, media,
+    * Seq(mp3Decoder, JvmAudioDecoder), audioStubFallback _)`. */
+  def decodeAudio(spark: SparkSession, media: DataFrame): DataFrame =
+    decodeWith(spark, media, Seq(JvmAudioDecoder), audioStubFallback)
 }

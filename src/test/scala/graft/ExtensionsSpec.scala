@@ -5,6 +5,12 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.functions.GraftExtensions
 import graft.multimodal.Multimodal
 
+/** JVM-static probe for [[Multimodal.MediaDecoder.init]] — a lambda
+  * field would be serialized per task and its increments lost. */
+object FakeInitProbe {
+  val count = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
 class ExtensionsSpec extends AnyFunSuite with SharedSpark {
   import spark.implicits._
 
@@ -66,6 +72,47 @@ class ExtensionsSpec extends AnyFunSuite with SharedSpark {
       .select(graft.functions.SimHash64.simhash64($"t")).head().getLong(0)
     assert(viaSql == viaCol)
     assert(viaSql != 0L)
+  }
+
+  test("MediaDecoder SPI: external decoder chains in front, per-partition init runs") {
+    // the plug-point an mp3/video codec jar would use: a fake decoder
+    // claiming payloads with a magic prefix, chained BEFORE the built-in
+    // ImageIO decoder — magic rows route to the fake, real PNGs to
+    // ImageIO, garbage to the stub fallback, all in one stage
+    object FakeDecoder extends Multimodal.MediaDecoder[Multimodal.DecodedImage] {
+      override def init(): Unit = { FakeInitProbe.count.incrementAndGet(); () }
+      def decode(id: Long, bytes: Array[Byte]): Option[Multimodal.DecodedImage] =
+        if (bytes.length >= 4 && new String(bytes.take(4), "UTF-8") == "FAKE")
+          Some(Multimodal.DecodedImage(id, "image/fake-codec",
+            77L, 99L, 1L, 0.5, 0.5, 0.5, decoded = true))
+        else None
+    }
+    val ids = Tables.documents(spark, sfDir).select("doc_id").limit(12)
+    val pngs = Multimodal.syntheticPngs(spark, ids).filter($"media_id" % 3 === 0)
+    val mixed = pngs
+      .union(ids.filter($"doc_id" % 3 === 1)
+        .select($"doc_id".as("media_id"),
+          concat(lit("FAKE".getBytes("UTF-8")), lit("x".getBytes("UTF-8"))).as("payload")))
+      .union(ids.filter($"doc_id" % 3 === 2)
+        .select($"doc_id".as("media_id"), lit("not media".getBytes("UTF-8")).as("payload")))
+    FakeInitProbe.count.set(0)
+    val out = Multimodal.decodeWith(spark, mixed,
+        Seq(FakeDecoder, Multimodal.ImageIoDecoder), Multimodal.imageStubFallback)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(8))).toMap
+    assert(out.nonEmpty)
+    out.foreach { case (id, (mediaType, wasDecoded)) =>
+      (id % 3) match {
+        case 0 => assert(mediaType == "image/decoded" && wasDecoded,
+          s"id=$id: PNG must pass THROUGH the fake to ImageIO")
+        case 1 => assert(mediaType == "image/fake-codec" && wasDecoded,
+          s"id=$id: magic payload must be claimed by the chained decoder")
+        case _ => assert(mediaType == "application/octet-stream" && !wasDecoded,
+          s"id=$id: garbage must fall back to the stub")
+      }
+    }
+    // init ran on the executors (once per partition, so >= 1 overall);
+    // local[*] shares the JVM, making the static probe visible here
+    assert(FakeInitProbe.count.get() >= 1, "decoder init() never ran")
   }
 
   test("real PNG decode: round trip matches a driver-side ImageIO replay") {
