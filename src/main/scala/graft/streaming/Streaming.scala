@@ -47,6 +47,28 @@ object Streaming {
       .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
       .select(col("window.start").as("hour"), col("cnt"), col("sum_value"))
 
+  /** Native gap-based SESSION WINDOWS — the streaming sibling of batch
+    * q_sessionize's lag+cumsum: `session_window(ts, gap)` opens a window
+    * [ts, ts+gap) per event and merges overlapping windows per user, so
+    * a >gap silence closes the session. Engine-managed state, evicted
+    * once the watermark passes a session's end — bounded like the
+    * tumbling-window agg, no custom-state code. Boundary nuance vs the
+    * batch query: session_window SPLITS at a gap of exactly `gap`
+    * (abutting windows don't overlap) while q_sessionize's
+    * `diff > 1800` split keeps it — identical everywhere else, and on
+    * real timestamps an exact-to-the-microsecond gap is measure-zero
+    * (the stream-equals-batch spec also cross-checks structure against
+    * the lag+cumsum form on the fixture). */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("session_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("session_value"))
+
   /** Runs a streaming query to completion with Trigger.AvailableNow into
     * an in-memory table; returns the result. AvailableNow = process all
     * available input then stop — the cron-batch replacement. */

@@ -179,6 +179,41 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("native session_window stream agg equals batch session_window and q_sessionize structure") {
+    val stream = Streaming.sessionWindowAgg(Streaming.readEvents(spark, sfDir))
+    val result = Streaming.runAvailableNow(spark, stream, "stream_session_win")
+      .orderBy("user_id", "session_start").collect()
+    // batch sibling: the SAME native session_window over the same files
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("session_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("session_value"))
+      .orderBy("user_id", "session_start").collect()
+    assert(result.length == batch.length && result.nonEmpty)
+    result.zip(batch).foreach { case (s, b) =>
+      assert(s.getLong(0) == b.getLong(0))
+      assert(s.getTimestamp(1) == b.getTimestamp(1))
+      assert(s.getTimestamp(2) == b.getTimestamp(2))
+      assert(s.getLong(3) == b.getLong(3))
+      assert(math.abs(s.getDouble(4) - b.getDouble(4)) < 1e-6)
+    }
+    // structural cross-check against the oracle-paired lag+cumsum form:
+    // same (sessions, events) per user — the two split rules differ only
+    // at a gap of exactly 30:00.000000, absent from real timestamps
+    val native = result.groupBy(_.getLong(0)).view
+      .mapValues(rs => (rs.length.toLong, rs.map(_.getLong(3)).sum)).toMap
+    val legacy = graft.queries.Text.qSessionize(spark, sfDir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(native == legacy,
+      s"session_window structure diverges from q_sessionize for users: " +
+        (native.keySet ++ legacy.keySet).filter(k => native.get(k) != legacy.get(k)).take(5))
+  }
+
   test("streaming dedup with watermark matches batch distinct") {
     val deduped = Streaming.readEvents(spark, sfDir)
       .withWatermark("ts", "2 hours")
