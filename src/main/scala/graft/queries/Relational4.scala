@@ -120,6 +120,37 @@ object Relational4 {
       .orderBy("lang")
   }
 
+  /** Ordered string aggregation (SQL:2016 LISTAGG, new in Spark 4):
+    * DISTINCT values concatenated in WITHIN GROUP order — deterministic
+    * by construction, so it replays exactly (DuckDB spells it
+    * string_agg(DISTINCT … ORDER BY …)). The group-concat surface every
+    * reporting layer asks for. */
+  val qStringAgg: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("orders_sa")
+    s.sql(
+      """SELECT o_orderpriority,
+        | listagg(DISTINCT o_orderstatus, ',') WITHIN GROUP (ORDER BY o_orderstatus) AS statuses,
+        | count(*) AS cnt
+        |FROM orders_sa
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  /** Correlated LATERAL join — per-group top-n as a join operator (the
+    * SQL shape BI tools emit): each nation joins its own top-2 customers
+    * by balance. Spark plans the correlated limit as a partitioned
+    * window under a LateralJoin — no per-nation re-scan of customer. */
+  val qLateralJoin: Q = (s, d) => {
+    Tables.nation(s, d).createOrReplaceTempView("nation_lj")
+    Tables.customer(s, d).createOrReplaceTempView("customer_lj")
+    s.sql(
+      """SELECT n.n_name, c.c_custkey, c.c_acctbal
+        |FROM nation_lj n,
+        |LATERAL (SELECT c_custkey, c_acctbal FROM customer_lj
+        |         WHERE c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+        |ORDER BY n.n_name, c.c_custkey""".stripMargin)
+  }
+
   val all: Map[String, Q] = Map(
     "q_weighted_mean" -> qWeightedMean,
     "q_window_percent_rank" -> qWindowPercentRank,
@@ -127,6 +158,8 @@ object Relational4 {
     "q_date_arith" -> qDateArith,
     "q_histogram" -> qHistogram,
     "q_jsonl_roundtrip" -> qJsonlRoundtrip,
+    "q_string_agg" -> qStringAgg,
+    "q_lateral_join" -> qLateralJoin,
   )
 
   val oracles: Map[String, String] = Map(
@@ -171,5 +204,18 @@ object Relational4 {
         | strftime(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE), '%Y-%m-%d') AS plus3m,
         | CAST(dayofyear(o_orderdate) AS BIGINT) AS doy
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_string_agg" ->
+      """SELECT o_orderpriority,
+        | string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+        | count(*) AS cnt
+        |FROM orders
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_lateral_join" ->
+      """SELECT n.n_name, c.c_custkey, c.c_acctbal
+        |FROM nation n,
+        |LATERAL (SELECT c_custkey, c_acctbal FROM customer
+        |         WHERE c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+        |ORDER BY n.n_name, c.c_custkey""".stripMargin,
   )
 }

@@ -299,6 +299,25 @@ object Text {
       .orderBy("user_id", "session_id")
   }
 
+  /** Native gap-based session windows in BATCH — the declarative sibling
+    * of [[qSessionize]]'s lag+cumsum (and the same `session_window`
+    * expression the streaming layer uses, so this oracle certifies that
+    * path's semantics too): windows [ts, ts+30min) merge per user while
+    * they overlap; a ≥30-min silence splits. The DuckDB oracle replays
+    * the split rule on epoch MICROseconds (exactly Spark's timestamp
+    * grain) and reconstructs end = last_ts + gap. One shuffle on
+    * user_id; the merge itself is a sort-based per-partition pass —
+    * no per-group buffering beyond a session's accumulator. */
+  val qSessionWindow: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("session_value"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"), col("session_value"))
+      .orderBy("user_id", "session_start")
+
   /** End-to-end curation pipeline — the composition a training-data
     * pipeline actually runs: exact-dedup (keep min doc_id per content,
     * hash-first so the wide shuffle carries 16-byte rows, not documents —
@@ -476,6 +495,7 @@ object Text {
     "q_ngram_lm" -> qNgramLm,
     "q_vocab" -> qVocab,
     "q_sessionize" -> qSessionize,
+    "q_session_window" -> qSessionWindow,
     "q_curation" -> qCuration,
     "q_curate_full" -> qCurateFull,
     "q_curate_llm" -> qCurateLlm,
@@ -871,5 +891,25 @@ object Text {
         | strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "q_session_window" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, value, epoch_us(ts) AS tus,
+        |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_tus
+        | FROM events),
+        |b AS (
+        | SELECT user_id, event_id, value, tus, CASE WHEN prev_tus IS NULL
+        |   OR tus - prev_tus >= 1800000000 THEN 1 ELSE 0 END AS brk
+        | FROM e),
+        |sess AS (
+        | SELECT user_id, value, tus,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        | FROM b)
+        |SELECT user_id,
+        | strftime(make_timestamp(min(tus)), '%Y-%m-%d %H:%M:%S') AS session_start,
+        | strftime(make_timestamp(max(tus) + 1800000000), '%Y-%m-%d %H:%M:%S') AS session_end,
+        | count(*) AS n_events, round(sum(value), 2) AS session_value
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
   )
 }

@@ -82,6 +82,16 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
       "expected the sort-based window selection:\n" + p)
   }
 
+  test("q_lateral_join: correlated LIMIT decorrelates to WindowGroupLimit, no re-scan") {
+    // the per-nation top-2 subquery must NOT execute once per outer row:
+    // Spark decorrelates it into a window top-n (partial WindowGroupLimit
+    // keeps <= 2 rows per nation per task before the exchange) joined
+    // broadcast to the outer side
+    val p = planString("q_lateral_join")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q_multi_join: date filter pushed, tiny dims broadcast") {
     val p = planString("q_multi_join")
     assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
