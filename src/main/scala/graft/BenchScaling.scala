@@ -31,7 +31,10 @@ object BenchScaling {
     "q_decontam", "q_decontam_bloom", "q_curation", "q_curate_full",
     "q_fingerprint", "q_token_topk",
     "q_heavy_hitters", "q_doc_perplexity", "q_contam_overlap",
-    "q_chunking", "q_embed_centroids")
+    "q_chunking", "q_embed_centroids",
+    // r6: the sort-based exact-percentile rewrite (the scale claim is the
+    // whole point of the rewrite) and corpus-global TF-IDF statistics
+    "q_percentiles", "q_tfidf")
 
   def main(args: Array[String]): Unit = {
     val smallDir = sys.env.getOrElse("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.01")

@@ -151,6 +151,32 @@ object Relational4 {
         |ORDER BY n.n_name, c.c_custkey""".stripMargin)
   }
 
+  /** Column profiling — the `describe`/data-quality pass every ingest
+    * runs first: per column, row count, nulls, exact distinct count, and
+    * min/max (stringified on both engines; string and integer columns
+    * only, so the cast is format-stable cross-engine). ONE scan: a
+    * single multi-aggregate row, unpivoted to one row per column with
+    * per-column literals — no per-column re-scan, no shuffle beyond the
+    * aggregate's. */
+  val qProfile: Q = (s, d) => {
+    val cols = Seq("o_orderstatus", "o_orderpriority", "o_custkey")
+    val aggs = count(lit(1)).as("n") +: cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_distinct"),
+        min(col(c)).cast("string").as(s"${c}_min"),
+        max(col(c)).cast("string").as(s"${c}_max"))
+    }
+    val one = Tables.orders(s, d).agg(aggs.head, aggs.tail: _*)
+    cols.map { c =>
+      one.select(lit(c).as("column"), col("n"),
+        col(s"${c}_nulls").as("n_nulls"),
+        col(s"${c}_distinct").as("n_distinct"),
+        col(s"${c}_min").as("min_val"),
+        col(s"${c}_max").as("max_val"))
+    }.reduce(_.unionAll(_)).orderBy("column")
+  }
+
   val all: Map[String, Q] = Map(
     "q_weighted_mean" -> qWeightedMean,
     "q_window_percent_rank" -> qWindowPercentRank,
@@ -160,6 +186,7 @@ object Relational4 {
     "q_jsonl_roundtrip" -> qJsonlRoundtrip,
     "q_string_agg" -> qStringAgg,
     "q_lateral_join" -> qLateralJoin,
+    "q_profile" -> qProfile,
   )
 
   val oracles: Map[String, String] = Map(
@@ -217,5 +244,28 @@ object Relational4 {
         |         WHERE c_nationkey = n.n_nationkey
         |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
         |ORDER BY n.n_name, c.c_custkey""".stripMargin,
+    "q_profile" ->
+      """WITH a AS (
+        | SELECT count(*) AS n,
+        |  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS s_nulls,
+        |  CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS s_distinct,
+        |  CAST(min(o_orderstatus) AS VARCHAR) AS s_min,
+        |  CAST(max(o_orderstatus) AS VARCHAR) AS s_max,
+        |  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS p_nulls,
+        |  CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS p_distinct,
+        |  CAST(min(o_orderpriority) AS VARCHAR) AS p_min,
+        |  CAST(max(o_orderpriority) AS VARCHAR) AS p_max,
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_nulls,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS k_distinct,
+        |  CAST(min(o_custkey) AS VARCHAR) AS k_min,
+        |  CAST(max(o_custkey) AS VARCHAR) AS k_max
+        | FROM orders)
+        |SELECT 'o_custkey' AS "column", n, k_nulls AS n_nulls,
+        | k_distinct AS n_distinct, k_min AS min_val, k_max AS max_val FROM a
+        |UNION ALL
+        |SELECT 'o_orderpriority', n, p_nulls, p_distinct, p_min, p_max FROM a
+        |UNION ALL
+        |SELECT 'o_orderstatus', n, s_nulls, s_distinct, s_min, s_max FROM a
+        |ORDER BY "column"""".stripMargin,
   )
 }

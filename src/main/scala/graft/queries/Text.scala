@@ -260,6 +260,31 @@ object Text {
       .orderBy("token_id")
   }
 
+  /** TF-IDF term scoring — the retrieval/quality-weighting primitive:
+    * tf = per-(doc, term) count, idf = ln(N/df) with df = docs containing
+    * the term and N = docs with ≥1 token. IDF statistics come from the
+    * WHOLE corpus (two partial-aggregable passes over the exploded
+    * tokens — both shuffles carry (token)-keyed counts, never documents);
+    * output is restricted to doc_id < 100 to keep the verify artifact
+    * bounded while the df/N inputs stay corpus-global. Score rounded 4dp
+    * (ln is transcendental; same cross-engine discipline as
+    * q_doc_perplexity). */
+  val qTfidf: Q = (s, d) => {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy("token")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val n = tok.select(countDistinct(col("doc_id")).as("n_docs"))
+    tf.filter(col("doc_id") < 100)
+      .join(df, "token")
+      .crossJoin(n) // 1×1 aggregate frame — broadcast literal, not a blowup
+      .select(col("doc_id"), col("token"), col("tf"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4)
+          .as("tfidf"))
+      .orderBy("doc_id", "token")
+  }
+
   /** PII-ish scrubbing over a corpus that provably exercises every
     * pattern: the synthetic documents carry no contact strings, so the
     * query plants a deterministic contact suffix on every third doc and
@@ -496,6 +521,7 @@ object Text {
     "q_vocab" -> qVocab,
     "q_sessionize" -> qSessionize,
     "q_session_window" -> qSessionWindow,
+    "q_tfidf" -> qTfidf,
     "q_curation" -> qCuration,
     "q_curate_full" -> qCurateFull,
     "q_curate_llm" -> qCurateLlm,
@@ -891,6 +917,18 @@ object Text {
         | strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "q_tfidf" ->
+      """WITH tok AS (
+        | SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+        | FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok)
+        |SELECT tf.doc_id, tf.token, tf.tf,
+        | round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS tfidf
+        |FROM tf JOIN df USING (token) CROSS JOIN n
+        |WHERE tf.doc_id < 100
+        |ORDER BY tf.doc_id, tf.token""".stripMargin,
     "q_session_window" ->
       """WITH e AS (
         | SELECT user_id, event_id, value, epoch_us(ts) AS tus,
