@@ -226,6 +226,99 @@ object Multimodal {
       col("media_id"),
       explode(sequence(lit(0), col("meta.n_frames") - 1, lit(every))).as("frame_idx"))
 
+  /** Deterministic synthetic ANIMATED GIFs, ENCODED ON EXECUTORS: per id,
+    * 2 + id%6 solid-color frames whose color is a pure function of
+    * (id, frame_idx), so a later frame-level decode is verifiable by
+    * recomputing the functions — the fixture generator for REAL
+    * multi-frame sampling ([[decodeGifFrames]]). GIF is the one
+    * multi-frame container `javax.imageio` both writes and reads in
+    * every JVM — the honest stand-in for video frame extraction. */
+  def syntheticGifs(spark: SparkSession, ids: DataFrame): DataFrame = {
+    import spark.implicits._
+    ids.select(col("doc_id")).as[Long].mapPartitions { it =>
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      it.map { id =>
+        val nFrames = 2 + (id % 6).toInt
+        val w = 8 + (id % 16).toInt
+        val h = 8 + ((id * 3) % 16).toInt
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < nFrames) {
+          val rgb = (((id * 31 + f) * 2654435761L) % 16777216L).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+        ios.close()
+        (id, bos.toByteArray)
+      }
+    }.toDF("media_id", "payload")
+  }
+
+  /** One sampled frame of a decoded multi-frame payload. */
+  case class DecodedFrame(media_id: Long, n_frames: Long, frame_idx: Long,
+                          width: Long, height: Long,
+                          mean_r: Double, decoded: Boolean)
+
+  /** REAL multi-frame decode + sampling: `javax.imageio`'s GIF reader
+    * enumerates and decodes every k-th frame of an animated payload —
+    * actual video-style frame extraction (per-frame pixels, not
+    * metadata), in the same [[decodeWith]]-compatible mapPartitions
+    * shape. Undecodable payloads fall back to one stub row
+    * (`decoded = false`, frame count from byte length like
+    * [[stubDecode]]). */
+  def decodeGifFrames(spark: SparkSession, media: DataFrame,
+                      every: Int = 2): DataFrame = {
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition init: one reader instance reused across rows
+        val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        it.flatMap { case (id, bytes) =>
+          val frames =
+            try {
+              val iis = javax.imageio.ImageIO.createImageInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              reader.setInput(iis, false, true)
+              val n = reader.getNumImages(true)
+              val out = (0 until n by every).map { f =>
+                val img = reader.read(f)
+                var sr = 0L
+                var y = 0
+                while (y < img.getHeight) {
+                  var x = 0
+                  while (x < img.getWidth) {
+                    sr += (img.getRGB(x, y) >> 16) & 0xff; x += 1
+                  }
+                  y += 1
+                }
+                DecodedFrame(id, n.toLong, f.toLong,
+                  img.getWidth.toLong, img.getHeight.toLong,
+                  sr.toDouble / (img.getWidth.toLong * img.getHeight), decoded = true)
+              }
+              iis.close()
+              out
+            } catch { case _: Exception =>
+              val n = bytes.length.toLong
+              Seq(DecodedFrame(id, 1 + n % 16, 0L,
+                64 + n % 512, 64 + (n * 7) % 512, 0.0, decoded = false))
+            }
+          frames
+        }
+      }.toDF()
+  }
+
   /** Deterministic synthetic WAVs, ENCODED ON EXECUTORS (PCM 16-bit
     * mono): sample rate, frame count, and a sine frequency are pure
     * functions of the id, so a later decode is verifiable by

@@ -74,12 +74,30 @@ object Media {
       .orderBy("media_id", "frame_idx")
   }
 
+  /** REAL multi-frame decode + sampling round trip — the video-frame-
+    * extraction shape with an actual codec: animated GIFs (the one
+    * multi-frame container `javax.imageio` both writes and reads in
+    * every JVM) are ENCODED on executors with frame count / dimensions /
+    * per-frame solid color pure functions of (id, frame_idx), then every
+    * 2nd frame is DECODED back with per-frame pixel means. The oracle
+    * recomputes everything arithmetically — a green row certifies frame
+    * ENUMERATION (n_frames round-trips), frame SELECTION (sampled
+    * indices), and per-frame PIXELS (mean_r exact: solid color survives
+    * the GIF palette since each frame has one color). */
+  val qGifFrames: Q = (s, d) =>
+    Multimodal.decodeGifFrames(s,
+        Multimodal.syntheticGifs(s, Tables.documents(s, d)), every = 2)
+      .select(col("media_id"), col("n_frames"), col("frame_idx"),
+        col("width"), col("height"), col("mean_r"))
+      .orderBy("media_id", "frame_idx")
+
   val all: Map[String, Q] = Map(
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_media_features" -> qMediaFeatures,
     "q_image_decode" -> qImageDecode,
     "q_audio_decode" -> qAudioDecode,
     "q_frame_sample" -> qFrameSample,
+    "q_gif_frames" -> qGifFrames,
   )
 
   val oracles: Map[String, String] = Map(
@@ -120,5 +138,17 @@ object Media {
       """SELECT doc_id AS media_id,
         | CAST(unnest(range(0, 1 + octet_length(encode(text)) % 16, 2)) AS INT) AS frame_idx
         |FROM documents ORDER BY media_id, frame_idx""".stripMargin,
+    "q_gif_frames" ->
+      """WITH f AS (
+        | SELECT doc_id, 2 + doc_id % 6 AS n_frames,
+        |  unnest(range(0, 2 + doc_id % 6, 2)) AS fi
+        | FROM documents)
+        |SELECT doc_id AS media_id,
+        | CAST(n_frames AS BIGINT) AS n_frames,
+        | CAST(fi AS BIGINT) AS frame_idx,
+        | CAST(8 + doc_id % 16 AS BIGINT) AS width,
+        | CAST(8 + (doc_id * 3) % 16 AS BIGINT) AS height,
+        | CAST((((doc_id * 31 + fi) * 2654435761) % 16777216) // 65536 AS DOUBLE) AS mean_r
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin,
   )
 }

@@ -255,6 +255,51 @@ object Streaming {
   }
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long, value: Double)
+  case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** `transformWithState` processor (the Spark 4 arbitrary-state API —
+    * successor of mapGroupsWithState: named state variables, TTL,
+    * timers): per-user running totals in a ValueState, emitting the
+    * updated cumulative row per user per micro-batch. TTLConfig.NONE
+    * here; a production deployment bounds state with a TTL instead of
+    * the GroupStateTimeout dance. */
+  private class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserTotals] {
+    @transient private var totals:
+      org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Double)]("totals",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaDouble),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[UserTotals] = {
+      var (n, s) = if (totals.exists()) totals.get() else (0L, 0.0)
+      rows.foreach { e => n += 1; s += e.value }
+      totals.update((n, s))
+      Iterator.single(UserTotals(user, n, s))
+    }
+  }
+
+  /** Per-user running totals via `transformWithState` — requires the
+    * RocksDB state store provider (set here on the session; the HDFS
+    * default doesn't support the new state API). Update output mode:
+    * each micro-batch emits the refreshed cumulative row for every user
+    * it touched. Under AvailableNow the final row per user equals the
+    * batch aggregate (spec-pinned). */
+  def runningTotals(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    events.select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("value")).as[Event]
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+      .toDF()
+  }
   case class SessionState(sessionId: Long, lastTs: Long, nEvents: Long, sumValue: Double)
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long, session_value: Double)
   case class OpenSession(sessionId: Long, startTs: Long, lastTs: Long,

@@ -271,6 +271,32 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("transformWithState running totals equal batch aggregates (RocksDB state store)") {
+    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    try {
+      val stream = Streaming.runningTotals(spark, Streaming.readEvents(spark, sfDir))
+      // Update mode: keep only each user's LAST emitted row (memory sink
+      // accumulates per-batch updates; AvailableNow may run several)
+      val result = Streaming.runAvailableNow(spark, stream, "stream_tws",
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).map { case (u, rows) => u -> rows.maxBy(_._2) }
+      val batch = Tables.events(spark, sfDir)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toMap
+      assert(result.keySet == batch.keySet)
+      result.foreach { case (u, (_, n, s)) =>
+        assert(n == batch(u)._2, s"user $u count")
+        assert(math.abs(s - batch(u)._3) < 1e-6, s"user $u sum")
+      }
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("flatMapGroupsWithState closed sessions equal batch minus each user's open tail") {
     val stream = Streaming.closedSessions(spark, Streaming.readEvents(spark, sfDir))
     val result = Streaming.runAvailableNow(spark, stream, "stream_closed",
