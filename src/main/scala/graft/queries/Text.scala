@@ -343,6 +343,36 @@ object Text {
         col("n_events"), col("session_value"))
       .orderBy("user_id", "session_start")
 
+  /** SCD Type-2 style change tracking — the warehouse versioning
+    * operator: each user's consecutive run of one event_type becomes a
+    * versioned row with [valid_from, valid_to) bounds, valid_to = the
+    * next version's start (null for the current version). Change points
+    * via lag, version ids via cumsum — the sessionize idiom with a
+    * value-change predicate instead of a time gap; bounds via lead over
+    * the per-user version sequence. One shuffle on user_id, all three
+    * windows share it. */
+  val qScd2: Q = (s, d) => {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val runs = Tables.events(s, d)
+      .withColumn("prev_type", lag("event_type", 1).over(byUser))
+      .withColumn("chg",
+        when(col("prev_type").isNull || col("prev_type") =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("version", sum("chg").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "version")
+      .agg(first("event_type").as("event_type"),
+        min("ts").as("from_ts"), count(lit(1)).as("n_events"))
+    val byVersion = Window.partitionBy("user_id").orderBy("version")
+    runs
+      .withColumn("to_ts", lead("from_ts", 1).over(byVersion))
+      .select(col("user_id"), col("version"), col("event_type"),
+        date_format(col("from_ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        date_format(col("to_ts"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+        col("n_events"))
+      .orderBy("user_id", "version")
+  }
+
   /** End-to-end curation pipeline — the composition a training-data
     * pipeline actually runs: exact-dedup (keep min doc_id per content,
     * hash-first so the wide shuffle carries 16-byte rows, not documents —
@@ -522,6 +552,7 @@ object Text {
     "q_sessionize" -> qSessionize,
     "q_session_window" -> qSessionWindow,
     "q_tfidf" -> qTfidf,
+    "q_scd2" -> qScd2,
     "q_curation" -> qCuration,
     "q_curate_full" -> qCurateFull,
     "q_curate_llm" -> qCurateLlm,
@@ -917,6 +948,30 @@ object Text {
         | strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "q_scd2" ->
+      """WITH w AS (
+        | SELECT user_id, event_id, event_type, ts,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        | FROM events),
+        |b AS (
+        | SELECT *, CASE WHEN prev_type IS NULL OR prev_type <> event_type
+        |   THEN 1 ELSE 0 END AS chg
+        | FROM w),
+        |v AS (
+        | SELECT user_id, event_type, ts,
+        |  sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+        | FROM b),
+        |runs AS (
+        | SELECT user_id, version, min(event_type) AS event_type,
+        |  min(ts) AS from_ts, count(*) AS n_events
+        | FROM v GROUP BY user_id, version)
+        |SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+        | strftime(from_ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        | strftime(lead(from_ts) OVER (PARTITION BY user_id ORDER BY version),
+        |   '%Y-%m-%d %H:%M:%S') AS valid_to,
+        | n_events
+        |FROM runs ORDER BY user_id, version""".stripMargin,
     "q_tfidf" ->
       """WITH tok AS (
         | SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
