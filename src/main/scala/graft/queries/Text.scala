@@ -343,6 +343,32 @@ object Text {
         col("n_events"), col("session_value"))
       .orderBy("user_id", "session_start")
 
+  /** PARAGRAPH-level dedup — boilerplate removal at sub-document
+    * granularity (the pass that strips repeated headers/footers/license
+    * blocks a document-level dedup can't see): split on sentence
+    * boundaries, keep each distinct paragraph only at its FIRST
+    * occurrence (min (doc_id, pos)), reassemble surviving paragraphs in
+    * original order. Two hash shuffles on the paragraph text (keeper
+    * agg + join back), both content-keyed — no window over the whole
+    * corpus; the reassembly groups by doc_id. Oracle replays the whole
+    * split → first-occurrence → reassemble composition. */
+  val qParaDedup: Q = (s, d) => {
+    val paras = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\\. ")).as(Seq("pos", "para")))
+      .filter(length(trim(col("para"))) > 0)
+    val keepers = paras.groupBy("para")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("k"))
+      .select(col("para"), col("k.doc_id").as("doc_id"), col("k.pos").as("pos"))
+    paras.join(keepers, Seq("para", "doc_id", "pos"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_paras"),
+        concat_ws(". ",
+          transform(array_sort(collect_list(struct(col("pos"), col("para")))),
+            x => x.getField("para"))).as("cleaned"))
+      .orderBy("doc_id")
+  }
+
   /** SCD Type-2 style change tracking — the warehouse versioning
     * operator: each user's consecutive run of one event_type becomes a
     * versioned row with [valid_from, valid_to) bounds, valid_to = the
@@ -553,6 +579,7 @@ object Text {
     "q_session_window" -> qSessionWindow,
     "q_tfidf" -> qTfidf,
     "q_scd2" -> qScd2,
+    "q_para_dedup" -> qParaDedup,
     "q_curation" -> qCuration,
     "q_curate_full" -> qCurateFull,
     "q_curate_llm" -> qCurateLlm,
@@ -948,6 +975,21 @@ object Text {
         | strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "q_para_dedup" ->
+      """WITH t AS (
+        | SELECT doc_id, string_split(text, '. ') AS ps FROM documents),
+        |p AS (
+        | SELECT doc_id, i - 1 AS pos, ps[i] AS para
+        | FROM t, unnest(range(1, len(ps) + 1)) AS u(i)
+        | WHERE length(trim(ps[i])) > 0),
+        |keepers AS (
+        | SELECT para, min(struct_pack(doc_id := doc_id, pos := pos)) AS k
+        | FROM p GROUP BY para)
+        |SELECT p.doc_id, count(*) AS n_paras,
+        | string_agg(p.para, '. ' ORDER BY p.pos) AS cleaned
+        |FROM p JOIN keepers ON p.para = keepers.para
+        | AND p.doc_id = keepers.k.doc_id AND p.pos = keepers.k.pos
+        |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
     "q_scd2" ->
       """WITH w AS (
         | SELECT user_id, event_id, event_type, ts,
