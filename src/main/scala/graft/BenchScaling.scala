@@ -33,8 +33,9 @@ object BenchScaling {
     "q_heavy_hitters", "q_doc_perplexity", "q_contam_overlap",
     "q_chunking", "q_embed_centroids",
     // r6: the sort-based exact-percentile rewrite (the scale claim is the
-    // whole point of the rewrite) and corpus-global TF-IDF statistics
-    "q_percentiles", "q_tfidf")
+    // whole point of the rewrite), corpus-global TF-IDF statistics, and
+    // paragraph-level dedup (content-keyed shuffles over exploded text)
+    "q_percentiles", "q_tfidf", "q_para_dedup")
 
   def main(args: Array[String]): Unit = {
     val smallDir = sys.env.getOrElse("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.01")

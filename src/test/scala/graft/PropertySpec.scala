@@ -57,6 +57,30 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
     assert(nonNull == 0)
   }
 
+  test("property: sort-based groupedQuantiles equals builtin percentile on random data") {
+    // random group sizes (incl. tiny), duplicate values, negative values,
+    // and arbitrary p — the sort-based rewrite must match Spark's exact
+    // percentile aggregate everywhere, not just the lineitem fixture
+    val gen = for {
+      g <- Gen.choose(0, 4)
+      v <- Gen.oneOf(Gen.choose(-100, 100).map(_.toDouble),
+        Gen.choose(0, 5).map(_.toDouble)) // heavy duplicates
+    } yield (s"g$g", v)
+    val rows = samples(gen, 500)
+    val df = rows.toDF("g", "v")
+    for (p <- List(0.0, 0.1, 0.25, 0.5, 0.9, 1.0)) {
+      val got = graft.operators.Percentiles
+        .groupedQuantiles(df, "g", "v", Seq(p -> "q"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val want = df.groupBy("g").agg(percentile(col("v"), lit(p)).as("q"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(got.keySet == want.keySet, s"p=$p groups")
+      got.foreach { case (g, q) =>
+        assert(math.abs(q - want(g)) < 1e-9, s"p=$p group=$g: $q vs ${want(g)}")
+      }
+    }
+  }
+
   test("property: contains-conditional weight matches driver-side eval") {
     val gen = for {
       base <- Gen.alphaStr.map(_.take(20))
