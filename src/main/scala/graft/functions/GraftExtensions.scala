@@ -37,7 +37,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1))),
     ("simhash64",
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (args: Seq[Expression]) => SimHash64(args(0))))
+      (args: Seq[Expression]) => SimHash64(args(0))),
+    ("nfc_normalize",
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => NfcNormalize(args(0))))
 
   /** Runtime registration on an existing session (functions + the
     * sorted-intersect optimizer rule via experimental.extraOptimizations,

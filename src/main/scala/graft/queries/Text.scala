@@ -343,6 +343,28 @@ object Text {
         col("n_events"), col("session_value"))
       .orderBy("user_id", "session_start")
 
+  /** Unicode NFC normalization — the canonicalization pass a crawled
+    * corpus needs before exact dedup / shingling / vocab construction
+    * (composed U+00E9 "é" and decomposed e+U+0301 are different bytes,
+    * identical text — unnormalized they silently halve dedup recall on
+    * accented languages). The corpus is ASCII, so the query PLANTS both
+    * spellings deterministically (qRedact's planting pattern): after the
+    * codegen'd [[graft.functions.NfcNormalize]] expression both forms
+    * are byte-identical, which the oracle (DuckDB `nfc_normalize`)
+    * certifies on the full output strings. */
+  val qNfcNormalize: Q = (s, d) => {
+    import graft.functions.NfcNormalize.nfc_normalize
+    // doc%3==0 plants DECOMPOSED e+U+0301, doc%3==1 plants COMPOSED U+00E9
+    val dirty = when(col("doc_id") % 3 === 0, concat(col("text"), lit(" cafe\u0301")))
+      .when(col("doc_id") % 3 === 1, concat(col("text"), lit(" caf\u00e9")))
+      .otherwise(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        nfc_normalize(dirty).as("norm_text"),
+        (nfc_normalize(dirty) =!= dirty).cast("long").as("changed"))
+      .orderBy("doc_id")
+  }
+
   /** PARAGRAPH-level dedup — boilerplate removal at sub-document
     * granularity (the pass that strips repeated headers/footers/license
     * blocks a document-level dedup can't see): split on sentence
@@ -580,6 +602,7 @@ object Text {
     "q_tfidf" -> qTfidf,
     "q_scd2" -> qScd2,
     "q_para_dedup" -> qParaDedup,
+    "q_nfc_normalize" -> qNfcNormalize,
     "q_curation" -> qCuration,
     "q_curate_full" -> qCurateFull,
     "q_curate_llm" -> qCurateLlm,
@@ -975,6 +998,16 @@ object Text {
         | strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "q_nfc_normalize" ->
+      """WITH t AS (
+        | SELECT doc_id, CASE
+        |   WHEN doc_id % 3 = 0 THEN text || ' cafe' || chr(769)
+        |   WHEN doc_id % 3 = 1 THEN text || ' caf' || chr(233)
+        |   ELSE text END AS dirty
+        | FROM documents)
+        |SELECT doc_id, nfc_normalize(dirty) AS norm_text,
+        | CAST(nfc_normalize(dirty) <> dirty AS BIGINT) AS changed
+        |FROM t ORDER BY doc_id""".stripMargin,
     "q_para_dedup" ->
       """WITH t AS (
         | SELECT doc_id, string_split(text, '. ') AS ps FROM documents),

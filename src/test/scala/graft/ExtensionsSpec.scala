@@ -74,6 +74,31 @@ class ExtensionsSpec extends AnyFunSuite with SharedSpark {
     assert(viaSql != 0L)
   }
 
+  test("nfc_normalize: composed == decomposed after, SQL-reachable, ASCII untouched") {
+    import graft.functions.NfcNormalize.nfc_normalize
+    val df = Seq(
+      ("cafe\u0301", "caf\u00e9"),   // decomposed vs composed e-acute
+      ("A\u030a", "\u00c5"),          // A + combining ring vs composed
+      ("plain ascii", "plain ascii")
+    ).toDF("a", "b")
+      .select(nfc_normalize($"a").as("na"), nfc_normalize($"b").as("nb"), $"a", $"b")
+    df.collect().foreach { r =>
+      assert(r.getString(0) == r.getString(1),
+        s"NFC forms differ: ${r.getString(0)} vs ${r.getString(1)}")
+    }
+    // ASCII passes through unchanged (quick-check fast path)
+    assert(df.filter($"a" === lit("plain ascii") && $"na" =!= $"a").count() == 0)
+    GraftExtensions.install(spark)
+    // NB: Spark's chr() is mod-256 (ASCII), so the combining char goes
+    // in as a string literal, not chr(769) like the DuckDB oracle uses
+    assert(spark.sql("SELECT nfc_normalize('cafe\u0301')").head().getString(0)
+      == "caf\u00e9")
+    // analysis-time type contract: non-string input fails cleanly
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT nfc_normalize(array(1))").collect()
+    }
+  }
+
   test("MediaDecoder SPI: external decoder chains in front, per-partition init runs") {
     // the plug-point an mp3/video codec jar would use: a fake decoder
     // claiming payloads with a magic prefix, chained BEFORE the built-in
