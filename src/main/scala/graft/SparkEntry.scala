@@ -19,6 +19,7 @@ object SparkEntry {
       graft.queries.Relational2.all ++
       graft.queries.Relational3.all ++
       graft.queries.Relational4.all ++
+      graft.queries.Relational5.all ++
       graft.queries.Text.all ++
       graft.queries.DedupSim.all ++
       graft.queries.Media.all ++
@@ -31,6 +32,7 @@ object SparkEntry {
       graft.queries.Relational2.oracles ++
       graft.queries.Relational3.oracles ++
       graft.queries.Relational4.oracles ++
+      graft.queries.Relational5.oracles ++
       graft.queries.Text.oracles ++
       graft.queries.DedupSim.oracles ++
       graft.queries.Media.oracles ++

@@ -62,4 +62,30 @@ object Percentiles {
     }
     agg.select(col(grpCol) +: results: _*)
   }
+
+  /** Exact LOWER MEDIAN per group: the value at rank ⌈n/2⌉ of the sorted
+    * non-null values — an ACTUAL DATUM, never an interpolation.
+    *
+    * Use this instead of [[groupedQuantiles]] when the median feeds a
+    * downstream strict comparison (robust-outlier thresholds, MAD
+    * bands): an interpolated median is an arithmetic result whose last
+    * ulp can differ across engines, silently flipping `x > k·median` for
+    * rows that tie with the threshold; a datum read from the same
+    * parquet bytes is bit-identical everywhere. Same spillable
+    * two-pass shape as groupedQuantiles (tiny count aggregate, then one
+    * external-sort window) — no per-group value buffer.
+    */
+  def groupedMedianLow(df: DataFrame, grpCol: String, valCol: String,
+      alias: String): DataFrame = {
+    val nonNull = df.select(col(grpCol), col(valCol))
+      .filter(col(valCol).isNotNull)
+    val counts = nonNull.groupBy(grpCol).agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(grpCol).orderBy(valCol)
+    nonNull
+      .withColumn("__rn", row_number().over(w))
+      // one row per group — always broadcast-sized
+      .join(broadcast(counts), grpCol)
+      .filter(col("__rn") === expr("(__n + 1) div 2"))
+      .select(col(grpCol), col(valCol).as(alias))
+  }
 }

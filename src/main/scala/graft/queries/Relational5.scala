@@ -1,0 +1,212 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Coverage batch 5 (round 6): distribution-shape statistics, robust
+  * outlier detection, quantile binning, and the ORC columnar round-trip —
+  * the profiling/feature-engineering surface a training-data pipeline
+  * runs before and after every curation pass, with the same oracle
+  * discipline as [[Relational]].
+  */
+object Relational5 {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Higher-moment distribution statistics per group — skewness, excess
+    * kurtosis, correlation, covariance — computed from RAW POWER SUMS
+    * with the identical closed-form formula on both engines, NOT the
+    * built-in `skewness`/`kurtosis` aggregates: engines disagree on
+    * bias correction (sample vs population estimators), while
+    * Σx,Σx²,Σx³,Σx⁴ are definition-free. One partial-aggregable pass
+    * (8 sums per group — map-side combine, constant state), formulas
+    * applied on the 3-row aggregate; 4-dp rounding absorbs
+    * partition-order float-summation noise. x = l_quantity (values
+    * 1–50, so power sums stay far from double cancellation; price-scale
+    * columns would lose precision in Σx⁴). */
+  val qStatsMoments: Q = (s, d) => {
+    val base = Tables.lineitem(s, d).select(
+        col("l_returnflag").as("flag"),
+        col("l_quantity").as("x"),
+        col("l_extendedprice").as("y"))
+      .withColumn("x2", col("x") * col("x"))
+      .withColumn("x3", col("x2") * col("x"))
+      .withColumn("x4", col("x3") * col("x"))
+      .withColumn("y2", col("y") * col("y"))
+      .withColumn("xy", col("x") * col("y"))
+    val sums = base.groupBy("flag").agg(
+      count(lit(1)).cast("double").as("n"),
+      sum("x").as("sx"), sum("x2").as("sx2"),
+      sum("x3").as("sx3"), sum("x4").as("sx4"),
+      sum("y").as("sy"), sum("y2").as("sy2"), sum("xy").as("sxy"))
+    val n = col("n"); val mu = col("sx") / n
+    val m2 = col("sx2") / n - mu * mu
+    val m3 = col("sx3") / n - lit(3.0) * mu * (col("sx2") / n) +
+      lit(2.0) * mu * mu * mu
+    val m4 = col("sx4") / n - lit(4.0) * mu * (col("sx3") / n) +
+      lit(6.0) * mu * mu * (col("sx2") / n) - lit(3.0) * mu * mu * mu * mu
+    sums.select(
+        col("flag"),
+        n.cast("long").as("n"),
+        round(mu, 4).as("mean_qty"),
+        round(m3 / (m2 * sqrt(m2)), 4).as("skew_qty"),
+        round(m4 / (m2 * m2) - 3.0, 4).as("kurt_qty"),
+        round((n * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(n * col("sx2") - col("sx") * col("sx")) *
+           sqrt(n * col("sy2") - col("sy") * col("sy"))), 4)
+          .as("corr_qty_price"),
+        round((col("sxy") - col("sx") * col("sy") / n) / (n - 1), 2)
+          .as("covar_qty_price"))
+      .orderBy("flag")
+  }
+
+  /** Robust outlier detection via MAD (median absolute deviation): per
+    * group, lower-median price, MAD around it, and the count of rows
+    * beyond 2×MAD — the heavy-tail-safe alternative to z-scores whose
+    * mean/stddev a single wild value can drag.
+    *
+    * Both medians come from [[graft.operators.Percentiles.groupedMedianLow]]
+    * — actual data values, bit-identical cross-engine, so the strict
+    * `dv > 2·MAD` threshold comparison can NEVER flip on a last-ulp
+    * difference (money-granular prices make exact threshold ties
+    * realistic, which is why the interpolated median is the wrong tool
+    * here). Two spillable sort-window passes; the per-group medians join
+    * back broadcast-sized. */
+  val qRobustMad: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+    val med = graft.operators.Percentiles
+      .groupedMedianLow(li, "l_returnflag", "v", "med")
+    val dev = li.join(broadcast(med), "l_returnflag")
+      .withColumn("dv", abs(col("v") - col("med")))
+    val mad = graft.operators.Percentiles.groupedMedianLow(
+      dev.select(col("l_returnflag"), col("dv")), "l_returnflag", "dv", "mad")
+    dev.join(broadcast(mad), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(
+        first(col("med")).as("med_price"),
+        first(col("mad")).as("mad_price"),
+        sum(when(col("dv") > lit(2.0) * col("mad"), 1L).otherwise(0L))
+          .as("n_out"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Quantile binning: NTILE(10) decile assignment over price within
+    * each return flag — the feature-discretization pass (equal-frequency
+    * bucketing) every tabular training pipeline applies. The window
+    * ORDER BY is made TOTAL with key tiebreakers: ntile assigns by
+    * position, so an engine-dependent order among price ties would
+    * otherwise move rows across decile boundaries. Per-decile count and
+    * exact min/max bounds (data values — bit-identical). One spillable
+    * sort window + one aggregation. */
+  val qNtileBucketize: Q = (s, d) => {
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(s, d)
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy("l_returnflag", "decile")
+      .agg(count(lit(1)).as("cnt"),
+        min("l_extendedprice").as("lo"),
+        max("l_extendedprice").as("hi"))
+      .orderBy("l_returnflag", "decile")
+  }
+
+  /** One scratch root per JVM, one subdirectory per invocation (same
+    * isolation rationale as the JSONL round-trip's). */
+  private lazy val orcScratch: String =
+    java.nio.file.Files.createTempDirectory("graft_orc").toString
+  private val orcRun = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** ORC round-trip through the source layer ([[graft.sources.Sources]]):
+    * documents exported to ORC — the other columnar warehouse format a
+    * migration brings — and re-read (ORC carries its own schema; the
+    * scan gets the same pushdown/pruning machinery as parquet), then
+    * aggregated per stratum with id/char checksums against the parquet
+    * originals. A green row certifies the export+scan is lossless. */
+  val qOrcRoundtrip: Q = (s, d) => {
+    val dir = s"$orcScratch/run_${orcRun.incrementAndGet()}"
+    graft.sources.Sources.writeOrc(
+      Tables.documents(s, d).select("doc_id", "text", "lang"), dir)
+    graft.sources.Sources.readOrc(s, dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("total_chars"),
+        sum("doc_id").as("id_sum"))
+      .orderBy("lang")
+  }
+
+  val all: Map[String, Q] = Map(
+    "q_stats_moments" -> qStatsMoments,
+    "q_robust_mad" -> qRobustMad,
+    "q_ntile_bucketize" -> qNtileBucketize,
+    "q_orc_roundtrip" -> qOrcRoundtrip,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_stats_moments" ->
+      """WITH base AS (
+        | SELECT l_returnflag AS flag, l_quantity AS x, l_extendedprice AS y,
+        |  l_quantity*l_quantity AS x2,
+        |  (l_quantity*l_quantity)*l_quantity AS x3,
+        |  ((l_quantity*l_quantity)*l_quantity)*l_quantity AS x4,
+        |  l_extendedprice*l_extendedprice AS y2,
+        |  l_quantity*l_extendedprice AS xy
+        | FROM lineitem),
+        |sums AS (
+        | SELECT flag, CAST(count(*) AS DOUBLE) AS n,
+        |  sum(x) AS sx, sum(x2) AS sx2, sum(x3) AS sx3, sum(x4) AS sx4,
+        |  sum(y) AS sy, sum(y2) AS sy2, sum(xy) AS sxy
+        | FROM base GROUP BY flag)
+        |SELECT flag, CAST(n AS BIGINT) AS n,
+        | round(sx/n, 4) AS mean_qty,
+        | round((sx3/n - 3.0*(sx/n)*(sx2/n) + 2.0*(sx/n)*(sx/n)*(sx/n))
+        |   / ((sx2/n - (sx/n)*(sx/n)) * sqrt(sx2/n - (sx/n)*(sx/n))), 4)
+        |   AS skew_qty,
+        | round((sx4/n - 4.0*(sx/n)*(sx3/n) + 6.0*(sx/n)*(sx/n)*(sx2/n)
+        |    - 3.0*(sx/n)*(sx/n)*(sx/n)*(sx/n))
+        |   / ((sx2/n - (sx/n)*(sx/n)) * (sx2/n - (sx/n)*(sx/n))) - 3.0, 4)
+        |   AS kurt_qty,
+        | round((n*sxy - sx*sy)
+        |   / (sqrt(n*sx2 - sx*sx) * sqrt(n*sy2 - sy*sy)), 4)
+        |   AS corr_qty_price,
+        | round((sxy - sx*sy/n) / (n - 1), 2) AS covar_qty_price
+        |FROM sums ORDER BY flag""".stripMargin,
+    "q_robust_mad" ->
+      """WITH li AS (SELECT l_returnflag, l_extendedprice AS v FROM lineitem),
+        |rk AS (SELECT l_returnflag, v,
+        |   row_number() OVER (PARTITION BY l_returnflag ORDER BY v) AS rn,
+        |   count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM li),
+        |med AS (SELECT l_returnflag, v AS med FROM rk WHERE rn = (n+1)//2),
+        |dev AS (SELECT li.l_returnflag, abs(li.v - med.med) AS dv, med.med
+        |  FROM li JOIN med USING (l_returnflag)),
+        |rk2 AS (SELECT l_returnflag, dv,
+        |   row_number() OVER (PARTITION BY l_returnflag ORDER BY dv) AS rn,
+        |   count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM dev),
+        |mad AS (SELECT l_returnflag, dv AS mad FROM rk2 WHERE rn = (n+1)//2)
+        |SELECT d.l_returnflag, max(d.med) AS med_price, max(m.mad) AS mad_price,
+        | CAST(sum(CASE WHEN d.dv > 2.0*m.mad THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_out,
+        | count(*) AS n
+        |FROM dev d JOIN mad m USING (l_returnflag)
+        |GROUP BY d.l_returnflag ORDER BY d.l_returnflag""".stripMargin,
+    "q_ntile_bucketize" ->
+      """WITH b AS (
+        | SELECT l_returnflag, l_extendedprice,
+        |  ntile(10) OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS decile
+        | FROM lineitem)
+        |SELECT l_returnflag, CAST(decile AS BIGINT) AS decile,
+        | count(*) AS cnt, min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+        |FROM b GROUP BY l_returnflag, decile
+        |ORDER BY l_returnflag, decile""".stripMargin,
+    "q_orc_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        | CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+  )
+}

@@ -72,6 +72,87 @@ class QueriesSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("groupedMedianLow picks the datum at rank ⌈n/2⌉, ignoring nulls") {
+    import spark.implicits._
+    // odd group (exact middle), even group (LOWER of the two middles —
+    // the property that makes it a datum, not an interpolation),
+    // 1-row group, nulls ignored
+    val df = Seq(
+      ("a", Some(3.0)), ("a", Some(1.0)), ("a", Some(2.0)),
+      ("b", Some(4.0)), ("b", Some(1.0)), ("b", Some(3.0)), ("b", Some(2.0)),
+      ("c", Some(7.0)),
+      ("d", Some(5.0)), ("d", None), ("d", Some(9.0))
+    ).toDF("g", "v")
+    val got = graft.operators.Percentiles
+      .groupedMedianLow(df, "g", "v", "m")
+      .orderBy("g").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(got.toSeq == Seq(("a", 2.0), ("b", 2.0), ("c", 7.0), ("d", 5.0)))
+  }
+
+  test("q_stats_moments matches the same closed-form formula applied in-memory") {
+    import org.apache.spark.sql.functions._
+    val rows = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val expected = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (flag, g) =>
+      val n = g.length.toDouble
+      val xs = g.map(_._2); val ys = g.map(_._3)
+      val sx = xs.sum; val sx2 = xs.map(x => x * x).sum
+      val sx3 = xs.map(x => x * x * x).sum; val sx4 = xs.map(x => x * x * x * x).sum
+      val sy = ys.sum; val sy2 = ys.map(y => y * y).sum
+      val sxy = g.map(t => t._2 * t._3).sum
+      val mu = sx / n
+      val m2 = sx2 / n - mu * mu
+      val m3 = sx3 / n - 3.0 * mu * (sx2 / n) + 2.0 * mu * mu * mu
+      val m4 = sx4 / n - 4.0 * mu * (sx3 / n) + 6.0 * mu * mu * (sx2 / n) -
+        3.0 * mu * mu * mu * mu
+      def r4(v: Double) = math.rint(v * 10000) / 10000
+      (flag, r4(m3 / (m2 * math.sqrt(m2))), r4(m4 / (m2 * m2) - 3.0),
+        r4((n * sxy - sx * sy) /
+          (math.sqrt(n * sx2 - sx * sx) * math.sqrt(n * sy2 - sy * sy))))
+    }
+    val got = graft.queries.Relational5.qStatsMoments(spark, sfDir)
+      .orderBy("flag").collect()
+      .map(r => (r.getString(0), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    expected.zip(got).foreach { case ((f, sk, ku, co), (gf, gsk, gku, gco)) =>
+      assert(f == gf)
+      // in-memory summation order differs from Spark's partial-merge
+      // order; the 4-dp rounded values must still agree
+      assert(math.abs(sk - gsk) < 2e-4, s"$f skew $sk vs $gsk")
+      assert(math.abs(ku - gku) < 2e-4, s"$f kurt $ku vs $gku")
+      assert(math.abs(co - gco) < 2e-4, s"$f corr $co vs $gco")
+    }
+  }
+
+  test("q_robust_mad equals a brute-force in-memory MAD computation") {
+    val rows = Tables.lineitem(spark, sfDir)
+      .select("l_returnflag", "l_extendedprice")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    def medLow(vs: Seq[Double]): Double = vs.sorted.apply((vs.size + 1) / 2 - 1)
+    val expected = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (flag, g) =>
+      val vs = g.map(_._2).toSeq
+      val med = medLow(vs)
+      val dvs = vs.map(v => math.abs(v - med))
+      val mad = medLow(dvs)
+      (flag, med, mad, dvs.count(_ > 2.0 * mad).toLong, vs.size.toLong)
+    }
+    val got = graft.queries.Relational5.qRobustMad(spark, sfDir)
+      .orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == expected, s"${got.toSeq} vs $expected")
+  }
+
+  test("q_ntile_bucketize: decile sizes within each group differ by at most 1") {
+    val got = graft.queries.Relational5.qNtileBucketize(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    got.groupBy(_._1).foreach { case (flag, buckets) =>
+      assert(buckets.length == 10, s"$flag has ${buckets.length} deciles")
+      val sizes = buckets.map(_._3)
+      assert(sizes.max - sizes.min <= 1, s"$flag sizes ${sizes.toSeq}")
+    }
+  }
+
   /** Queries whose result is legitimately empty at tiny scale factors
     * (no exact-duplicate texts are planted below sf0.1). */
   private val mayBeEmpty = Set("q_dedup_exact")
