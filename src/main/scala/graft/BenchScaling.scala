@@ -35,7 +35,10 @@ object BenchScaling {
     // r6: the sort-based exact-percentile rewrite (the scale claim is the
     // whole point of the rewrite), corpus-global TF-IDF statistics, and
     // paragraph-level dedup (content-keyed shuffles over exploded text)
-    "q_percentiles", "q_tfidf", "q_para_dedup")
+    "q_percentiles", "q_tfidf", "q_para_dedup",
+    // r6b: iterative graph PageRank (per-iteration |V| shuffle against a
+    // once-partitioned edge list) and the two-sort-pass MAD robust stats
+    "q_pagerank", "q_robust_mad")
 
   def main(args: Array[String]): Unit = {
     val smallDir = sys.env.getOrElse("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.01")

@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.Text.all ++
       graft.queries.DedupSim.all ++
       graft.queries.Media.all ++
-      graft.queries.Ml.all
+      graft.queries.Ml.all ++
+      graft.queries.Graph.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -36,5 +37,6 @@ object SparkEntry {
       graft.queries.Text.oracles ++
       graft.queries.DedupSim.oracles ++
       graft.queries.Media.oracles ++
-      graft.queries.Ml.oracles
+      graft.queries.Ml.oracles ++
+      graft.queries.Graph.oracles
 }

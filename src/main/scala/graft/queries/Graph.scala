@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Graph analytics over the order network: customers and suppliers are
+  * nodes, "customer ordered from supplier" edges come from
+  * lineitem ⋈ orders. Node ids are disjointly encoded in one long key
+  * space (customer k → 2k, supplier k → 2k+1) so the bipartite graph
+  * lives in a single typed column — no string keys on the shuffle.
+  */
+object Graph {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Symmetrized (undirected) edge list: distinct customer↔supplier
+    * pairs, both directions. Distinct-before-union halves the dedup
+    * shuffle; symmetrizing guarantees every node has out-degree ≥ 1
+    * (the PageRank precondition — no dangling mass). */
+  private def undirectedEdges(s: SparkSession, d: String): DataFrame = {
+    val eo = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    eo.union(eo.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** Fixed 3-iteration damped PageRank ([[graft.graph.PageRank]]) on the
+    * undirected order network — "which counterparties sit at the center
+    * of the trading graph". Scores are normalized (×N, so 1.0 = the
+    * uniform-rank baseline) and rounded at 6dp: the only cross-engine
+    * nondeterminism is float-summation order inside each iteration's
+    * mass aggregation, ~1e-15 relative — eleven orders below the
+    * rounding grain. The oracle replays all three iterations as
+    * unrolled CTEs with the same damping expressions. */
+  val qPagerank: Q = (s, d) => {
+    val (ranks, n) = graft.graph.PageRank.run(undirectedEdges(s, d))
+    ranks.select(col("node"), round(col("pr") * n, 6).as("score"))
+      .orderBy("node")
+  }
+
+  /** Degree distribution by node kind — the graph-shape profile (skew
+    * detector: a power-law hub histogram warns you before the PageRank
+    * join does). Pure integer counts — exact cross-engine. */
+  val qDegreeStats: Q = (s, d) =>
+    undirectedEdges(s, d)
+      .groupBy("src").agg(count(lit(1)).as("degree"))
+      .select(
+        when(col("src") % 2 === 0, "customer").otherwise("supplier").as("kind"),
+        col("degree"))
+      .groupBy("kind", "degree").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("kind", "degree")
+
+  val all: Map[String, Q] = Map(
+    "q_pagerank" -> qPagerank,
+    "q_degree_stats" -> qDegreeStats,
+  )
+
+  private val edgeCtes =
+    """eo AS (SELECT DISTINCT o.o_custkey*2 AS src, l.l_suppkey*2+1 AS dst
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |und AS (SELECT src, dst FROM eo
+      |        UNION ALL SELECT dst AS src, src AS dst FROM eo)""".stripMargin
+
+  private def prIter(prev: String, out: String) =
+    s"""$out AS (SELECT u.dst AS node,
+       |  (1.0-0.85)/(SELECT n FROM nn) + 0.85*sum(r.pr/d.deg) AS pr
+       | FROM und u JOIN $prev r ON u.src = r.node JOIN deg d ON u.src = d.src
+       | GROUP BY u.dst)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_pagerank" ->
+      s"""WITH $edgeCtes,
+         |deg AS (SELECT src, count(*) AS deg FROM und GROUP BY src),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+         |r0 AS (SELECT src AS node, 1.0/(SELECT n FROM nn) AS pr FROM deg),
+         |${prIter("r0", "r1")},
+         |${prIter("r1", "r2")},
+         |${prIter("r2", "r3")}
+         |SELECT node, round(pr * (SELECT n FROM nn), 6) AS score
+         |FROM r3 ORDER BY node""".stripMargin,
+    "q_degree_stats" ->
+      s"""WITH $edgeCtes,
+         |deg AS (SELECT src, count(*) AS degree FROM und GROUP BY src)
+         |SELECT CASE WHEN src % 2 = 0 THEN 'customer' ELSE 'supplier' END
+         |   AS kind,
+         | degree, count(*) AS n_nodes
+         |FROM deg GROUP BY kind, degree ORDER BY kind, degree""".stripMargin,
+  )
+}

@@ -155,7 +155,9 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
       // writes + re-reads the parquet signature store during construction
       "q_dedup_incremental",
       // aggregates the bloom sketch into a literal during construction
-      "q_decontam_bloom")
+      "q_decontam_bloom",
+      // iterative: PageRank counts nodes + checkpoints while BUILDING
+      "q_pagerank")
     SparkEntry.queries.keys.filterNot(skip).foreach { name =>
       val p = planString(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")

@@ -153,6 +153,25 @@ class QueriesSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("PageRank matches the hand-computed star-graph fixture, mass sums to 1") {
+    import spark.implicits._
+    // star: center 0 ↔ leaves 1..4, symmetrized. After 3 damped
+    // iterations (d=0.85, N=5) the closed-form recurrence gives:
+    //   r1: c=0.03+0.85·0.8=0.71          l=0.03+0.85·0.05=0.0725
+    //   r2: c=0.03+0.85·0.29=0.2765       l=0.03+0.85·0.1775=0.180875
+    //   r3: c=0.03+0.85·0.7235=0.644975   l=0.03+0.85·0.069125=0.08875625
+    val e = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("src", "dst")
+    val und = e.union(e.select($"dst".as("src"), $"src".as("dst")))
+    val (ranks, n) = graft.graph.PageRank.run(und)
+    assert(n == 5)
+    val got = ranks.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(math.abs(got(0L) - 0.644975) < 1e-12, s"center ${got(0L)}")
+    (1L to 4L).foreach { l =>
+      assert(math.abs(got(l) - 0.08875625) < 1e-12, s"leaf $l ${got(l)}")
+    }
+    assert(math.abs(got.values.sum - 1.0) < 1e-12, "rank mass must sum to 1")
+  }
+
   /** Queries whose result is legitimately empty at tiny scale factors
     * (no exact-duplicate texts are planted below sf0.1). */
   private val mayBeEmpty = Set("q_dedup_exact")
