@@ -576,8 +576,53 @@ object Text {
     graft.text.HeavyHitters.topTokens(
       Tables.documents(s, d).select(explode(tokens(col("text"))).as("token")), 20)
 
+  /** Gopher-style rule-based quality gate (Rae et al. 2021, §A1.1 —
+    * adapted thresholds: this corpus has no newlines or symbols, so the
+    * bullet/ellipsis/symbol rules would be vacuous; the four kept rules
+    * all discriminate here). Per language: documents failing each rule
+    * and documents passing ALL — the report a curation run reads before
+    * deciding which gates to tighten.
+    *
+    * Every rule is an integer comparison or a SINGLE int/int division
+    * against a decimal literal — bit-identical cross-engine, no rounding
+    * anywhere:
+    *  - r1 word count in [30, 80]
+    *  - r2 mean word length in [3.9, 5.1]
+    *  - r3 at least 2 stopwords
+    *  - r4 distinct-token ratio ≥ 0.5 (repetition gate)
+    */
+  val qGopherRules: Q = (s, d) => {
+    val toks = col("toks")
+    val nToks = size(toks).cast("long")
+    val meanWordLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+      .cast("double") / nToks.cast("double")
+    val nStop = size(filter(toks,
+      t => t.isin(stopwords.map(_.asInstanceOf[Any]): _*)))
+    val distinctRatio =
+      size(array_distinct(toks)).cast("double") / nToks.cast("double")
+    Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .select(
+        col("lang"),
+        (nToks >= 30 && nToks <= 80).as("r1"),
+        (meanWordLen >= 3.9 && meanWordLen <= 5.1).as("r2"),
+        (nStop >= 2).as("r3"),
+        (distinctRatio >= 0.5).as("r4"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(!col("r1"), 1L).otherwise(0L)).as("fail_wordcount"),
+        sum(when(!col("r2"), 1L).otherwise(0L)).as("fail_wordlen"),
+        sum(when(!col("r3"), 1L).otherwise(0L)).as("fail_stopwords"),
+        sum(when(!col("r4"), 1L).otherwise(0L)).as("fail_repetition"),
+        sum(when(col("r1") && col("r2") && col("r3") && col("r4"), 1L)
+          .otherwise(0L)).as("pass_all"))
+      .orderBy("lang")
+  }
+
   val all: Map[String, Q] = Map(
     "q_text_stats" -> qTextStats,
+    "q_gopher_rules" -> qGopherRules,
     "q_text_quality" -> qTextQuality,
     "q_token_topk" -> qTokenTopk,
     "q_heavy_hitters" -> qHeavyHitters,
@@ -620,6 +665,28 @@ object Text {
   }.mkString("\n UNION ALL\n")
 
   val oracles: Map[String, String] = Map(
+    "q_gopher_rules" ->
+      s"""WITH t AS (
+         | SELECT lang, string_split_regex(trim(text), '\\s+') AS ts
+         | FROM documents),
+         |r AS (
+         | SELECT lang,
+         |  (len(ts) >= 30 AND len(ts) <= 80) AS r1,
+         |  (CAST(list_sum(list_transform(ts, x -> length(x))) AS DOUBLE)
+         |     / len(ts) >= 3.9
+         |   AND CAST(list_sum(list_transform(ts, x -> length(x))) AS DOUBLE)
+         |     / len(ts) <= 5.1) AS r2,
+         |  (len(list_filter(ts, x -> x IN ($stopList))) >= 2) AS r3,
+         |  (CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) >= 0.5) AS r4
+         | FROM t)
+         |SELECT lang, count(*) AS n_docs,
+         | CAST(sum(CASE WHEN NOT r1 THEN 1 ELSE 0 END) AS BIGINT) AS fail_wordcount,
+         | CAST(sum(CASE WHEN NOT r2 THEN 1 ELSE 0 END) AS BIGINT) AS fail_wordlen,
+         | CAST(sum(CASE WHEN NOT r3 THEN 1 ELSE 0 END) AS BIGINT) AS fail_stopwords,
+         | CAST(sum(CASE WHEN NOT r4 THEN 1 ELSE 0 END) AS BIGINT) AS fail_repetition,
+         | CAST(sum(CASE WHEN r1 AND r2 AND r3 AND r4 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS pass_all
+         |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
     "q_text_stats" ->
       s"""SELECT doc_id,
          | len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
