@@ -24,7 +24,8 @@ object SparkEntry {
       graft.queries.DedupSim.all ++
       graft.queries.Media.all ++
       graft.queries.Ml.all ++
-      graft.queries.Graph.all
+      graft.queries.Graph.all ++
+      graft.queries.Events.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -38,5 +39,6 @@ object SparkEntry {
       graft.queries.DedupSim.oracles ++
       graft.queries.Media.oracles ++
       graft.queries.Ml.oracles ++
-      graft.queries.Graph.oracles
+      graft.queries.Graph.oracles ++
+      graft.queries.Events.oracles
 }

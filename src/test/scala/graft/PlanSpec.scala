@@ -142,6 +142,39 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("PageRank iteration: checkpointed edge partitioning reused, ranks-only shuffle") {
+    // the scale claim in graph/PageRank.scala: after the one-time
+    // repartition(src) + localCheckpoint, each iteration's join must NOT
+    // re-shuffle the edge side — only the |V|-row rank table and the
+    // dst-keyed mass aggregation may exchange. Broadcast off to force
+    // the shuffle-join shape the operator takes at real graph scale.
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val (aqe, bc) = (conf.get("spark.sql.adaptive.enabled"),
+      conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val e = spark.range(1000)
+        .select((col("id") % 100).as("src"), ((col("id") + 7) % 100).as("dst"))
+      val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
+      val withDeg = und.join(deg, "src").repartition(col("src")).localCheckpoint()
+      val ranks = deg.select(col("src").as("node"), lit(0.01).as("pr"))
+      val iter = withDeg.join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), (col("pr") / col("deg")).as("c"))
+        .groupBy("node").agg(sum("c").as("m"))
+      val p = iter.queryExecution.executedPlan.toString
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+      // ranks side of the join + the dst-keyed aggregation = 2; a third
+      // would mean the checkpointed edges are being re-shuffled per round
+      assert(shuffles <= 2, s"expected ≤2 shuffles per iteration, got $shuffles:\n$p")
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", aqe)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
+    }
+  }
+
   test("no query plans a CartesianProduct (sweep over the full registry)") {
     // pair generators must arrive as equality joins (inverted index, LSH
     // bands, buckets) or broadcast nested loops — an unbroadcast cartesian

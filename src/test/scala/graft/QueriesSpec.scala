@@ -172,6 +172,29 @@ class QueriesSpec extends AnyFunSuite with SharedSpark {
     assert(math.abs(got.values.sum - 1.0) < 1e-12, "rank mass must sum to 1")
   }
 
+  test("hourlyPeakConcurrency: carry-in, ties, and single-point intervals") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def t(m: String) = s"2024-01-01 $m:00"
+    // hour 00: [00:10,00:50], [00:20,01:30], [00:40,00:45] → peak 3
+    // hour 01: only the END of [00:20,01:30] — peak must be the CARRIED-IN
+    //          level 1, not the post-decrement 0 (the subtle case)
+    // hour 02: [02:05,02:05] single point (+1/−1 at one instant) AND
+    //          [02:05,02:10] starting at the same instant → peak 2
+    val iv = Seq(
+      (t("00:10"), t("00:50")), (t("00:20"), t("01:30")),
+      (t("00:40"), t("00:45")),
+      (t("02:05"), t("02:05")), (t("02:05"), t("02:10"))
+    ).toDF("s0", "e0")
+      .select(to_timestamp($"s0").as("s"), to_timestamp($"e0").as("e"))
+    val got = graft.operators.Intervals.hourlyPeakConcurrency(iv)
+      .orderBy("bucket").collect()
+      .map(r => (r.getTimestamp(0).toString.substring(11, 13),
+        r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("00", 3L, 3L), ("01", 1L, 0L), ("02", 2L, 2L)),
+      got.toSeq.toString)
+  }
+
   /** Queries whose result is legitimately empty at tiny scale factors
     * (no exact-duplicate texts are planted below sf0.1). */
   private val mayBeEmpty = Set("q_dedup_exact")
