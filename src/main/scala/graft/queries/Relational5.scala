@@ -113,6 +113,39 @@ object Relational5 {
       .orderBy("l_returnflag", "decile")
   }
 
+  /** Per-group simple linear regression (price ~ quantity): slope,
+    * intercept, and R² from the SAME raw power sums as
+    * [[qStatsMoments]] — not the built-in `regr_*` aggregates, for the
+    * same reason (one definition, zero bias-correction ambiguity). One
+    * partial-aggregable pass; 4-dp rounding absorbs summation order.
+    * R² for simple regression = corr², so it shares the correlation
+    * denominator. */
+  val qLinreg: Q = (s, d) => {
+    val base = Tables.lineitem(s, d).select(
+        col("l_returnflag").as("flag"),
+        col("l_quantity").as("x"),
+        col("l_extendedprice").as("y"))
+      .withColumn("x2", col("x") * col("x"))
+      .withColumn("y2", col("y") * col("y"))
+      .withColumn("xy", col("x") * col("y"))
+    val sums = base.groupBy("flag").agg(
+      count(lit(1)).cast("double").as("n"),
+      sum("x").as("sx"), sum("x2").as("sx2"),
+      sum("y").as("sy"), sum("y2").as("sy2"), sum("xy").as("sxy"))
+    val n = col("n")
+    val cov = n * col("sxy") - col("sx") * col("sy")
+    val varX = n * col("sx2") - col("sx") * col("sx")
+    val varY = n * col("sy2") - col("sy") * col("sy")
+    val slope = cov / varX
+    sums.select(
+        col("flag"),
+        n.cast("long").as("n"),
+        round(slope, 4).as("slope"),
+        round((col("sy") - slope * col("sx")) / n, 4).as("intercept"),
+        round(cov * cov / (varX * varY), 4).as("r2"))
+      .orderBy("flag")
+  }
+
   /** One scratch root per JVM, one subdirectory per invocation (same
     * isolation rationale as the JSONL round-trip's). */
   private lazy val orcScratch: String =
@@ -137,11 +170,37 @@ object Relational5 {
       .orderBy("lang")
   }
 
+  /** Winsorized robust mean: clip prices at the exact interpolated
+    * p05/p95 per group ([[graft.operators.Percentiles.groupedQuantiles]]
+    * — the spillable sort path, broadcast back as 2 values/group), then
+    * average — the outlier-robust aggregate that keeps row count (unlike
+    * trimming). Clip-at-boundary ulp differences vanish into the 2-dp
+    * rounding of the final mean; the bounds themselves are also output
+    * (interpolated, 2-dp). */
+  val qWinsorize: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+    val bounds = graft.operators.Percentiles.groupedQuantiles(
+      li, "l_returnflag", "v", Seq(0.05 -> "lo", 0.95 -> "hi"))
+    li.join(broadcast(bounds), "l_returnflag")
+      .withColumn("w", greatest(col("lo"), least(col("hi"), col("v"))))
+      .groupBy("l_returnflag")
+      .agg(
+        round(avg("v"), 2).as("raw_mean"),
+        round(avg("w"), 2).as("winsorized_mean"),
+        round(first("lo"), 2).as("p05"),
+        round(first("hi"), 2).as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Map[String, Q] = Map(
     "q_stats_moments" -> qStatsMoments,
     "q_robust_mad" -> qRobustMad,
     "q_ntile_bucketize" -> qNtileBucketize,
     "q_orc_roundtrip" -> qOrcRoundtrip,
+    "q_linreg" -> qLinreg,
+    "q_winsorize" -> qWinsorize,
   )
 
   val oracles: Map[String, String] = Map(
@@ -203,6 +262,37 @@ object Relational5 {
         | count(*) AS cnt, min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
         |FROM b GROUP BY l_returnflag, decile
         |ORDER BY l_returnflag, decile""".stripMargin,
+    "q_linreg" ->
+      """WITH base AS (
+        | SELECT l_returnflag AS flag, l_quantity AS x, l_extendedprice AS y,
+        |  l_quantity*l_quantity AS x2,
+        |  l_extendedprice*l_extendedprice AS y2,
+        |  l_quantity*l_extendedprice AS xy
+        | FROM lineitem),
+        |sums AS (
+        | SELECT flag, CAST(count(*) AS DOUBLE) AS n,
+        |  sum(x) AS sx, sum(x2) AS sx2,
+        |  sum(y) AS sy, sum(y2) AS sy2, sum(xy) AS sxy
+        | FROM base GROUP BY flag)
+        |SELECT flag, CAST(n AS BIGINT) AS n,
+        | round((n*sxy - sx*sy) / (n*sx2 - sx*sx), 4) AS slope,
+        | round((sy - ((n*sxy - sx*sy) / (n*sx2 - sx*sx))*sx) / n, 4)
+        |   AS intercept,
+        | round((n*sxy - sx*sy)*(n*sxy - sx*sy)
+        |   / ((n*sx2 - sx*sx)*(n*sy2 - sy*sy)), 4) AS r2
+        |FROM sums ORDER BY flag""".stripMargin,
+    "q_winsorize" ->
+      """WITH li AS (SELECT l_returnflag, l_extendedprice AS v FROM lineitem),
+        |b AS (SELECT l_returnflag,
+        |   quantile_cont(v, 0.05) AS lo, quantile_cont(v, 0.95) AS hi
+        |  FROM li GROUP BY l_returnflag)
+        |SELECT li.l_returnflag,
+        | round(avg(li.v), 2) AS raw_mean,
+        | round(avg(greatest(b.lo, least(b.hi, li.v))), 2) AS winsorized_mean,
+        | round(max(b.lo), 2) AS p05, round(max(b.hi), 2) AS p95,
+        | count(*) AS n
+        |FROM li JOIN b USING (l_returnflag)
+        |GROUP BY li.l_returnflag ORDER BY li.l_returnflag""".stripMargin,
     "q_orc_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,
         | CAST(sum(length(text)) AS BIGINT) AS total_chars,

@@ -620,9 +620,21 @@ object Text {
       .orderBy("lang")
   }
 
+  /** BPE merge-rule training over the corpus ([[graft.text.Bpe]]):
+    * distributed word counting capped to a deterministic top-1000
+    * vocabulary, then 10 driver-side merges. Rows-only (iterative
+    * rewriting isn't ANSI SQL); the merge sequence on the classic
+    * Sennrich fixture and cross-run determinism are spec-pinned. */
+  val qBpeMerges: Q = (s, d) =>
+    graft.text.Bpe.train(s,
+        Tables.documents(s, d).select(explode(tokens(col("text"))).as("token")),
+        numMerges = 10, maxVocab = 1000)
+      .orderBy("rank")
+
   val all: Map[String, Q] = Map(
     "q_text_stats" -> qTextStats,
     "q_gopher_rules" -> qGopherRules,
+    "q_bpe_merges" -> qBpeMerges,
     "q_text_quality" -> qTextQuality,
     "q_token_topk" -> qTokenTopk,
     "q_heavy_hitters" -> qHeavyHitters,

@@ -190,7 +190,9 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
       // aggregates the bloom sketch into a literal during construction
       "q_decontam_bloom",
       // iterative: PageRank counts nodes + checkpoints while BUILDING
-      "q_pagerank")
+      "q_pagerank",
+      // BPE collects the capped vocab + runs the merge loop while BUILDING
+      "q_bpe_merges")
     SparkEntry.queries.keys.filterNot(skip).foreach { name =>
       val p = planString(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")

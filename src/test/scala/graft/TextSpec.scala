@@ -99,4 +99,33 @@ class TextSpec extends AnyFunSuite with SharedSpark {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     approx.foreach { case (t, c) => assert(truth(t) == c) }
   }
+
+  test("BPE merges reproduce the Sennrich fixture sequence") {
+    import spark.implicits._
+    // the classic low/lower/newest/widest example: 'es' and 'st' tie at
+    // 9 (tie-break left asc picks es), then (es,t)=9, then lo/ow tie at
+    // 7 (picks lo)
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val toks = words.toDF("token")
+    val merges = graft.text.Bpe.train(spark, toks, numMerges = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(merges.toSeq == Seq(
+      ("e", "s", "es", 9L), ("es", "t", "est", 9L), ("l", "o", "lo", 7L)),
+      merges.toSeq.toString)
+  }
+
+  test("BPE training is deterministic across runs and stops when fully merged") {
+    import spark.implicits._
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(TextFunctions.tokens($"text")).as("token"))
+    val a = graft.queries.Text.qBpeMerges(spark, sfDir).collect()
+    val b = graft.queries.Text.qBpeMerges(spark, sfDir).collect()
+    assert(a.sameElements(b))
+    assert(a.length == 10)
+    // a single-word vocab exhausts its pairs: early stop, no crash
+    val tiny = graft.text.Bpe.train(spark, Seq("ab").toDF("token"), numMerges = 5)
+    assert(tiny.count() == 1)
+  }
 }
