@@ -194,7 +194,28 @@ object Relational5 {
       .orderBy("l_returnflag")
   }
 
+  /** Deterministic MODE per group — the categorical-profile aggregate:
+    * most frequent order priority per status, ties broken by the
+    * LEXICOGRAPHICALLY SMALLEST value. Two stacked exact steps: value
+    * counts (partial-aggregable), then a row_number pick over
+    * (cnt desc, value asc). Spark's own `mode()` and DuckDB's both
+    * break ties arbitrarily, so neither built-in can be oracle-paired;
+    * the explicit tie-break can. */
+  val qMode: Q = (s, d) => {
+    val counts = Tables.orders(s, d)
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("cnt").desc, col("o_orderpriority").asc)
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_orderstatus"),
+        col("o_orderpriority").as("mode_priority"), col("cnt"))
+      .orderBy("o_orderstatus")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_mode" -> qMode,
     "q_stats_moments" -> qStatsMoments,
     "q_robust_mad" -> qRobustMad,
     "q_ntile_bucketize" -> qNtileBucketize,
@@ -204,6 +225,16 @@ object Relational5 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_mode" ->
+      """WITH c AS (
+        | SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        | FROM orders GROUP BY o_orderstatus, o_orderpriority),
+        |r AS (
+        | SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+        |   ORDER BY cnt DESC, o_orderpriority ASC) AS rn
+        | FROM c)
+        |SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt
+        |FROM r WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
     "q_stats_moments" ->
       """WITH base AS (
         | SELECT l_returnflag AS flag, l_quantity AS x, l_extendedprice AS y,
