@@ -214,8 +214,36 @@ object Relational5 {
       .orderBy("o_orderstatus")
   }
 
+  private lazy val incrScratch: String =
+    java.nio.file.Files.createTempDirectory("graft_incr").toString
+  private val incrRun = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Incremental aggregate maintenance ([[graft.operators.IncrementalAgg]]):
+    * lineitem arrives as two disjoint delta batches (orderkey parity —
+    * stands in for daily partitions); each folds into a persisted
+    * mergeable (cnt, sum) state without rescanning the other. The oracle
+    * aggregates the WHOLE table in one pass — a green row proves
+    * incremental refresh ≡ full recompute, including the derived mean
+    * (sums of sums, never averages of averages). 2/4-dp rounding absorbs
+    * the extra float-merge step's summation order. */
+  val qIncrAgg: Q = (s, d) => {
+    val store = s"$incrScratch/run_${incrRun.incrementAndGet()}/state"
+    val li = Tables.lineitem(s, d).select(col("l_returnflag"),
+      col("l_orderkey"), col("l_quantity"))
+    graft.operators.IncrementalAgg.refresh(
+      s, store, li.filter(col("l_orderkey") % 2 === 0), "l_returnflag", "l_quantity")
+    graft.operators.IncrementalAgg.refresh(
+      s, store, li.filter(col("l_orderkey") % 2 === 1), "l_returnflag", "l_quantity")
+    graft.operators.IncrementalAgg.readState(s, store)
+      .select(col("l_returnflag"), col("cnt"),
+        round(col("total"), 2).as("total_qty"),
+        round(col("mean"), 4).as("mean_qty"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Map[String, Q] = Map(
     "q_mode" -> qMode,
+    "q_incr_agg" -> qIncrAgg,
     "q_stats_moments" -> qStatsMoments,
     "q_robust_mad" -> qRobustMad,
     "q_ntile_bucketize" -> qNtileBucketize,
@@ -293,6 +321,11 @@ object Relational5 {
         | count(*) AS cnt, min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
         |FROM b GROUP BY l_returnflag, decile
         |ORDER BY l_returnflag, decile""".stripMargin,
+    "q_incr_agg" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        | round(sum(l_quantity), 2) AS total_qty,
+        | round(sum(l_quantity) / count(*), 4) AS mean_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_linreg" ->
       """WITH base AS (
         | SELECT l_returnflag AS flag, l_quantity AS x, l_extendedprice AS y,

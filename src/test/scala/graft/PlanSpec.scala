@@ -192,7 +192,9 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
       // iterative: PageRank counts nodes + checkpoints while BUILDING
       "q_pagerank",
       // BPE collects the capped vocab + runs the merge loop while BUILDING
-      "q_bpe_merges")
+      "q_bpe_merges",
+      // writes + re-reads the aggregate state store during construction
+      "q_incr_agg")
     SparkEntry.queries.keys.filterNot(skip).foreach { name =>
       val p = planString(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")

@@ -322,6 +322,52 @@ class ScaleSpec extends AnyFunSuite with SharedSpark {
       .sameElements(split.collect()))
   }
 
+  test("IncrementalAgg: N-way incremental refresh equals full recompute, any N") {
+    import graft.operators.IncrementalAgg
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_quantity"))
+    val full = li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("total"))
+      .orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    for (ways <- Seq(2, 3)) {
+      val store = java.nio.file.Files
+        .createTempDirectory(s"graft_incr_$ways").toString + "/state"
+      (0 until ways).foreach { k =>
+        IncrementalAgg.refresh(spark, store,
+          li.filter(col("l_orderkey") % ways === k), "l_returnflag", "l_quantity")
+      }
+      val got = IncrementalAgg.readState(spark, store)
+        .orderBy("l_returnflag").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      full.zip(got).foreach { case ((f, n, t), (gf, gn, gt)) =>
+        assert(f == gf && n == gn, s"$ways-way: $f $n vs $gf $gn")
+        assert(math.abs(t - gt) < 1e-6 * math.max(1.0, math.abs(t)),
+          s"$ways-way total: $t vs $gt")
+      }
+    }
+  }
+
+  test("IncrementalAgg: a crash inside the swap window still serves the new state") {
+    import graft.operators.IncrementalAgg
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_quantity"))
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_incr_crash").toString + "/state"
+    IncrementalAgg.refresh(spark, store, li, "l_returnflag", "l_quantity")
+    val before = IncrementalAgg.readState(spark, store)
+      .orderBy("l_returnflag").collect().map(_.toString)
+    // simulate dying between "delete primary" and "rename staging":
+    // primary gone, the COMPLETE staging dir left behind
+    val fs = new org.apache.hadoop.fs.Path(store).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(store),
+      new org.apache.hadoop.fs.Path(s"$store.tmp")))
+    val after = IncrementalAgg.readState(spark, store)
+      .orderBy("l_returnflag").collect().map(_.toString)
+    assert(after.sameElements(before), "staging fallback must serve the new state")
+  }
+
   test("partitioned sink prunes partitions at read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     val ev = Tables.events(spark, sfDir)
