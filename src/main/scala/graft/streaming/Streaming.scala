@@ -234,6 +234,36 @@ object Streaming {
     q.awaitTermination()
   }
 
+  /** STREAMING MATERIALIZED-VIEW MAINTENANCE: each micro-batch folds
+    * into the [[graft.operators.IncrementalAgg]] state via its
+    * staging-swap refresh — the streaming face of the same mergeable
+    * (cnt, sum) store the batch path uses, so a dashboard reads ONE
+    * state table regardless of how the data arrived. Per-batch work is
+    * one partial aggregate over the batch plus a merge bounded by group
+    * cardinality — no growing Spark streaming state, no watermark
+    * (running totals over all time).
+    *
+    * Exactly-once CAVEAT (same shape as [[runStreamingIngest]]): the
+    * state swap and the checkpoint commit are two non-atomic writes — a
+    * crash between them replays the batch into a state that already
+    * holds it, double-counting that batch. foreachBatch delivers
+    * at-least-once; a transactional table under the state closes the
+    * window. Stream ≡ batch is spec-pinned (StreamingSpec). */
+  def runStreamingAgg(spark: SparkSession, rows: DataFrame,
+                      statePath: String, grpCol: String, valCol: String,
+                      checkpointDir: String): Unit = {
+    val q = rows.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.IncrementalAgg.refresh(
+          spark, statePath, batch, grpCol, valCol)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** foreachBatch parquet sink — the escape hatch to any batch writer,
     * made replay-safe: each micro-batch overwrites its own
     * `batch_id=<id>` directory, so a batch replayed after a failure

@@ -282,4 +282,52 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
       else assert(out.contains(in), s"$in changed to $out")
     }
   }
+
+  test("property: groupedMedianLow equals the in-memory rank-⌈n/2⌉ pick") {
+    val gen = for {
+      g <- Gen.oneOf("a", "b", "c", "d")
+      v <- Gen.frequency( // skew toward one repeated value: tie coverage
+        4 -> Gen.choose(-1000, 1000).map(_ / 10.0),
+        1 -> Gen.const(0.05))
+    } yield (g, v)
+    val cases = samples(gen, 500)
+    val want = cases.groupBy(_._1).map { case (g, rows) =>
+      val vs = rows.map(_._2).sorted
+      g -> vs((vs.size + 1) / 2 - 1)
+    }
+    val got = graft.operators.Percentiles
+      .groupedMedianLow(cases.toDF("g", "v"), "g", "v", "m")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == want, s"$got vs $want")
+  }
+
+  test("property: hourlyPeakConcurrency equals a brute-force time scan") {
+    // random closed intervals inside a 3-hour span, duplicates and
+    // point-intervals included
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val gen = for {
+      s <- Gen.choose(0, 10800)
+      len <- Gen.frequency(3 -> Gen.choose(0, 5400), 1 -> Gen.const(0))
+    } yield (s, math.min(10800, s + len))
+    val cases = samples(gen, 300)
+    val iv = cases.map { case (s, e) =>
+      (new java.sql.Timestamp(base + s * 1000L),
+        new java.sql.Timestamp(base + e * 1000L))
+    }.toDF("s", "e")
+    val got = graft.operators.Intervals.hourlyPeakConcurrency(iv)
+      .collect()
+      .map(r => ((r.getTimestamp(0).getTime - base) / 3600000L,
+        r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // brute force: concurrency at second t = #{intervals with s ≤ t ≤ e};
+    // per-hour peak over every second touched by that hour
+    val want = (0L to 3L).flatMap { h =>
+      val secs = (h * 3600 to math.min(10800, h * 3600 + 3599)).map { t =>
+        cases.count { case (s, e) => s <= t && t <= e }
+      }
+      val starts = cases.count { case (s, _) => s / 3600 == h && s <= 10800 }
+      val hasBoundary = cases.exists { case (s, e) => s / 3600 == h || e / 3600 == h }
+      if (hasBoundary) Some((h, secs.max.toLong, starts.toLong)) else None
+    }
+    assert(got.toSeq == want.toSeq, s"${got.toSeq} vs $want")
+  }
 }

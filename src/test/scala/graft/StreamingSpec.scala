@@ -163,6 +163,40 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(spark.read.parquet(out).count() == want)
   }
 
+  test("streaming incremental agg across micro-batches equals one batch aggregate") {
+    import graft.operators.IncrementalAgg
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_quantity"))
+    val src = java.nio.file.Files.createTempDirectory("graft_sagg_src").toString
+    // several files → maxFilesPerTrigger=1 forces MULTIPLE micro-batches,
+    // each folding separately into the state store
+    li.repartition(4).write.mode("overwrite").parquet(src)
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_sagg_state").toString + "/state"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sagg_ckpt").toString
+    val stream = spark.readStream.schema(li.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    Streaming.runStreamingAgg(spark, stream, state, "l_returnflag", "l_quantity", ckpt)
+    val got = IncrementalAgg.readState(spark, state)
+      .orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val want = li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("total"))
+      .orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == want.length)
+    got.zip(want).foreach { case ((gf, gn, gt), (wf, wn, wt)) =>
+      assert(gf == wf && gn == wn, s"$gf $gn vs $wf $wn")
+      assert(math.abs(gt - wt) < 1e-6 * math.max(1.0, math.abs(wt)))
+    }
+    // restart from the same checkpoint: nothing new → state unchanged
+    Streaming.runStreamingAgg(spark, stream, state, "l_returnflag", "l_quantity", ckpt)
+    val again = IncrementalAgg.readState(spark, state)
+      .orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(again.sameElements(got), "checkpoint replay must not double-count")
+  }
+
   test("windowed stream agg equals batch date_trunc agg") {
     val stream = Streaming.windowedAgg(Streaming.readEvents(spark, sfDir))
     val result = Streaming.runAvailableNow(spark, stream, "stream_windowed")
