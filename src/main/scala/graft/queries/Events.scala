@@ -65,9 +65,54 @@ object Events {
       .orderBy("cohort", "day_offset")
   }
 
+  /** Time-series resample + forward fill: hourly purchase averages on a
+    * COMPLETE hour spine (gap hours materialized with n=0), gaps filled
+    * with the last observed value — the resampling pass every
+    * time-series feature pipeline runs before a model sees the data.
+    * The spine comes from one 1-row min/max aggregate exploded through
+    * `sequence` (no driver round-trip); the forward-fill window is
+    * unpartitioned but runs over spine rows — bounded by the TIME SPAN
+    * (720/month), never by data volume.
+    *
+    * The filled average is EXACT INTEGER ARITHMETIC end to end: with
+    * ~3 values per hour, a float `avg` lands on decimal rounding
+    * midpoints where the engines systematically split (Spark `round`
+    * HALF_UPs the shortest decimal string, DuckDB rounds the binary
+    * double — observed 59.07 vs 59.08, then 39.25 vs 39.24 even with a
+    * bit-identical quotient). So: `round(value*100)` → exact cents,
+    * summed exactly, and the per-hour average is floored MILLI-units
+    * ((cents·10) div n) — integers only, nothing to round, nothing to
+    * diverge. */
+  val qResampleFfill: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val hourly = ev.filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+      .withColumn("avg_milli", expr("(cents * 10) div n"))
+      .drop("cents")
+    val spine = ev
+      .agg(date_trunc("hour", min("ts")).as("lo"),
+        date_trunc("hour", max("ts")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 hour"))).as("hour"))
+    val w = Window.orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("hour"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("filled", last(col("avg_milli"), ignoreNulls = true).over(w))
+      .select(
+        date_format(col("hour"), "yyyy-MM-dd HH:00:00").as("hour"),
+        col("n"),
+        col("filled"),
+        (col("n") === 0L).cast("long").as("was_gap"))
+      .orderBy("hour")
+  }
+
   val all: Map[String, Q] = Map(
     "q_concurrency" -> qConcurrency,
     "q_retention_cohorts" -> qRetentionCohorts,
+    "q_resample_ffill" -> qResampleFfill,
   )
 
   /** Shared session-interval CTEs (mirrors q_sessionize's oracle). */
@@ -101,6 +146,25 @@ object Events {
          | CAST(max(greatest(conc, conc - delta)) AS BIGINT) AS peak_concurrent,
          | CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts
          |FROM r GROUP BY hour ORDER BY hour""".stripMargin,
+    "q_resample_ffill" ->
+      """WITH p AS (
+        | SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
+        |  (sum(CAST(round(value*100) AS BIGINT)) * 10) // count(*)
+        |    AS avg_milli
+        | FROM events WHERE event_type = 'purchase' GROUP BY hour),
+        |span AS (SELECT date_trunc('hour', min(ts)) AS lo,
+        |   date_trunc('hour', max(ts)) AS hi FROM events),
+        |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+        |   AS hour FROM span),
+        |j AS (SELECT s.hour, coalesce(p.n, 0) AS n, p.avg_milli
+        |      FROM spine s LEFT JOIN p USING (hour))
+        |SELECT strftime(hour, '%Y-%m-%d %H:00:00') AS hour,
+        | CAST(n AS BIGINT) AS n,
+        | CAST(last_value(avg_milli IGNORE NULLS) OVER (ORDER BY hour
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS filled,
+        | CAST(CASE WHEN n = 0 THEN 1 ELSE 0 END AS BIGINT) AS was_gap
+        |FROM j ORDER BY hour""".stripMargin,
     "q_retention_cohorts" ->
       """WITH cohorts AS (
         | SELECT user_id, date_trunc('day', min(ts)) AS cohort_day

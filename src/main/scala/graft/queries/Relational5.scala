@@ -241,9 +241,31 @@ object Relational5 {
       .orderBy("l_returnflag")
   }
 
+  /** Orderless table checksum — cross-system data reconciliation: per
+    * group, row count + the SUM of per-row content fingerprints
+    * ([[graft.text.TextFunctions.fingerprint]], the polynomial rolling
+    * hash whose DuckDB replay is already oracle-certified). Sum is
+    * commutative, so the checksum is partition-order-free and
+    * partial-aggregable — two systems compare 3 rows instead of moving
+    * 100 TB. Only integer/string fields enter the row string (double
+    * FORMATTING is engine-specific; integral doubles are cast first). */
+  val qTableChecksum: Q = (s, d) => {
+    val rowStr = concat_ws("|",
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_returnflag"), col("l_linestatus"),
+      col("l_quantity").cast("long"))
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        graft.text.TextFunctions.fingerprint(rowStr).as("fp"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("fp").as("checksum"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Map[String, Q] = Map(
     "q_mode" -> qMode,
     "q_incr_agg" -> qIncrAgg,
+    "q_table_checksum" -> qTableChecksum,
     "q_stats_moments" -> qStatsMoments,
     "q_robust_mad" -> qRobustMad,
     "q_ntile_bucketize" -> qNtileBucketize,
@@ -321,6 +343,18 @@ object Relational5 {
         | count(*) AS cnt, min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
         |FROM b GROUP BY l_returnflag, decile
         |ORDER BY l_returnflag, decile""".stripMargin,
+    "q_table_checksum" ->
+      """WITH r AS (
+        | SELECT l_returnflag,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(
+        |      concat_ws('|', l_orderkey, l_linenumber, l_returnflag,
+        |        l_linestatus, CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)), ''),
+        |      c -> CAST(ascii(c) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+        | FROM lineitem)
+        |SELECT l_returnflag, count(*) AS n, CAST(sum(fp) AS BIGINT) AS checksum
+        |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_incr_agg" ->
       """SELECT l_returnflag, count(*) AS cnt,
         | round(sum(l_quantity), 2) AS total_qty,
