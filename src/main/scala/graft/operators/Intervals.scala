@@ -44,18 +44,10 @@ object Intervals {
     val bounds = intervals.select(col("s").as("ts"), lit(1L).as("delta"))
       .union(intervals.select(col("e").as("ts"), lit(-1L).as("delta")))
       .withColumn("bucket", date_trunc("hour", col("ts")))
-    val totals = bounds.groupBy("bucket").agg(sum("delta").as("tot"))
-    val offsets = totals.withColumn("offset",
-        coalesce(sum("tot").over(Window.orderBy("bucket")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("bucket", "offset")
-    val wIn = Window.partitionBy("bucket")
-      .orderBy(col("ts").asc, col("delta").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    bounds
-      // one row per active hour — bounded by the time span, broadcast-sized
-      .join(broadcast(offsets), "bucket")
-      .withColumn("conc", col("offset") + sum("delta").over(wIn))
+    // hour buckets are monotone in ts and bounded by the time span —
+    // exactly the Prefix bucketing contract
+    Prefix.runningSum(bounds, col("bucket"),
+        Seq(col("ts").asc, col("delta").desc), col("delta"), "conc")
       .groupBy("bucket")
       .agg(
         max(greatest(col("conc"), col("conc") - col("delta")))

@@ -620,6 +620,31 @@ object Text {
       .orderBy("lang")
   }
 
+  /** Systematic PPS (probability-proportional-to-size) sampling: k=20
+    * docs chosen with inclusion probability ∝ n_chars — the
+    * size-weighted corpus sample (token-budget estimation, eval-set
+    * drawing) where uniform sampling over-represents short docs.
+    * Deterministic and RNG-free: an exact integer cumulative weight
+    * ([[graft.operators.Prefix.runningSum]] — sqrt-decomposition
+    * buckets on doc_id, no global window) and a doc is selected when
+    * its scaled weight interval crosses an integer boundary:
+    * (prev·k) div W < (cum·k) div W. Pure BIGINT arithmetic — the
+    * oracle replays it with a flat window cumsum, proving the
+    * two-level prefix equals the flat one on ids as well as times. */
+  val qPpsSample: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(
+      col("doc_id"), col("lang"), col("n_chars"))
+    val total = docs.agg(sum("n_chars").as("w"))
+    val k = 20
+    graft.operators.Prefix.runningSum(
+        docs, expr("doc_id div 1000"),
+        Seq(col("doc_id").asc), col("n_chars"), "cum")
+      .join(broadcast(total))
+      .filter(expr(s"((cum - n_chars) * $k) div w < (cum * $k) div w"))
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** BPE merge-rule training over the corpus ([[graft.text.Bpe]]):
     * distributed word counting capped to a deterministic top-1000
     * vocabulary, then 10 driver-side merges. Rows-only (iterative
@@ -635,6 +660,7 @@ object Text {
     "q_text_stats" -> qTextStats,
     "q_gopher_rules" -> qGopherRules,
     "q_bpe_merges" -> qBpeMerges,
+    "q_pps_sample" -> qPpsSample,
     "q_text_quality" -> qTextQuality,
     "q_token_topk" -> qTokenTopk,
     "q_heavy_hitters" -> qHeavyHitters,
@@ -677,6 +703,17 @@ object Text {
   }.mkString("\n UNION ALL\n")
 
   val oracles: Map[String, String] = Map(
+    "q_pps_sample" ->
+      """WITH c AS (
+        | SELECT doc_id, lang, n_chars,
+        |  sum(n_chars) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM documents),
+        |t AS (SELECT CAST(sum(n_chars) AS BIGINT) AS w FROM documents)
+        |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM c, t
+        |WHERE ((cum - n_chars) * 20) // w < (cum * 20) // w
+        |ORDER BY doc_id""".stripMargin,
     "q_gopher_rules" ->
       s"""WITH t AS (
          | SELECT lang, string_split_regex(trim(text), '\\s+') AS ts
