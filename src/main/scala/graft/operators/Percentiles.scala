@@ -88,4 +88,33 @@ object Percentiles {
       .filter(col("__rn") === expr("(__n + 1) div 2"))
       .select(col(grpCol), col(valCol).as(alias))
   }
+
+  /** WEIGHTED lower median: the smallest value whose cumulative INTEGER
+    * weight (in value order) reaches half the group total — the
+    * importance-weighted center an up/down-weighted corpus needs, where
+    * the unweighted median answers the wrong question.
+    *
+    * Datum-valued and engine-stable despite value ties: tied rows'
+    * individual cumulative weights depend on tie order, but the LAST
+    * row of a tie run always carries the full (deterministic) sum, so
+    * the earliest value whose complete run crosses half-total is
+    * selected under every tie order — and `min(value)` over passing
+    * rows returns exactly that value. Integer weights keep every
+    * cumulative sum exact (`2·cw ≥ tw` is integer arithmetic — no float
+    * comparisons anywhere). Same spillable shape as the other
+    * order-statistic paths. */
+  def groupedWeightedMedian(df: DataFrame, grpCol: String, valCol: String,
+      weightCol: String, alias: String): DataFrame = {
+    val nonNull = df.select(col(grpCol), col(valCol),
+        col(weightCol).cast("long").as("__w"))
+      .filter(col(valCol).isNotNull && col("__w").isNotNull)
+    val totals = nonNull.groupBy(grpCol).agg(sum("__w").as("__tw"))
+    val w = Window.partitionBy(grpCol).orderBy(valCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    nonNull
+      .withColumn("__cw", sum("__w").over(w))
+      .join(broadcast(totals), grpCol)
+      .filter(col("__cw") * 2 >= col("__tw"))
+      .groupBy(grpCol).agg(min(valCol).as(alias))
+  }
 }

@@ -262,10 +262,29 @@ object Relational5 {
       .orderBy("l_returnflag")
   }
 
+  /** Quantity-weighted median price per flag
+    * ([[graft.operators.Percentiles.groupedWeightedMedian]]) next to the
+    * unweighted lower median — the pair that shows WHY weighting
+    * matters (they differ when cheap lines carry big quantities). Both
+    * are data values; the oracle replays the cumulative-weight
+    * selection with a flat window. */
+  val qWeightedMedian: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).select(col("l_returnflag"),
+      col("l_extendedprice").as("v"), col("l_quantity"))
+    val wmed = graft.operators.Percentiles.groupedWeightedMedian(
+      li, "l_returnflag", "v", "l_quantity", "wmed_price")
+    val med = graft.operators.Percentiles.groupedMedianLow(
+      li.select(col("l_returnflag"), col("v")), "l_returnflag", "v", "med_price")
+    wmed.join(med, "l_returnflag")
+      .select(col("l_returnflag"), col("wmed_price"), col("med_price"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Map[String, Q] = Map(
     "q_mode" -> qMode,
     "q_incr_agg" -> qIncrAgg,
     "q_table_checksum" -> qTableChecksum,
+    "q_weighted_median" -> qWeightedMedian,
     "q_stats_moments" -> qStatsMoments,
     "q_robust_mad" -> qRobustMad,
     "q_ntile_bucketize" -> qNtileBucketize,
@@ -343,6 +362,27 @@ object Relational5 {
         | count(*) AS cnt, min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
         |FROM b GROUP BY l_returnflag, decile
         |ORDER BY l_returnflag, decile""".stripMargin,
+    "q_weighted_median" ->
+      """WITH nn AS (
+        | SELECT l_returnflag, l_extendedprice AS v,
+        |  CAST(l_quantity AS BIGINT) AS w
+        | FROM lineitem),
+        |t AS (SELECT l_returnflag, sum(w) AS tw FROM nn GROUP BY l_returnflag),
+        |c AS (SELECT l_returnflag, v,
+        |  sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+        | FROM nn),
+        |wm AS (SELECT c.l_returnflag, min(c.v) AS wmed_price
+        | FROM c JOIN t USING (l_returnflag)
+        | WHERE c.cw * 2 >= t.tw GROUP BY c.l_returnflag),
+        |rk AS (SELECT l_returnflag, v,
+        |  row_number() OVER (PARTITION BY l_returnflag ORDER BY v) AS rn,
+        |  count(*) OVER (PARTITION BY l_returnflag) AS n
+        | FROM nn),
+        |m AS (SELECT l_returnflag, v AS med_price FROM rk WHERE rn = (n+1)//2)
+        |SELECT wm.l_returnflag, wm.wmed_price, m.med_price
+        |FROM wm JOIN m USING (l_returnflag)
+        |ORDER BY wm.l_returnflag""".stripMargin,
     "q_table_checksum" ->
       """WITH r AS (
         | SELECT l_returnflag,

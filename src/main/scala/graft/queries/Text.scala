@@ -645,6 +645,32 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Corpus-diversity profile per language: token count, vocabulary
+    * size, type-token ratio (one int/int division — bit-exact), and
+    * Shannon token entropy in nats via H = ln n − (Σ c·ln c)/n — the
+    * numerically stable form that never materializes per-token
+    * probabilities. Two stacked hash-aggregations (token counts are
+    * map-side combinable). `ln` is the one transcendental (JVM log vs
+    * libm can differ in the last ulp) — 4-dp rounding over ~1e-15 noise
+    * is eleven orders of margin, same budget as q_doc_perplexity. */
+  val qTokenEntropy: Q = (s, d) => {
+    val counts = Tables.documents(s, d)
+      .select(col("lang"), explode(tokens(col("text"))).as("t"))
+      .groupBy("lang", "t").agg(count(lit(1)).as("cnt"))
+    counts.groupBy("lang")
+      .agg(
+        sum("cnt").cast("double").as("n"),
+        count(lit(1)).as("vocab"),
+        sum(col("cnt") * log(col("cnt"))).as("slc"))
+      .select(
+        col("lang"),
+        col("n").cast("long").as("n_tokens"),
+        col("vocab"),
+        round(col("vocab") / col("n"), 4).as("ttr"),
+        round(log(col("n")) - col("slc") / col("n"), 4).as("entropy_nats"))
+      .orderBy("lang")
+  }
+
   /** BPE merge-rule training over the corpus ([[graft.text.Bpe]]):
     * distributed word counting capped to a deterministic top-1000
     * vocabulary, then 10 driver-side merges. Rows-only (iterative
@@ -661,6 +687,7 @@ object Text {
     "q_gopher_rules" -> qGopherRules,
     "q_bpe_merges" -> qBpeMerges,
     "q_pps_sample" -> qPpsSample,
+    "q_token_entropy" -> qTokenEntropy,
     "q_text_quality" -> qTextQuality,
     "q_token_topk" -> qTokenTopk,
     "q_heavy_hitters" -> qHeavyHitters,
@@ -703,6 +730,19 @@ object Text {
   }.mkString("\n UNION ALL\n")
 
   val oracles: Map[String, String] = Map(
+    "q_token_entropy" ->
+      """WITH toks AS (
+        | SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS t
+        | FROM documents),
+        |c AS (SELECT lang, t, count(*) AS cnt FROM toks GROUP BY lang, t),
+        |a AS (SELECT lang, CAST(sum(cnt) AS DOUBLE) AS n,
+        |  count(*) AS vocab, sum(cnt * ln(cnt)) AS slc
+        | FROM c GROUP BY lang)
+        |SELECT lang, CAST(n AS BIGINT) AS n_tokens,
+        | CAST(vocab AS BIGINT) AS vocab,
+        | round(vocab / n, 4) AS ttr,
+        | round(ln(n) - slc / n, 4) AS entropy_nats
+        |FROM a ORDER BY lang""".stripMargin,
     "q_pps_sample" ->
       """WITH c AS (
         | SELECT doc_id, lang, n_chars,

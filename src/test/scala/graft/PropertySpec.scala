@@ -301,6 +301,29 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
     assert(got == want, s"$got vs $want")
   }
 
+  test("property: groupedWeightedMedian equals the brute-force cumulative pick") {
+    // tie-heavy values (0.5 granularity) exercise the tie-run argument
+    // in the operator doc; weight 0 rows must not shift the answer
+    val gen = for {
+      g <- Gen.oneOf("a", "b", "c")
+      v <- Gen.choose(0, 20).map(_ / 2.0)
+      w <- Gen.frequency(5 -> Gen.choose(1L, 9L), 1 -> Gen.const(0L))
+    } yield (g, v, w)
+    val cases = samples(gen, 400)
+    val want = cases.groupBy(_._1).map { case (g, rows) =>
+      val sorted = rows.map(t => (t._2, t._3)).sortBy(_._1)
+      val tw = sorted.map(_._2).sum
+      var cum = 0L
+      g -> sorted.collectFirst {
+        case (v, w) if { cum += w; cum * 2 >= tw } => v
+      }.get
+    }
+    val got = graft.operators.Percentiles
+      .groupedWeightedMedian(cases.toDF("g", "v", "w"), "g", "v", "w", "m")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == want, s"$got vs $want")
+  }
+
   test("property: hourlyPeakConcurrency equals a brute-force time scan") {
     // random closed intervals inside a 3-hour span, duplicates and
     // point-intervals included
