@@ -37,8 +37,10 @@ object BenchScaling {
     // paragraph-level dedup (content-keyed shuffles over exploded text)
     "q_percentiles", "q_tfidf", "q_para_dedup",
     // r6b: iterative graph PageRank (per-iteration |V| shuffle against a
-    // once-partitioned edge list) and the two-sort-pass MAD robust stats
-    "q_pagerank", "q_robust_mad")
+    // once-partitioned edge list), the two-sort-pass MAD robust stats,
+    // the per-char fingerprint checksum fold, and the weighted-median
+    // cumulative-weight window
+    "q_pagerank", "q_robust_mad", "q_table_checksum", "q_weighted_median")
 
   def main(args: Array[String]): Unit = {
     val smallDir = sys.env.getOrElse("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.01")
