@@ -671,6 +671,43 @@ object Text {
       .orderBy("lang")
   }
 
+  /** String-similarity self-join: vocabulary token pairs at edit
+    * distance EXACTLY 1 — the typo/variant detector — via SymSpell-style
+    * DELETION-KEY blocking: every token emits itself plus each
+    * single-character deletion as join keys; any pair within edit
+    * distance 1 provably shares a key (delete→the shorter word IS a key
+    * of the longer; substitute→both share the deletion at the differing
+    * position), so an EQUALITY join on keys generates all candidates —
+    * O(Σ|t|) keys, no vocabulary cross-join — and `levenshtein` verifies
+    * exactly (shared keys can also arise at distance 2, e.g. ab/ba).
+    * The oracle brute-forces the quadratic join; the blocked plan must
+    * find the identical pair set. The synthetic vocab has no natural
+    * ed-1 neighbors, so typo variants are PLANTED deterministically
+    * (delete/insert/substitute of real tokens on every 7th doc — the
+    * q_redact planted-pattern idiom) and must all be recovered. */
+  val qTypoPairs: Q = (s, d) => {
+    val dirty = Tables.documents(s, d)
+      .withColumn("text2",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" tabl vallue queryy spork")))
+          .otherwise(col("text")))
+    val vocab = dirty
+      .select(explode(tokens(col("text2"))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("cnt"))
+    val keyed = vocab.select(col("t"), col("cnt"), explode(expr(
+      """array_union(array(t),
+        | transform(sequence(1, length(t)),
+        |   i -> concat(substr(t, 1, i-1), substr(t, i+1, length(t)))))"""
+        .stripMargin)).as("k"))
+    val a = keyed.select(col("k"), col("t").as("tok_a"), col("cnt").as("cnt_a"))
+    val b = keyed.select(col("k"), col("t").as("tok_b"), col("cnt").as("cnt_b"))
+    a.join(b, "k")
+      .filter(col("tok_a") < col("tok_b"))
+      .select("tok_a", "tok_b", "cnt_a", "cnt_b").distinct()
+      .filter(levenshtein(col("tok_a"), col("tok_b")) === 1)
+      .orderBy("tok_a", "tok_b")
+  }
+
   /** BPE merge-rule training over the corpus ([[graft.text.Bpe]]):
     * distributed word counting capped to a deterministic top-1000
     * vocabulary, then 10 driver-side merges. Rows-only (iterative
@@ -688,6 +725,7 @@ object Text {
     "q_bpe_merges" -> qBpeMerges,
     "q_pps_sample" -> qPpsSample,
     "q_token_entropy" -> qTokenEntropy,
+    "q_typo_pairs" -> qTypoPairs,
     "q_text_quality" -> qTextQuality,
     "q_token_topk" -> qTokenTopk,
     "q_heavy_hitters" -> qHeavyHitters,
@@ -730,6 +768,19 @@ object Text {
   }.mkString("\n UNION ALL\n")
 
   val oracles: Map[String, String] = Map(
+    "q_typo_pairs" ->
+      """WITH v AS (
+        | SELECT t, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split_regex(trim(
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN text || ' tabl vallue queryy spork'
+        |      ELSE text END), '\s+')) AS t
+        |  FROM documents)
+        | GROUP BY t)
+        |SELECT a.t AS tok_a, b.t AS tok_b,
+        | a.cnt AS cnt_a, b.cnt AS cnt_b
+        |FROM v a JOIN v b ON a.t < b.t AND levenshtein(a.t, b.t) = 1
+        |ORDER BY tok_a, tok_b""".stripMargin,
     "q_token_entropy" ->
       """WITH toks AS (
         | SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS t
