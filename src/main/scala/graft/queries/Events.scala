@@ -109,10 +109,43 @@ object Events {
       .orderBy("hour")
   }
 
+  /** Windowed conversion rate: of each day's signup cohort, who made a
+    * purchase within 24 HOURS of their first signup — the
+    * time-constrained funnel metric (distinct from q_funnel's
+    * unconstrained ordering and q_retention_cohorts' day-grain
+    * activity). All comparisons in exact MICROSECONDS
+    * (`unix_micros`/`epoch_us` — no truncation ambiguity at window
+    * edges); the rate is one long/long division, bit-exact. The
+    * purchase join is collapsed per user BEFORE the cohort rollup. */
+  val qConversion24h: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("signup_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+    val perUser = signups
+      .withColumn("s_us", unix_micros(col("signup_ts")))
+      .join(purchases, Seq("user_id"), "left")
+      .groupBy("user_id", "signup_ts")
+      .agg(max(when(col("p_us").isNotNull &&
+        col("p_us") >= col("s_us") &&
+        col("p_us") - col("s_us") < lit(86400L * 1000000L), 1L)
+        .otherwise(0L)).as("conv"))
+    perUser
+      .groupBy(date_trunc("day", col("signup_ts")).as("cohort_day"))
+      .agg(count(lit(1)).as("n_users"), sum("conv").as("n_converted"))
+      .select(
+        date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort"),
+        col("n_users"), col("n_converted"),
+        (col("n_converted") / col("n_users")).as("conv_rate"))
+      .orderBy("cohort")
+  }
+
   val all: Map[String, Q] = Map(
     "q_concurrency" -> qConcurrency,
     "q_retention_cohorts" -> qRetentionCohorts,
     "q_resample_ffill" -> qResampleFfill,
+    "q_conversion_24h" -> qConversion24h,
   )
 
   /** Shared session-interval CTEs (mirrors q_sessionize's oracle). */
@@ -165,6 +198,25 @@ object Events {
         |   AS filled,
         | CAST(CASE WHEN n = 0 THEN 1 ELSE 0 END AS BIGINT) AS was_gap
         |FROM j ORDER BY hour""".stripMargin,
+    "q_conversion_24h" ->
+      """WITH s AS (
+        | SELECT user_id, min(ts) AS signup_ts
+        | FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |p AS (SELECT user_id, epoch_us(ts) AS p_us
+        |      FROM events WHERE event_type = 'purchase'),
+        |u AS (
+        | SELECT s.user_id, s.signup_ts,
+        |  max(CASE WHEN p.p_us IS NOT NULL
+        |        AND p.p_us >= epoch_us(s.signup_ts)
+        |        AND p.p_us - epoch_us(s.signup_ts) < 86400000000
+        |       THEN 1 ELSE 0 END) AS conv
+        | FROM s LEFT JOIN p USING (user_id)
+        | GROUP BY s.user_id, s.signup_ts)
+        |SELECT strftime(date_trunc('day', signup_ts), '%Y-%m-%d') AS cohort,
+        | count(*) AS n_users,
+        | CAST(sum(conv) AS BIGINT) AS n_converted,
+        | CAST(sum(conv) AS BIGINT) / count(*) AS conv_rate
+        |FROM u GROUP BY cohort ORDER BY cohort""".stripMargin,
     "q_retention_cohorts" ->
       """WITH cohorts AS (
         | SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
