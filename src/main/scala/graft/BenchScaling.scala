@@ -40,7 +40,11 @@ object BenchScaling {
     // once-partitioned edge list), the two-sort-pass MAD robust stats,
     // the per-char fingerprint checksum fold, and the weighted-median
     // cumulative-weight window
-    "q_pagerank", "q_robust_mad", "q_table_checksum", "q_weighted_median")
+    "q_pagerank", "q_robust_mad", "q_table_checksum", "q_weighted_median",
+    // r6c: the per-order pair self-join (bounded pair explosion is the
+    // scale claim) and the user-keyed sequence window under the
+    // transition matrix
+    "q_basket_pairs", "q_markov_transitions")
 
   def main(args: Array[String]): Unit = {
     val smallDir = sys.env.getOrElse("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.01")

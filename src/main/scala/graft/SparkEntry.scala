@@ -25,7 +25,8 @@ object SparkEntry {
       graft.queries.Media.all ++
       graft.queries.Ml.all ++
       graft.queries.Graph.all ++
-      graft.queries.Events.all
+      graft.queries.Events.all ++
+      graft.queries.Quality.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -40,5 +41,6 @@ object SparkEntry {
       graft.queries.Media.oracles ++
       graft.queries.Ml.oracles ++
       graft.queries.Graph.oracles ++
-      graft.queries.Events.oracles
+      graft.queries.Events.oracles ++
+      graft.queries.Quality.oracles
 }

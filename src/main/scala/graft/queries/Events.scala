@@ -141,11 +141,36 @@ object Events {
       .orderBy("cohort")
   }
 
+  /** First-order Markov transition matrix over per-user event sequences:
+    * P(next event type | current event type). The sequence model under
+    * user-journey analysis and next-action prediction features. One
+    * user_id-keyed window (lead) then a transition-keyed count; the
+    * probability is long/long on the from-type marginal — a ratio of
+    * exact integers, bit-identical cross-engine. Ties in ts are broken
+    * by the unique event_id on both sides, so the lead() sequence is
+    * deterministic. Scale: the shuffle is keyed by user then by the
+    * (|types|²)-bounded transition pair — state never exceeds the type
+    * vocabulary squared. */
+  val qMarkovTransitions: Q = (s, d) => {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(s, d)
+      .withColumn("next_type", lead("event_type", 1).over(byUser))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val wFrom = Window.partitionBy("from_type")
+    trans
+      .withColumn("p_trans", col("n_trans") / sum("n_trans").over(wFrom))
+      .select("from_type", "to_type", "n_trans", "p_trans")
+      .orderBy("from_type", "to_type")
+  }
+
   val all: Map[String, Q] = Map(
     "q_concurrency" -> qConcurrency,
     "q_retention_cohorts" -> qRetentionCohorts,
     "q_resample_ffill" -> qResampleFfill,
     "q_conversion_24h" -> qConversion24h,
+    "q_markov_transitions" -> qMarkovTransitions,
   )
 
   /** Shared session-interval CTEs (mirrors q_sessionize's oracle). */
@@ -229,5 +254,18 @@ object Events {
         |FROM cohorts c JOIN active a USING (user_id)
         |WHERE date_diff('day', c.cohort_day, a.day) BETWEEN 0 AND 7
         |GROUP BY cohort, day_offset ORDER BY cohort, day_offset""".stripMargin,
+    "q_markov_transitions" ->
+      """WITH t AS (
+        | SELECT event_type AS from_type,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |   AS to_type
+        | FROM events),
+        |c AS (
+        | SELECT from_type, to_type, count(*) AS n_trans
+        | FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, CAST(n_trans AS BIGINT) AS n_trans,
+        | CAST(n_trans AS BIGINT) /
+        |  CAST(sum(n_trans) OVER (PARTITION BY from_type) AS BIGINT) AS p_trans
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
   )
 }

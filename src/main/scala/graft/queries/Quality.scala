@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Data-quality and association analytics over the star schema:
+  * market-basket co-occurrence (support / confidence / lift), Benford
+  * leading-digit profiling, and referential-integrity auditing — the
+  * pre-ingest validation and association surface of a warehouse. All
+  * three are exact-integer (counts and ratios of counts), so the
+  * oracles replay with no rounding anywhere.
+  */
+object Quality {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Market-basket analysis: for part pairs co-occurring in the same
+    * order, support count, confidence P(p2|p1), and lift
+    * (n_pair·n_orders)/(n_p1·n_p2). The self-join is keyed on
+    * l_orderkey EQUALITY with p1 < p2 inside the order — pair
+    * explosion is bounded by (items per order)² (≤ 7 in TPC-H-shaped
+    * data), so the plan stays linear in lineitem regardless of total
+    * scale; there is no vocabulary cross-join anywhere. Confidence and
+    * lift are long/long divisions of exact integer products (all
+    * < 2⁵³), bit-identical cross-engine. Top-100 by (support desc,
+    * pair) — a deterministic total order. */
+  val qBasketPairs: Q = (s, d) => {
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("pkey"))
+      .distinct()
+    val itemN = items.groupBy("pkey").agg(count(lit(1)).as("n_item"))
+    val totals = items.agg(countDistinct("okey").as("n_orders"))
+    val pairs = items.as("a")
+      .join(items.as("b"),
+        col("a.okey") === col("b.okey") && col("a.pkey") < col("b.pkey"))
+      .groupBy(col("a.pkey").as("p1"), col("b.pkey").as("p2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= 2)
+    pairs
+      .join(itemN.select(col("pkey").as("p1"), col("n_item").as("n_p1")), "p1")
+      .join(itemN.select(col("pkey").as("p2"), col("n_item").as("n_p2")), "p2")
+      .crossJoin(totals)
+      .select(
+        col("p1"), col("p2"), col("n_pair"), col("n_p1"), col("n_p2"),
+        (col("n_pair") / col("n_p1")).as("confidence"),
+        ((col("n_pair") * col("n_orders")) / (col("n_p1") * col("n_p2")))
+          .as("lift"))
+      .orderBy(col("n_pair").desc, col("p1"), col("p2"))
+      .limit(100)
+  }
+
+  /** Benford leading-digit profile of l_extendedprice — the fraud /
+    * synthetic-data detector: frequency of each first significant
+    * digit vs the expected log distribution. The digit is extracted
+    * from the INTEGER cents string (round(price·100) is exact for
+    * money-granular data; long→string is identical cross-engine), so
+    * there is no float log10/pow anywhere; the share is long/long.
+    * One map-side-combinable count keyed by 9 digits. */
+  val qBenford: Q = (s, d) => {
+    val digits = Tables.lineitem(s, d)
+      .select(substring(
+        round(col("l_extendedprice") * 100).cast("long").cast("string"),
+        1, 1).as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum("n").as("n_total"))
+    digits.crossJoin(total)
+      .select(col("digit"), col("n"), (col("n") / col("n_total")).as("share"))
+      .orderBy("digit")
+  }
+
+  /** Referential-integrity audit of every FK edge in the star schema:
+    * child row count + orphan count (children whose parent key is
+    * missing) per edge. Each branch is a key-only left-anti join —
+    * the parent side is pruned to its key column, so the shuffle
+    * carries 8-byte rows; the four branches are independent scans
+    * that union into a 4-row report. The ingest gate a warehouse runs
+    * before accepting a batch. */
+  val qFkIntegrity: Q = (s, d) => {
+    def audit(edge: String, child: DataFrame, ck: String,
+              parent: DataFrame, pk: String): DataFrame = {
+      val orphans = child.select(col(ck))
+        .join(parent.select(col(pk)), col(ck) === col(pk), "left_anti")
+      child.agg(count(lit(1)).as("n_child"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+        .select(lit(edge).as("fk_edge"), col("n_child"), col("n_orphans"))
+    }
+    val li = Tables.lineitem(s, d)
+    audit("lineitem.l_orderkey->orders.o_orderkey",
+        li, "l_orderkey", Tables.orders(s, d), "o_orderkey")
+      .unionAll(audit("lineitem.l_partkey->part.p_partkey",
+        li, "l_partkey", Tables.part(s, d), "p_partkey"))
+      .unionAll(audit("lineitem.l_suppkey->supplier.s_suppkey",
+        li, "l_suppkey", Tables.supplier(s, d), "s_suppkey"))
+      .unionAll(audit("orders.o_custkey->customer.c_custkey",
+        Tables.orders(s, d), "o_custkey", Tables.customer(s, d), "c_custkey"))
+      .orderBy("fk_edge")
+  }
+
+  val all: Map[String, Q] = Map(
+    "q_basket_pairs" -> qBasketPairs,
+    "q_benford" -> qBenford,
+    "q_fk_integrity" -> qFkIntegrity,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_basket_pairs" ->
+      """WITH items AS (
+        | SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem),
+        |item_n AS (SELECT pkey, count(*) AS n_item FROM items GROUP BY pkey),
+        |totals AS (SELECT count(DISTINCT okey) AS n_orders FROM items),
+        |pairs AS (
+        | SELECT a.pkey AS p1, b.pkey AS p2, count(*) AS n_pair
+        | FROM items a JOIN items b ON a.okey = b.okey AND a.pkey < b.pkey
+        | GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT p1, p2, CAST(n_pair AS BIGINT) AS n_pair,
+        | CAST(na.n_item AS BIGINT) AS n_p1, CAST(nb.n_item AS BIGINT) AS n_p2,
+        | CAST(n_pair AS BIGINT) / CAST(na.n_item AS BIGINT) AS confidence,
+        | CAST(n_pair * t.n_orders AS BIGINT) /
+        |  CAST(na.n_item * nb.n_item AS BIGINT) AS lift
+        |FROM pairs
+        | JOIN item_n na ON na.pkey = p1
+        | JOIN item_n nb ON nb.pkey = p2
+        | CROSS JOIN totals t
+        |ORDER BY n_pair DESC, p1, p2 LIMIT 100""".stripMargin,
+    "q_benford" ->
+      """WITH d AS (
+        | SELECT substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |   AS VARCHAR), 1, 1) AS digit
+        | FROM lineitem),
+        |c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit)
+        |SELECT digit, CAST(n AS BIGINT) AS n,
+        | CAST(n AS BIGINT) / CAST((SELECT sum(n) FROM c) AS BIGINT) AS share
+        |FROM c ORDER BY digit""".stripMargin,
+    "q_fk_integrity" ->
+      """SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS fk_edge,
+        | (SELECT count(*) FROM lineitem) AS n_child,
+        | (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |   (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |  AS n_orphans
+        |UNION ALL
+        |SELECT 'lineitem.l_partkey->part.p_partkey',
+        | (SELECT count(*) FROM lineitem),
+        | (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |   (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+        |UNION ALL
+        |SELECT 'lineitem.l_suppkey->supplier.s_suppkey',
+        | (SELECT count(*) FROM lineitem),
+        | (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |   (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+        |UNION ALL
+        |SELECT 'orders.o_custkey->customer.c_custkey',
+        | (SELECT count(*) FROM orders),
+        | (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |   (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |ORDER BY fk_edge""".stripMargin,
+  )
+}
