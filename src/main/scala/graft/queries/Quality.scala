@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -96,10 +97,63 @@ object Quality {
       .orderBy("fk_edge")
   }
 
+  /** Sequence mining: the 20 most common opening event paths (first 5
+    * events per user, in (ts, event_id) order, joined with '>'). The
+    * per-user sequence is assembled ORDER-SAFELY: collect_list carries
+    * (rn, type) structs and array_sort orders by rn before the join —
+    * collect_list alone has no order guarantee under parallel merge.
+    * One user-keyed window + one user-keyed aggregate; path strings are
+    * ≤5 tokens so the final count is keyed by a bounded vocabulary. */
+  val qTopPaths: Q = (s, d) => {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val paths = Tables.events(s, d)
+      .withColumn("rn", row_number().over(byUser))
+      .filter(col("rn") <= 5)
+      .groupBy("user_id")
+      .agg(array_join(
+        expr("transform(array_sort(collect_list(struct(rn, event_type)))," +
+          " x -> x.event_type)"), ">").as("path"))
+    paths.groupBy("path").agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(20)
+  }
+
+  /** Join-key skew diagnostics for every lineitem FK — the report that
+    * decides salting/AQE-skew-split settings BEFORE a 100 TB join runs:
+    * per key, the cardinality, max and LOWER-MEDIAN rows per key value
+    * (datum-valued — [[graft.operators.Percentiles.groupedMedianLow]],
+    * no interpolation to diverge on), and the skew ratio
+    * max·n_keys/total as one exact-integer-product division. Per-key
+    * counts are one map-side-combinable pass per FK; the median is the
+    * spillable two-pass sort — no per-group value buffer. */
+  val qSkewReport: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    def keyCounts(c: String): DataFrame = li
+      .groupBy(col(c).as("k")).agg(count(lit(1)).as("cnt"))
+      .select(lit(c).as("join_key"), col("cnt"))
+    val counts = keyCounts("l_orderkey")
+      .unionAll(keyCounts("l_partkey"))
+      .unionAll(keyCounts("l_suppkey"))
+    val stats = counts.groupBy("join_key").agg(
+      count(lit(1)).as("n_keys"),
+      sum("cnt").as("total_rows"),
+      max("cnt").as("max_per_key"))
+    val med = graft.operators.Percentiles
+      .groupedMedianLow(counts, "join_key", "cnt", "median_per_key")
+    stats.join(med, "join_key")
+      .select(col("join_key"), col("n_keys"), col("total_rows"),
+        col("max_per_key"), col("median_per_key"),
+        ((col("max_per_key") * col("n_keys")) / col("total_rows"))
+          .as("skew_ratio"))
+      .orderBy("join_key")
+  }
+
   val all: Map[String, Q] = Map(
     "q_basket_pairs" -> qBasketPairs,
     "q_benford" -> qBenford,
     "q_fk_integrity" -> qFkIntegrity,
+    "q_top_paths" -> qTopPaths,
+    "q_skew_report" -> qSkewReport,
   )
 
   val oracles: Map[String, String] = Map(
@@ -153,5 +207,38 @@ object Quality {
         | (SELECT count(*) FROM orders o WHERE NOT EXISTS
         |   (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
         |ORDER BY fk_edge""".stripMargin,
+    "q_top_paths" ->
+      """WITH r AS (
+        | SELECT user_id, event_type,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        | FROM events),
+        |p AS (
+        | SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        | FROM r WHERE rn <= 5 GROUP BY user_id)
+        |SELECT path, count(*) AS n_users FROM p GROUP BY path
+        |ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
+    "q_skew_report" ->
+      """WITH c AS (
+        | SELECT 'l_orderkey' AS join_key, l_orderkey AS k, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2
+        | UNION ALL SELECT 'l_partkey', l_partkey, count(*)
+        |  FROM lineitem GROUP BY 1, 2
+        | UNION ALL SELECT 'l_suppkey', l_suppkey, count(*)
+        |  FROM lineitem GROUP BY 1, 2),
+        |s AS (
+        | SELECT join_key, count(*) AS n_keys,
+        |  CAST(sum(cnt) AS BIGINT) AS total_rows,
+        |  CAST(max(cnt) AS BIGINT) AS max_per_key
+        | FROM c GROUP BY join_key),
+        |m AS (
+        | SELECT join_key, cnt,
+        |  row_number() OVER (PARTITION BY join_key ORDER BY cnt) AS rn,
+        |  count(*) OVER (PARTITION BY join_key) AS n
+        | FROM c)
+        |SELECT s.join_key, s.n_keys, s.total_rows, s.max_per_key,
+        | CAST(m.cnt AS BIGINT) AS median_per_key,
+        | CAST(s.max_per_key * s.n_keys AS BIGINT) / s.total_rows AS skew_ratio
+        |FROM s JOIN m ON s.join_key = m.join_key AND m.rn = (m.n + 1) // 2
+        |ORDER BY s.join_key""".stripMargin,
   )
 }

@@ -105,6 +105,33 @@ object Streaming {
       .select("user_id", "click_id", "err_id", "click_ts", "err_ts")
   }
 
+  /** LEFT-OUTER watermarked stream-stream join — the "clicks that got NO
+    * error within 10 minutes" detector. Same bounded-state interval join
+    * as [[clickErrorJoin]], but unmatched clicks are ALSO emitted
+    * (NULL-extended) once the watermark proves no matching error can
+    * still arrive. Matches emit immediately; a null row for click c
+    * emits only after watermark > c.click_ts + 10 min, where the GLOBAL
+    * watermark is the MIN across both sides' watermark nodes — with a
+    * sparse error stream the errors side is the binding one, so the
+    * unmatched tail inside min(max click ts, max error ts) − 70 min
+    * stays in state at stream end (spec-pinned). */
+  def clickErrorJoinLeftOuter(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val errors = events.filter(col("event_type") === "error")
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as("err_user"), col("ts").as("err_ts"),
+        col("event_id").as("err_id"))
+    clicks.join(errors,
+      col("user_id") === col("err_user") &&
+        col("err_ts") >= col("click_ts") &&
+        col("err_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"),
+      "left_outer")
+      .select("user_id", "click_id", "err_id", "click_ts", "err_ts")
+  }
+
   /** Stream-static enrichment join: each micro-batch of the stream joins
     * a static dimension; the static side is broadcast (re-resolved per
     * batch, so slowly-changing dims pick up updates between triggers).

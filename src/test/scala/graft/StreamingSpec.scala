@@ -285,6 +285,58 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(got == want)
   }
 
+  test("left-outer stream-stream join: matches equal batch; null rows flushed past the watermark") {
+    val stream = Streaming.clickErrorJoinLeftOuter(Streaming.readEvents(spark, sfDir))
+    val result = Streaming.runAvailableNow(spark, stream, "stream_ss_louter",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val ev = Tables.events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("err_user"), col("ts").as("err_ts"),
+        col("event_id").as("err_id"))
+    val batch = clicks.join(errors,
+      col("user_id") === col("err_user") &&
+        col("err_ts") >= col("click_ts") &&
+        col("err_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"),
+      "left_outer")
+    // matched pairs emit immediately — must equal the batch inner matches
+    val gotMatched = result.filter(col("err_id").isNotNull)
+      .select("click_id", "err_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantMatched = batch.filter(col("err_id").isNotNull)
+      .select("click_id", "err_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wantMatched.nonEmpty, "no click→error pairs in fixture; test is vacuous")
+    assert(gotMatched == wantMatched)
+    // null-extended rows emit only once the watermark proves no match can
+    // arrive. The GLOBAL watermark is the MIN across both sides' nodes
+    // (each computes max(its own ts) − 1 h, and errors are sparse — the
+    // last error lands hours before the last click), so the flush
+    // horizon is min(maxClickTs, maxErrTs) − 1 h − the 10-min join
+    // interval; 75 min + a 5-min boundary margin below that min. Every
+    // batch-unmatched click older than the horizon must have flushed;
+    // nothing outside the batch-unmatched set may ever appear.
+    val maxClick = ev.filter(col("event_type") === "click")
+      .agg(max("ts")).collect()(0).getTimestamp(0)
+    val maxErr = ev.filter(col("event_type") === "error")
+      .agg(max("ts")).collect()(0).getTimestamp(0)
+    val minMax = if (maxClick.before(maxErr)) maxClick else maxErr
+    val horizon = new java.sql.Timestamp(minMax.getTime - 75 * 60 * 1000L)
+    val gotNull = result.filter(col("err_id").isNull)
+      .select("click_id").collect().map(_.getLong(0)).toSet
+    val wantNullAll = batch.filter(col("err_id").isNull)
+      .select("click_id").collect().map(_.getLong(0)).toSet
+    val wantNullFlushed = batch.filter(col("err_id").isNull &&
+        col("click_ts") < lit(horizon))
+      .select("click_id").collect().map(_.getLong(0)).toSet
+    assert(wantNullFlushed.nonEmpty, "fixture has no flushable unmatched clicks")
+    assert(gotNull.subsetOf(wantNullAll),
+      s"stream fabricated unmatched clicks: ${(gotNull -- wantNullAll).take(5)}")
+    assert(wantNullFlushed.subsetOf(gotNull),
+      s"stream failed to flush ${(wantNullFlushed -- gotNull).size} past-watermark clicks")
+  }
+
   test("stream-static enrichment join equals batch join") {
     val dim = Tables.events(spark, sfDir).select("user_id").distinct()
       .withColumn("tier", (col("user_id") % 3).cast("long"))
