@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
     e.injectOptimizerRule(_ => SortedIntersectRewrite)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 
@@ -53,5 +54,8 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(SortedIntersectRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ SortedIntersectRewrite
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
   }
 }

@@ -48,6 +48,37 @@ object TemporalJoins {
     carried.filter(col("__side") === 1).drop("__side")
   }
 
+  /** NATIVE as-of join via the custom physical operator
+    * ([[graft.plans.AsOfJoinExec]] — requires
+    * [[graft.functions.GraftExtensions]] installed on the session).
+    * Same semantics as [[asOf]] (latest right.ts <= left.ts per key,
+    * ties match, left-outer), but planned as one streaming merge pass
+    * per co-partition instead of the union+window composition. Every
+    * right column is carried, prefixed `rPrefix` — the fresh aliases
+    * also give the right side new expression ids, which keeps the two
+    * sides' attributes disjoint even when both derive from the same
+    * scan (a requirement for hand-built binary nodes). */
+  def asOfNative(left: DataFrame, right: DataFrame, key: String, ts: String,
+                 rPrefix: String = "r_"): DataFrame = {
+    import org.apache.spark.sql.graftshim
+    // idempotent: the strategy must live in whatever session plans this
+    // frame (the harness driver builds plain sessions)
+    graft.functions.GraftExtensions.install(left.sparkSession)
+    val r2 = right.select(right.columns.toSeq.map(c => col(c).as(rPrefix + c)): _*)
+    val lPlan = graftshim.analyzed(left)
+    val rPlan = graftshim.analyzed(r2)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             name: String) =
+      p.output.find(_.name == name).getOrElse(
+        sys.error(s"asOfNative: no column '$name' in ${p.output.map(_.name)}"))
+    require(lPlan.outputSet.intersect(rPlan.outputSet).isEmpty,
+      "asOfNative: left/right attribute ids collide — alias the right side")
+    graftshim.ofRows(left.sparkSession,
+      graft.plans.AsOfJoin(lPlan, rPlan,
+        attr(lPlan, key), attr(rPlan, rPrefix + key),
+        attr(lPlan, ts), attr(rPlan, rPrefix + ts)))
+  }
+
   /** Self range join on a timestamp: unordered pairs (idA < idB) whose
     * epoch-second difference is ≤ toleranceSec. */
   def rangeSelfJoin(df: DataFrame, id: String, ts: String,

@@ -154,6 +154,24 @@ object Relational2 {
       .orderBy("user_id", "event_id")
   }
 
+  /** The SAME as-of join through the custom physical operator
+    * ([[graft.plans.AsOfJoinExec]] — planner-inserted exchanges+sorts,
+    * one streaming merge pass per co-partition). Shares q_asof_join's
+    * oracle: DuckDB replays both with its native ASOF JOIN, so the
+    * custom exec's output is certified identical to the composed form's
+    * AND to the reference semantics. */
+  val qAsofNative: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id", "value")
+    val signups = ev.filter(col("event_type") === "signup")
+      .select("user_id", "ts", "event_id")
+    TemporalJoins.asOfNative(purchases, signups, "user_id", "ts")
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("r_event_id").as("signup_event_id"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Range self-join: event pairs within 60 seconds (bucketed equi-join,
     * not a nested-loop inequality join). */
   val qRangeJoin: Q = (s, d) =>
@@ -199,6 +217,7 @@ object Relational2 {
     "q_math_funcs" -> qMathFuncs,
     "q_percentiles" -> qPercentiles,
     "q_asof_join" -> qAsofJoin,
+    "q_asof_native" -> qAsofNative,
     "q_range_join" -> qRangeJoin,
     "q_approx_distinct" -> qApproxDistinct,
     "q_hll_union" -> qHllUnion,
@@ -273,6 +292,14 @@ object Relational2 {
         | round(stddev_samp(l_quantity), 4) AS sd_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_asof_join" ->
+      """SELECT l.user_id, l.event_id, l.value, r.event_id AS signup_event_id
+        |FROM (SELECT user_id, ts, event_id, value FROM events
+        |      WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events
+        |                WHERE event_type = 'signup') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.user_id, l.event_id""".stripMargin,
+    "q_asof_native" ->
       """SELECT l.user_id, l.event_id, l.value, r.event_id AS signup_event_id
         |FROM (SELECT user_id, ts, event_id, value FROM events
         |      WHERE event_type = 'purchase') l
