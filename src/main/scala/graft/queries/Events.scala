@@ -165,12 +165,39 @@ object Events {
       .orderBy("from_type", "to_type")
   }
 
+  /** Rolling engagement: DAU, trailing-7-day distinct actives (WAU), and
+    * the DAU/WAU stickiness ratio per day. The rolling DISTINCT count —
+    * which no window frame can express (count_distinct isn't a window
+    * aggregate) — is computed by CONTRIBUTION EXPANSION: each (user,
+    * day) row is exploded to the ≤7 report days it participates in,
+    * then it's a plain countDistinct per day — an equi-shuffle bounded
+    * by 7×|user-days|, no inequality join, no day² loop. The ratio is
+    * long/long, bit-exact cross-engine (the oracle replays the window
+    * with an interval-range join). */
+  val qRollingDau: Q = (s, d) => {
+    val userDays = Tables.events(s, d)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+    val daily = userDays.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = userDays
+      .select(col("user_id"), explode(sequence(col("day"),
+        col("day") + expr("interval 6 days"), expr("interval 1 day"))).as("day"))
+      .groupBy("day").agg(countDistinct("user_id").as("wau7"))
+    daily.join(wau, "day")
+      .select(
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("wau7"),
+        (col("dau") / col("wau7")).as("stickiness"))
+      .orderBy("day")
+  }
+
   val all: Map[String, Q] = Map(
     "q_concurrency" -> qConcurrency,
     "q_retention_cohorts" -> qRetentionCohorts,
     "q_resample_ffill" -> qResampleFfill,
     "q_conversion_24h" -> qConversion24h,
     "q_markov_transitions" -> qMarkovTransitions,
+    "q_rolling_dau" -> qRollingDau,
   )
 
   /** Shared session-interval CTEs (mirrors q_sessionize's oracle). */
@@ -267,5 +294,18 @@ object Events {
         | CAST(n_trans AS BIGINT) /
         |  CAST(sum(n_trans) OVER (PARTITION BY from_type) AS BIGINT) AS p_trans
         |FROM c ORDER BY from_type, to_type""".stripMargin,
+    "q_rolling_dau" ->
+      """WITH ud AS (
+        | SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+        |days AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+        |w AS (
+        | SELECT d.day, count(DISTINCT u.user_id) AS wau7
+        | FROM days d JOIN ud u
+        |   ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+        | GROUP BY d.day)
+        |SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau,
+        | CAST(w.wau7 AS BIGINT) AS wau7,
+        | d.dau / CAST(w.wau7 AS BIGINT) AS stickiness
+        |FROM days d JOIN w USING (day) ORDER BY day""".stripMargin,
   )
 }

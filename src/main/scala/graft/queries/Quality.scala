@@ -148,7 +148,28 @@ object Quality {
       .orderBy("join_key")
   }
 
+  /** Deterministic 5-fold cross-validation assignment over documents:
+    * fold = top bits of the Knuth-permuted doc_id (the
+    * [[graft.operators.Scale.knuthPerm]] idiom — seedless, shuffle-free,
+    * and a DIFFERENT multiplier than the train-split/sampling decisions
+    * so fold membership is independent of them). Report: per-fold doc
+    * count and char mass — the balance check before cross-validated
+    * training; the oracle replays the permutation verbatim, so the
+    * EXACT assignment (not just the counts) is certified via the
+    * per-fold sums. */
+  val qKfold: Q = (s, d) => {
+    val folds = Tables.documents(s, d)
+      .select(shiftrightunsigned(
+          graft.operators.Scale.knuthPerm(col("doc_id"), 3266489917L) * 5, 31)
+          .as("fold"),
+        length(col("text")).cast("long").as("n_chars"))
+    folds.groupBy("fold")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("fold")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_kfold" -> qKfold,
     "q_basket_pairs" -> qBasketPairs,
     "q_benford" -> qBenford,
     "q_fk_integrity" -> qFkIntegrity,
@@ -157,6 +178,15 @@ object Quality {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_kfold" ->
+      """WITH f AS (
+        | SELECT ((((doc_id % 2147483648) * 3266489917) % 2147483648) * 5)
+        |   // 2147483648 AS fold,
+        |  length(text) AS n_chars
+        | FROM documents)
+        |SELECT fold, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM f GROUP BY fold ORDER BY fold""".stripMargin,
     "q_basket_pairs" ->
       """WITH items AS (
         | SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem),

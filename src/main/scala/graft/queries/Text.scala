@@ -719,10 +719,32 @@ object Text {
         numMerges = 10, maxVocab = 1000)
       .orderBy("rank")
 
+  /** BPE ENCODE with the merges trained on the same corpus — the
+    * inference side of q_bpe_merges (distinct-token encode + join back,
+    * [[graft.text.Bpe.encode]]). Per-language compression report:
+    * tokens, emitted pieces, piece vocabulary, and the pieces-per-token
+    * ratio as exact long/long. Rows-only: the merge table comes from
+    * the iterative trainer; determinism + losslessness are spec-pinned
+    * instead (BpeSpec). */
+  val qBpeEncode: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("lang"), explode(tokens(col("text"))).as("token"))
+    val merges = graft.text.Bpe.train(s, toks.select("token"),
+      numMerges = 10, maxVocab = 1000)
+    graft.text.Bpe.encode(s, toks, merges)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(size(col("pieces")).cast("long")).as("n_pieces"))
+      .withColumn("pieces_per_token", col("n_pieces") / col("n_tokens"))
+      .orderBy("lang")
+  }
+
   val all: Map[String, Q] = Map(
     "q_text_stats" -> qTextStats,
     "q_gopher_rules" -> qGopherRules,
     "q_bpe_merges" -> qBpeMerges,
+    "q_bpe_encode" -> qBpeEncode,
     "q_pps_sample" -> qPpsSample,
     "q_token_entropy" -> qTokenEntropy,
     "q_typo_pairs" -> qTypoPairs,

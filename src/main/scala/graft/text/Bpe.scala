@@ -73,4 +73,65 @@ object Bpe {
     import spark.implicits._
     merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count")
   }
+
+  /** Apply trained merges to a word: start from characters, repeatedly
+    * merge the LOWEST-RANK adjacent pair (all its occurrences, left to
+    * right) until none applies — the standard BPE apply rule, consistent
+    * with [[train]]'s per-rank greedy rewriting, so encoding the
+    * training corpus reproduces the training segmentation. Unknown
+    * characters pass through as singleton pieces; concatenating the
+    * pieces always reproduces the word (spec-pinned losslessness). */
+  def encodeWord(w: String, ranks: Map[(String, String), Int]): Seq[String] = {
+    var syms: mutable.ArrayBuffer[String] =
+      mutable.ArrayBuffer.from(w.split("").filter(_.nonEmpty))
+    var done = syms.length < 2
+    while (!done) {
+      var best = Int.MaxValue
+      var bi = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < best) { best = r; bi = i }
+        i += 1
+      }
+      if (bi < 0) done = true
+      else {
+        val pl = syms(bi); val pr = syms(bi + 1)
+        val out = mutable.ArrayBuffer.empty[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == pl && syms(j + 1) == pr) {
+            out += pl + pr; j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out
+        done = syms.length < 2
+      }
+    }
+    syms.toSeq
+  }
+
+  /** Distributed BPE ENCODING with trained merges — the inference side
+    * of [[train]], shaped for scale: the merge table is collected once
+    * (driver-sized by contract — it IS the tokenizer) and broadcast;
+    * each DISTINCT token is encoded exactly once in a mapPartitions
+    * pass (the per-word merge loop is genuinely imperative — the
+    * documented last-resort tier of the operator ladder); occurrences
+    * then pick up their piece arrays through an equality join on the
+    * token — dictionary-sized work + one shuffle, never a per-occurrence
+    * re-encode. Returns `tokens` with an added `pieces` array column. */
+  def encode(spark: SparkSession, tokens: DataFrame, merges: DataFrame): DataFrame = {
+    import spark.implicits._
+    val ranks: Map[(String, String), Int] = merges
+      .select("rank", "left", "right").collect()
+      .map(r => ((r.getString(1), r.getString(2)), r.getInt(0))).toMap
+    val bRanks = spark.sparkContext.broadcast(ranks)
+    val encoded = tokens.select("token").distinct().as[String]
+      .mapPartitions { it =>
+        val m = bRanks.value
+        it.map(w => (w, encodeWord(w, m)))
+      }
+      .toDF("token", "pieces")
+    tokens.join(encoded, "token")
+  }
 }

@@ -116,6 +116,31 @@ class TextSpec extends AnyFunSuite with SharedSpark {
       merges.toSeq.toString)
   }
 
+  test("BPE encode applies merges in rank order, losslessly, unknowns pass through") {
+    import spark.implicits._
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val merges = graft.text.Bpe.train(spark, words.toDF("token"), numMerges = 3)
+    val ranks = merges.select("rank", "left", "right").collect()
+      .map(r => ((r.getString(1), r.getString(2)), r.getInt(0))).toMap
+    // merges learned: es, est, lo — "newest" → n, e, w, est; "low" → lo, w
+    assert(graft.text.Bpe.encodeWord("newest", ranks) == Seq("n", "e", "w", "est"))
+    assert(graft.text.Bpe.encodeWord("low", ranks) == Seq("lo", "w"))
+    // the 'e' of "lower" is NOT merged (es needs a following s)
+    assert(graft.text.Bpe.encodeWord("lower", ranks) == Seq("lo", "w", "e", "r"))
+    // unseen word with unseen chars: singletons except learned pairs
+    assert(graft.text.Bpe.encodeWord("zest", ranks) == Seq("z", "est"))
+    // losslessness on every corpus word + the distributed path agrees
+    // with the driver-side function
+    val enc = graft.text.Bpe.encode(spark, words.toDF("token"), merges)
+    enc.collect().foreach { r =>
+      val w = r.getString(0)
+      val pieces = r.getSeq[String](1)
+      assert(pieces.mkString("") == w, s"lossy encode of $w: $pieces")
+      assert(pieces == graft.text.Bpe.encodeWord(w, ranks))
+    }
+  }
+
   test("BPE training is deterministic across runs and stops when fully merged") {
     import spark.implicits._
     val toks = Tables.documents(spark, sfDir)
