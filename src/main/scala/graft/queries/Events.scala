@@ -191,6 +191,28 @@ object Events {
       .orderBy("day")
   }
 
+  /** Longest consecutive-day activity streak — the gaps-and-islands
+    * pattern: within each user's distinct active days, day − row_number
+    * is CONSTANT across a consecutive run (both step by one), so
+    * grouping on that anchor splits runs without self-joins or
+    * iterative logic. The anchor is an exact integer (day-diff from a
+    * fixed epoch minus rn), one user-keyed window + two aggregates;
+    * output is the streak-length histogram, bounded by the calendar. */
+  val qMaxStreak: Q = (s, d) => {
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val streaks = ud
+      .withColumn("anchor",
+        datediff(col("day"), lit("2024-01-01").cast("date")).cast("long") -
+          row_number().over(w))
+      .groupBy("user_id", "anchor").agg(count(lit(1)).as("len"))
+      .groupBy("user_id").agg(max("len").as("max_streak"))
+    streaks.groupBy("max_streak").agg(count(lit(1)).as("n_users"))
+      .orderBy("max_streak")
+  }
+
   val all: Map[String, Q] = Map(
     "q_concurrency" -> qConcurrency,
     "q_retention_cohorts" -> qRetentionCohorts,
@@ -198,6 +220,7 @@ object Events {
     "q_conversion_24h" -> qConversion24h,
     "q_markov_transitions" -> qMarkovTransitions,
     "q_rolling_dau" -> qRollingDau,
+    "q_max_streak" -> qMaxStreak,
   )
 
   /** Shared session-interval CTEs (mirrors q_sessionize's oracle). */
@@ -307,5 +330,20 @@ object Events {
         | CAST(w.wau7 AS BIGINT) AS wau7,
         | d.dau / CAST(w.wau7 AS BIGINT) AS stickiness
         |FROM days d JOIN w USING (day) ORDER BY day""".stripMargin,
+    "q_max_streak" ->
+      """WITH ud AS (
+        | SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+        |runs AS (
+        | SELECT user_id,
+        |  date_diff('day', DATE '2024-01-01', day) -
+        |   row_number() OVER (PARTITION BY user_id ORDER BY day) AS anchor
+        | FROM ud),
+        |lens AS (
+        | SELECT user_id, count(*) AS len
+        | FROM runs GROUP BY user_id, anchor),
+        |mx AS (SELECT user_id, max(len) AS max_streak FROM lens GROUP BY user_id)
+        |SELECT CAST(max_streak AS BIGINT) AS max_streak,
+        | count(*) AS n_users
+        |FROM mx GROUP BY max_streak ORDER BY max_streak""".stripMargin,
   )
 }

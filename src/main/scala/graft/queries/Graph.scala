@@ -53,9 +53,39 @@ object Graph {
       .groupBy("kind", "degree").agg(count(lit(1)).as("n_nodes"))
       .orderBy("kind", "degree")
 
+  /** Triangle count on the co-order part graph (edges = part pairs
+    * co-occurring in ≥2 orders, canonically a<b). The id-orientation
+    * trick: storing each edge once with a<b means a triangle a<b<c is
+    * found by EXACTLY ONE join chain — e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c) —
+    * three equi-joins, no post-hoc dedup by 6 permutations, wedge
+    * volume bounded by Σ out-deg(b)·in-deg(b). (Production variant
+    * orients low-degree→high-degree to bound wedges by Σ deg^{3/2};
+    * same plan shape, different orientation key.) Output: triangle
+    * count + node-id checksum — exact integers. */
+  val qTriangles: Q = (s, d) => {
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("pkey"))
+      .distinct()
+    val edges = items.as("x")
+      .join(items.as("y"),
+        col("x.okey") === col("y.okey") && col("x.pkey") < col("y.pkey"))
+      .groupBy(col("x.pkey").as("a"), col("y.pkey").as("b"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .select("a", "b")
+    val wedges = edges.as("e1")
+      .join(edges.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
+    wedges.as("w").join(edges.as("e3"),
+        col("w.a") === col("e3.a") && col("w.c") === col("e3.b"))
+      .agg(count(lit(1)).as("n_triangles"),
+        sum(col("w.a") + col("w.b") + col("w.c")).as("node_checksum"))
+  }
+
   val all: Map[String, Q] = Map(
     "q_pagerank" -> qPagerank,
     "q_degree_stats" -> qDegreeStats,
+    "q_triangles" -> qTriangles,
   )
 
   private val edgeCtes =
@@ -88,5 +118,20 @@ object Graph {
          |   AS kind,
          | degree, count(*) AS n_nodes
          |FROM deg GROUP BY kind, degree ORDER BY kind, degree""".stripMargin,
+    "q_triangles" ->
+      """WITH items AS (
+        | SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem),
+        |edges AS (
+        | SELECT x.pkey AS a, y.pkey AS b
+        | FROM items x JOIN items y ON x.okey = y.okey AND x.pkey < y.pkey
+        | GROUP BY 1, 2 HAVING count(*) >= 2),
+        |tri AS (
+        | SELECT e1.a, e1.b, e2.b AS c
+        | FROM edges e1
+        |  JOIN edges e2 ON e1.b = e2.a
+        |  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT count(*) AS n_triangles,
+        | CAST(sum(a + b + c) AS BIGINT) AS node_checksum
+        |FROM tri""".stripMargin,
   )
 }

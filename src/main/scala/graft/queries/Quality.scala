@@ -168,8 +168,40 @@ object Quality {
       .orderBy("fold")
   }
 
+  /** Table-snapshot diff — the reconciliation report between two
+    * versions of a keyed table: added / removed / changed / unchanged
+    * row counts plus the total absolute value drift of changed rows.
+    * The two snapshots are carved DETERMINISTICALLY from orders (old
+    * drops keys ≡3 mod 10, new drops ≡7 and bumps prices on keys ≡0
+    * mod 5), so the full-outer key join — the one shuffle — exercises
+    * every branch. Value compare in exact cents; the drift sum is pure
+    * integer. At scale this is one co-partitionable join keyed by the
+    * primary key, the same plan as an incremental upsert validation. */
+  val qTableDiff: Q = (s, d) => {
+    val base = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val old = base.filter(col("k") % 10 =!= 3)
+      .select(col("k"), col("cents").as("old_cents"))
+    val neu = base.filter(col("k") % 10 =!= 7)
+      .select(col("k"),
+        (col("cents") + when(col("k") % 5 === 0, 100L).otherwise(0L))
+          .as("new_cents"))
+    old.join(neu, Seq("k"), "full_outer")
+      .select(
+        when(col("old_cents").isNull, "added")
+          .when(col("new_cents").isNull, "removed")
+          .when(col("old_cents") =!= col("new_cents"), "changed")
+          .otherwise("unchanged").as("change_type"),
+        abs(coalesce(col("new_cents"), lit(0L)) -
+          coalesce(col("old_cents"), lit(0L))).as("drift"))
+      .groupBy("change_type")
+      .agg(count(lit(1)).as("n_rows"), sum("drift").as("abs_drift_cents"))
+      .orderBy("change_type")
+  }
+
   val all: Map[String, Q] = Map(
     "q_kfold" -> qKfold,
+    "q_table_diff" -> qTableDiff,
     "q_basket_pairs" -> qBasketPairs,
     "q_benford" -> qBenford,
     "q_fk_integrity" -> qFkIntegrity,
@@ -187,6 +219,26 @@ object Quality {
         |SELECT fold, count(*) AS n_docs,
         | CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM f GROUP BY fold ORDER BY fold""".stripMargin,
+    "q_table_diff" ->
+      """WITH base AS (
+        | SELECT o_orderkey AS k,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        | FROM orders),
+        |old AS (SELECT k, cents AS old_cents FROM base WHERE k % 10 <> 3),
+        |neu AS (
+        | SELECT k, cents + CASE WHEN k % 5 = 0 THEN 100 ELSE 0 END AS new_cents
+        | FROM base WHERE k % 10 <> 7),
+        |j AS (
+        | SELECT
+        |  CASE WHEN old_cents IS NULL THEN 'added'
+        |       WHEN new_cents IS NULL THEN 'removed'
+        |       WHEN old_cents <> new_cents THEN 'changed'
+        |       ELSE 'unchanged' END AS change_type,
+        |  abs(coalesce(new_cents, 0) - coalesce(old_cents, 0)) AS drift
+        | FROM old FULL OUTER JOIN neu USING (k))
+        |SELECT change_type, count(*) AS n_rows,
+        | CAST(sum(drift) AS BIGINT) AS abs_drift_cents
+        |FROM j GROUP BY change_type ORDER BY change_type""".stripMargin,
     "q_basket_pairs" ->
       """WITH items AS (
         | SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem),

@@ -740,7 +740,28 @@ object Text {
       .orderBy("lang")
   }
 
+  /** Conjunctive term search ("docs containing ALL of these terms") in
+    * the shuffle-bounded form: filter the token stream to the query
+    * terms FIRST (predicate reaches the scan), distinct (doc, term),
+    * then one doc-keyed count — docs matching every term have
+    * count == |terms|. No posting-list materialization, no array
+    * intersection over unbounded lists; the shuffle carries only
+    * (doc, term) pairs for the query's own terms. Exact-integer report
+    * keeps the whole match SET certified via the id checksum. */
+  val qAndSearch: Q = (s, d) => {
+    val terms = Seq("join", "merge")
+    val hits = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .distinct()
+    hits.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+      .filter(col("nt") === terms.length)
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_checksum"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q_and_search" -> qAndSearch,
     "q_text_stats" -> qTextStats,
     "q_gopher_rules" -> qGopherRules,
     "q_bpe_merges" -> qBpeMerges,
@@ -790,6 +811,18 @@ object Text {
   }.mkString("\n UNION ALL\n")
 
   val oracles: Map[String, String] = Map(
+    "q_and_search" ->
+      """WITH hits AS (
+        | SELECT DISTINCT doc_id, tok FROM (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents)
+        | WHERE tok IN ('join', 'merge')),
+        |m AS (
+        | SELECT doc_id FROM hits GROUP BY doc_id HAVING count(*) = 2)
+        |SELECT count(*) AS n_docs,
+        | CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+        | min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM m""".stripMargin,
     "q_typo_pairs" ->
       """WITH v AS (
         | SELECT t, count(*) AS cnt FROM (
