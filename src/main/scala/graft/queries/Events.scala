@@ -213,6 +213,35 @@ object Events {
       .orderBy("max_streak")
   }
 
+  /** Exponentially-decayed hourly revenue (half-life = 1 h, horizon 10):
+    * decayed(h) = Σ_{d=0..9} cents(h−d) div 2^{d+1} — the recency-
+    * weighted activity signal. Sequential EWMA recursion doesn't
+    * distribute (and window frames can't vary a coefficient by offset),
+    * so this uses CONTRIBUTION EXPANSION again: each hour's total
+    * explodes to the 10 future hours it decays into, each with its own
+    * integer shift, then one hour-keyed sum. Truncation (÷2¹⁰ ≈ 0.1%)
+    * buys exact integer arithmetic end to end — floor-div per term is
+    * part of the operator's definition, replayed identically by the
+    * oracle. Shuffle bounded by 10×|hours|. */
+  val qDecayedSum: Q = (s, d) => {
+    val hourly = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      .withColumn("h_us", unix_micros(col("hour")))
+    val decayed = hourly
+      .select(col("h_us"), col("cents"),
+        explode(sequence(lit(0), lit(9))).as("d"))
+      .select((col("h_us") + col("d").cast("long") * lit(3600000000L)).as("h_us"),
+        expr("cents div shiftleft(2L, d)").as("part"))
+      .groupBy("h_us").agg(sum("part").as("decayed_cents"))
+    hourly.join(decayed, Seq("h_us"))
+      .select(
+        date_format(timestamp_micros(col("h_us")), "yyyy-MM-dd HH:00:00").as("hour"),
+        col("cents"), col("decayed_cents"))
+      .orderBy("hour")
+  }
+
   val all: Map[String, Q] = Map(
     "q_concurrency" -> qConcurrency,
     "q_retention_cohorts" -> qRetentionCohorts,
@@ -221,6 +250,7 @@ object Events {
     "q_markov_transitions" -> qMarkovTransitions,
     "q_rolling_dau" -> qRollingDau,
     "q_max_streak" -> qMaxStreak,
+    "q_decayed_sum" -> qDecayedSum,
   )
 
   /** Shared session-interval CTEs (mirrors q_sessionize's oracle). */
@@ -345,5 +375,21 @@ object Events {
         |SELECT CAST(max_streak AS BIGINT) AS max_streak,
         | count(*) AS n_users
         |FROM mx GROUP BY max_streak ORDER BY max_streak""".stripMargin,
+    "q_decayed_sum" ->
+      """WITH hourly AS (
+        | SELECT date_trunc('hour', ts) AS hour,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        | FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |h2 AS (SELECT epoch_us(hour) AS h_us, cents FROM hourly),
+        |c AS (
+        | SELECT h_us + d * 3600000000 AS h_us,
+        |  cents // (CAST(2 AS BIGINT) << d) AS part
+        | FROM h2, generate_series(0, 9) AS t(d)),
+        |dec AS (
+        | SELECT h_us, CAST(sum(part) AS BIGINT) AS decayed_cents
+        | FROM c GROUP BY h_us)
+        |SELECT strftime(make_timestamp(h2.h_us), '%Y-%m-%d %H:00:00') AS hour,
+        | h2.cents, dec.decayed_cents
+        |FROM h2 JOIN dec USING (h_us) ORDER BY hour""".stripMargin,
   )
 }
