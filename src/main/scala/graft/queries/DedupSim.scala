@@ -93,6 +93,15 @@ object DedupSim {
       .orderBy("q_id", "rank")
   }
 
+  /** Int8-quantized exact top-10: integer-dot ranking over 127-scaled
+    * unit vectors — bit-stable ordering, 4× smaller corpus residency
+    * (see [[graft.similarity.Similarity.quantizedTopK]]). */
+  val qKnnQuantized: Q = (s, d) => {
+    val vecs = Tables.embeddings(s, d)
+    Similarity.quantizedTopK(vecs, vecs.filter(col("vec_id") < 5), 10)
+      .orderBy("q_id", "rank")
+  }
+
   /** LSH-bucketed approximate cosine top-10 (scale path 1). */
   val qKnnLsh: Q = (s, d) => {
     val vecs = Tables.embeddings(s, d)
@@ -138,6 +147,7 @@ object DedupSim {
     "q_dedup_incremental" -> qDedupIncremental,
     "q_dedup_embed" -> qDedupEmbed,
     "q_knn_brute" -> qKnnBrute,
+    "q_knn_quantized" -> qKnnQuantized,
     "q_knn_lsh" -> qKnnLsh,
     "q_knn_ivf" -> qKnnIvf,
     "q_embed_centroids" -> qEmbedCentroids,
@@ -158,6 +168,27 @@ object DedupSim {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents
         |GROUP BY text HAVING count(*) > 1 ORDER BY keep_id""".stripMargin,
+    "q_knn_quantized" ->
+      """WITH nrm AS (
+        | SELECT vec_id, embedding,
+        |  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+        | FROM embeddings),
+        |v AS (
+        | SELECT vec_id,
+        |  list_transform(embedding,
+        |    x -> CAST(floor(x::DOUBLE * 127.0 / nrm + 0.5) AS BIGINT)) AS qvec
+        | FROM nrm),
+        |q AS (SELECT vec_id AS q_id, qvec AS q_qvec FROM v WHERE vec_id < 5),
+        |sims AS (
+        | SELECT q.q_id, v.vec_id AS n_id,
+        |  CAST(list_sum(list_transform(range(1, len(v.qvec)+1),
+        |    i -> v.qvec[i] * q.q_qvec[i])) AS BIGINT) AS dot_q
+        | FROM q, v WHERE v.vec_id <> q.q_id),
+        |r AS (SELECT q_id, n_id, dot_q,
+        |       row_number() OVER (PARTITION BY q_id ORDER BY dot_q DESC, n_id) AS rank
+        |      FROM sims)
+        |SELECT q_id, rank, n_id, dot_q FROM r WHERE rank <= 10
+        |ORDER BY q_id, rank""".stripMargin,
     "q_dedup_jaccard" ->
       """WITH toks AS (
         | SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents),

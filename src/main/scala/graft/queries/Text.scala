@@ -493,6 +493,42 @@ object Text {
       .orderBy("w1", "w2")
   }
 
+  /** Collocation mining — the phrase-extraction primitive of tokenizer /
+    * vocab curation: bigrams whose observed count beats the independence
+    * expectation, ranked by PMI's monotone integer form. With left/right
+    * positional marginals l(w1) = Σ_w c(w1,w), r(w2) = Σ_w c(w,w2) and
+    * N = total bigrams, lift = c·N / (l·r) (= e^PMI); emitted as
+    * `lift_milli = (c·1000·N) div (l·r)` — exact integer arithmetic end
+    * to end, no transcendentals, no float compare (the [[qDecayedSum]]
+    * discipline). Three (token)-keyed hash-agg shuffles + two equi-joins
+    * on the count frames — documents never re-shuffle. The int64 product
+    * bounds c·1000·N < 2⁶³ (N ≲ 9·10⁷ per partition of the vocab work);
+    * beyond that cast the three factors to decimal(38,0) — Spark's
+    * IntegralDivide and DuckDB `//` are both exact there. Top-100 via
+    * orderBy+limit = TakeOrderedAndProject (per-partition top-k, no
+    * global sort). */
+  val qCollocations: Q = (s, d) => {
+    val bg = Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val cnt = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val left = cnt.groupBy("w1").agg(sum("c").as("l_cnt"))
+    val right = cnt.groupBy("w2").agg(sum("c").as("r_cnt"))
+    val n = cnt.agg(sum("c").as("n_bigrams"))
+    cnt.filter(col("c") >= 5)
+      .join(left, "w1").join(right, "w2")
+      .crossJoin(n)
+      .select(col("w1"), col("w2"), col("c"),
+        expr("(c * 1000L * n_bigrams) div (l_cnt * r_cnt)").as("lift_milli"))
+      .orderBy(desc("lift_milli"), asc("w1"), asc("w2"))
+      .limit(100)
+  }
+
   /** Sequential-funnel analysis over the events stream: users who signed
     * up, then clicked AFTER signing up, then purchased AFTER that click —
     * each stage a min-timestamp aggregation joined to the previous
@@ -787,6 +823,7 @@ object Text {
     "q_pack_sequences" -> qPackSequences,
     "q_funnel" -> qFunnel,
     "q_ngram_lm" -> qNgramLm,
+    "q_collocations" -> qCollocations,
     "q_vocab" -> qVocab,
     "q_sessionize" -> qSessionize,
     "q_session_window" -> qSessionWindow,
@@ -955,6 +992,25 @@ object Text {
         |FROM cnt JOIN tot ON cnt.w1 = tot.w1
         |WHERE cnt.c >= 5
         |ORDER BY cnt.w1, cnt.w2""".stripMargin,
+    "q_collocations" ->
+      """WITH toks AS (
+        | SELECT string_split_regex(trim(text), '\s+') AS ts FROM documents),
+        |bg AS (
+        | SELECT unnest(list_transform(range(1, len(ts)),
+        |   i -> {'w1': ts[i], 'w2': ts[i+1]})) AS p
+        | FROM toks WHERE len(ts) >= 2),
+        |cnt AS (
+        | SELECT p.w1 AS w1, p.w2 AS w2, CAST(count(*) AS BIGINT) AS c
+        | FROM bg GROUP BY 1, 2),
+        |lm AS (SELECT w1, CAST(sum(c) AS BIGINT) AS l_cnt FROM cnt GROUP BY w1),
+        |rm AS (SELECT w2, CAST(sum(c) AS BIGINT) AS r_cnt FROM cnt GROUP BY w2),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n_bigrams FROM cnt)
+        |SELECT cnt.w1, cnt.w2, cnt.c,
+        | (cnt.c * 1000 * n.n_bigrams) // (lm.l_cnt * rm.r_cnt) AS lift_milli
+        |FROM cnt JOIN lm USING (w1) JOIN rm USING (w2) CROSS JOIN n
+        |WHERE cnt.c >= 5
+        |ORDER BY lift_milli DESC, w1, w2
+        |LIMIT 100""".stripMargin,
     "q_funnel" ->
       """WITH signup AS (
         | SELECT user_id, min(ts) AS t_signup FROM events

