@@ -242,6 +242,36 @@ object Events {
       .orderBy("hour")
   }
 
+  /** Peak-preserving time-series downsampling — the dashboard/monitoring
+    * reducer that keeps anomalies a plain per-bucket average would
+    * erase: per hour, keep the single purchase FARTHEST from the
+    * bucket's own mean. The deviation compare is cross-multiplied into
+    * integers (|cents·n − Σcents| — the exact milli-unit discipline),
+    * argmax via rank-1 over (dev desc, ts, event_id) which plans as a
+    * partial WindowGroupLimit: each task keeps one candidate per hour
+    * before the exchange. One agg + one equi-join on hour; never a
+    * global sort of the raw points. */
+  val qDownsamplePeak: Q = (s, d) => {
+    val pts = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(date_trunc("hour", col("ts")).as("hour"),
+        col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val stats = pts.groupBy("hour")
+      .agg(sum("cents").as("s"), count(lit(1)).as("n"))
+    val w = Window.partitionBy("hour")
+      .orderBy(desc("dev"), asc("ts"), asc("event_id"))
+    pts.join(stats, "hour")
+      .withColumn("dev", abs(col("cents") * col("n") - col("s")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(date_format(col("hour"), "yyyy-MM-dd HH:00:00").as("hour"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("peak_ts"),
+        col("event_id"), col("cents"), col("n").as("n_pts"),
+        col("dev").as("dev_scaled"))
+      .orderBy("hour")
+  }
+
   val all: Map[String, Q] = Map(
     "q_concurrency" -> qConcurrency,
     "q_retention_cohorts" -> qRetentionCohorts,
@@ -251,6 +281,7 @@ object Events {
     "q_rolling_dau" -> qRollingDau,
     "q_max_streak" -> qMaxStreak,
     "q_decayed_sum" -> qDecayedSum,
+    "q_downsample_peak" -> qDownsamplePeak,
   )
 
   /** Shared session-interval CTEs (mirrors q_sessionize's oracle). */
@@ -391,5 +422,24 @@ object Events {
         |SELECT strftime(make_timestamp(h2.h_us), '%Y-%m-%d %H:00:00') AS hour,
         | h2.cents, dec.decayed_cents
         |FROM h2 JOIN dec USING (h_us) ORDER BY hour""".stripMargin,
+    "q_downsample_peak" ->
+      """WITH pts AS (
+        | SELECT date_trunc('hour', ts) AS hour, ts, event_id,
+        |  CAST(round(value * 100) AS BIGINT) AS cents
+        | FROM events WHERE event_type = 'purchase'),
+        |st AS (
+        | SELECT hour, CAST(sum(cents) AS BIGINT) AS s,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM pts GROUP BY hour),
+        |dv AS (
+        | SELECT p.hour, p.ts, p.event_id, p.cents, st.n,
+        |  abs(p.cents * st.n - st.s) AS dev,
+        |  row_number() OVER (PARTITION BY p.hour
+        |    ORDER BY abs(p.cents * st.n - st.s) DESC, p.ts, p.event_id) AS rk
+        | FROM pts p JOIN st USING (hour))
+        |SELECT strftime(hour, '%Y-%m-%d %H:00:00') AS hour,
+        | strftime(ts, '%Y-%m-%d %H:%M:%S') AS peak_ts,
+        | event_id, cents, n AS n_pts, CAST(dev AS BIGINT) AS dev_scaled
+        |FROM dv WHERE rk = 1 ORDER BY hour""".stripMargin,
   )
 }

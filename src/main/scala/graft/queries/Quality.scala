@@ -199,8 +199,38 @@ object Quality {
       .orderBy("change_type")
   }
 
+  /** Distribution-drift report — the data-quality monitor that catches a
+    * silently shifted upstream feed: equi-width histogram ($50k bins on
+    * order value) of a reference window (orders < 1995) vs the current
+    * window (≥ 1995), compared in floored MILLI-proportions with the
+    * per-bin L1 gap — a PSI-style drift signal without PSI's ln()
+    * (integer arithmetic end to end, so Spark and the oracle agree
+    * bit-for-bit; a monotone report for the same alerting decision).
+    * Two partial-aggregable bin counts + one full-outer join on bin —
+    * shuffle volume is |bins|, never |rows|; the 1-row totals arrive
+    * via crossJoin (constant broadcast). */
+  val qHistDrift: Q = (s, d) => {
+    val binned = Tables.orders(s, d).select(
+      year(col("o_orderdate")).as("yr"),
+      expr("cast(round(o_totalprice * 100) as long) div 5000000").as("bin"))
+    val a = binned.filter(col("yr") < 1995)
+      .groupBy("bin").agg(count(lit(1)).as("cnt_a"))
+    val b = binned.filter(col("yr") >= 1995)
+      .groupBy("bin").agg(count(lit(1)).as("cnt_b"))
+    a.join(b, Seq("bin"), "full_outer")
+      .na.fill(0L, Seq("cnt_a", "cnt_b"))
+      .crossJoin(a.agg(sum("cnt_a").as("tot_a")))
+      .crossJoin(b.agg(sum("cnt_b").as("tot_b")))
+      .select(col("bin"), col("cnt_a"), col("cnt_b"),
+        expr("(cnt_a * 1000L) div tot_a").as("pa_milli"),
+        expr("(cnt_b * 1000L) div tot_b").as("pb_milli"))
+      .withColumn("drift_milli", abs(col("pa_milli") - col("pb_milli")))
+      .orderBy("bin")
+  }
+
   val all: Map[String, Q] = Map(
     "q_kfold" -> qKfold,
+    "q_hist_drift" -> qHistDrift,
     "q_table_diff" -> qTableDiff,
     "q_basket_pairs" -> qBasketPairs,
     "q_benford" -> qBenford,
@@ -210,6 +240,27 @@ object Quality {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_hist_drift" ->
+      """WITH binned AS (
+        | SELECT year(o_orderdate) AS yr,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) // 5000000 AS bin
+        | FROM orders),
+        |a AS (SELECT bin, CAST(count(*) AS BIGINT) AS cnt_a
+        |      FROM binned WHERE yr < 1995 GROUP BY bin),
+        |b AS (SELECT bin, CAST(count(*) AS BIGINT) AS cnt_b
+        |      FROM binned WHERE yr >= 1995 GROUP BY bin),
+        |j AS (SELECT coalesce(a.bin, b.bin) AS bin,
+        |       coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b
+        |      FROM a FULL OUTER JOIN b ON a.bin = b.bin),
+        |t AS (SELECT (SELECT sum(cnt_a) FROM a) AS tot_a,
+        |             (SELECT sum(cnt_b) FROM b) AS tot_b),
+        |p AS (SELECT bin, cnt_a, cnt_b,
+        |       CAST((cnt_a * 1000) // tot_a AS BIGINT) AS pa_milli,
+        |       CAST((cnt_b * 1000) // tot_b AS BIGINT) AS pb_milli
+        |      FROM j CROSS JOIN t)
+        |SELECT bin, cnt_a, cnt_b, pa_milli, pb_milli,
+        | abs(pa_milli - pb_milli) AS drift_milli
+        |FROM p ORDER BY bin""".stripMargin,
     "q_kfold" ->
       """WITH f AS (
         | SELECT ((((doc_id % 2147483648) * 3266489917) % 2147483648) * 5)

@@ -493,6 +493,49 @@ object Text {
       .orderBy("w1", "w2")
   }
 
+  /** Training-loader shard assignment — contiguous global positions
+    * 0..n−1 in (lang, doc_id) order WITHOUT a single-partition window:
+    * [[graft.operators.Scale.denseIds]] (range-partition + frozen
+    * per-partition offsets, bit-layout-guarded) supplies the
+    * enumeration; shard/slot are pure arithmetic on it. This is the
+    * step that turns a curated corpus into fixed-size loader shards
+    * whose order is reproducible across reruns and engines — certified
+    * here against the oracle's literal row_number() replay (the
+    * operator's only other coverage is spec + ETL surrogate keys). */
+  val qShardAssign: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+    graft.operators.Scale.denseIds(docs, "gid", Seq("lang", "doc_id"))
+      .select(col("lang"), col("doc_id"), (col("gid") - 1).as("gid"))
+      .withColumn("shard", expr("gid div 64"))
+      .withColumn("slot", expr("gid % 64"))
+      .orderBy("gid")
+  }
+
+  /** Diversity-capped selection — the anti-domain-domination pass of
+    * corpus curation: per language, pick the top-20 docs by length but
+    * let no single source contribute more than 5 (greedy
+    * best-score-first selection under a per-source quota ≡ rank within
+    * (lang, source), keep rank ≤ m, THEN rank the survivors per lang —
+    * the cap runs first, so the per-lang ranking window sees at most
+    * m·|sources| rows per language regardless of corpus size; the wide
+    * (lang, source) window is the only one that touches every doc and
+    * it carries key cardinality, not a global sort). Pure integer
+    * ordering (n_chars, doc_id tiebreak) — exact cross-engine. */
+  val qDiversitySelect: Q = (s, d) => {
+    val bySrc = Window.partitionBy("lang", "source")
+      .orderBy(desc("n_chars"), asc("doc_id"))
+    val byLang = Window.partitionBy("lang")
+      .orderBy(desc("n_chars"), asc("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("src_rank", row_number().over(bySrc).cast("long"))
+      .filter(col("src_rank") <= 5)
+      .withColumn("sel_rank", row_number().over(byLang).cast("long"))
+      .filter(col("sel_rank") <= 20)
+      .select(col("lang"), col("sel_rank"), col("doc_id"), col("source"),
+        col("n_chars"), col("src_rank"))
+      .orderBy("lang", "sel_rank")
+  }
+
   /** Collocation mining — the phrase-extraction primitive of tokenizer /
     * vocab curation: bigrams whose observed count beats the independence
     * expectation, ranked by PMI's monotone integer form. With left/right
@@ -824,6 +867,8 @@ object Text {
     "q_funnel" -> qFunnel,
     "q_ngram_lm" -> qNgramLm,
     "q_collocations" -> qCollocations,
+    "q_diversity_select" -> qDiversitySelect,
+    "q_shard_assign" -> qShardAssign,
     "q_vocab" -> qVocab,
     "q_sessionize" -> qSessionize,
     "q_session_window" -> qSessionWindow,
@@ -1011,6 +1056,27 @@ object Text {
         |WHERE cnt.c >= 5
         |ORDER BY lift_milli DESC, w1, w2
         |LIMIT 100""".stripMargin,
+    "q_diversity_select" ->
+      """WITH r AS (
+        | SELECT lang, source, doc_id, n_chars,
+        |  row_number() OVER (PARTITION BY lang, source
+        |                     ORDER BY n_chars DESC, doc_id) AS src_rank
+        | FROM documents),
+        |sel AS (
+        | SELECT lang, doc_id, source, n_chars, src_rank,
+        |  row_number() OVER (PARTITION BY lang
+        |                     ORDER BY n_chars DESC, doc_id) AS sel_rank
+        | FROM r WHERE src_rank <= 5)
+        |SELECT lang, sel_rank, doc_id, source, n_chars, src_rank
+        |FROM sel WHERE sel_rank <= 20
+        |ORDER BY lang, sel_rank""".stripMargin,
+    "q_shard_assign" ->
+      """WITH g AS (
+        | SELECT lang, doc_id,
+        |  row_number() OVER (ORDER BY lang, doc_id) - 1 AS gid
+        | FROM documents)
+        |SELECT lang, doc_id, gid, gid // 64 AS shard, gid % 64 AS slot
+        |FROM g ORDER BY gid""".stripMargin,
     "q_funnel" ->
       """WITH signup AS (
         | SELECT user_id, min(ts) AS t_signup FROM events

@@ -69,6 +69,14 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q_diversity_select: both quota ranks push into WindowGroupLimit") {
+    // the (lang,source) cap and the per-lang selection are each a
+    // rank<=k filter — both must plan as partial WindowGroupLimit so no
+    // task ever sorts more than k rows per group past its own input
+    val p = planString("q_diversity_select")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p)
+  }
+
   test("q_percentiles: sort-based plan, no ObjectHashAggregate value buffer") {
     // exact percentile via `percentile`/`median` aggregates plans an
     // ObjectHashAggregate that buffers EVERY group value in executor
