@@ -272,6 +272,59 @@ object Events {
       .orderBy("hour")
   }
 
+  /** Hourly p50/p95 value bands — the SLO/latency-dashboard shape, as
+    * DATUM-VALUED (type-1) quantiles: the value at rank ⌈p·n⌉ of the
+    * bucket's sorted points, rank computed in integers ((n·p + 99) div
+    * 100) so there is no interpolation and no float anywhere — selection
+    * by row_number over the per-hour sort (spillable; the
+    * [[graft.operators.Percentiles]] idiom applied per time bucket),
+    * then one conditional agg collapses both ranks in a single pass.
+    * Two shuffles on hour (count + window), both \|hours\|-keyed. */
+  val qHourlyQuantiles: Q = (s, d) => {
+    val pts = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(date_trunc("hour", col("ts")).as("hour"),
+        round(col("value") * 100).cast("long").as("cents"), col("event_id"))
+    val n = pts.groupBy("hour").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("hour").orderBy(asc("cents"), asc("event_id"))
+    pts.join(n, "hour")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .groupBy("hour")
+      .agg(max("n").as("n_pts"),
+        max(when(col("rn") === expr("(n * 50 + 99) div 100"), col("cents")))
+          .as("p50_cents"),
+        max(when(col("rn") === expr("(n * 95 + 99) div 100"), col("cents")))
+          .as("p95_cents"))
+      .select(date_format(col("hour"), "yyyy-MM-dd HH:00:00").as("hour"),
+        col("n_pts"), col("p50_cents"), col("p95_cents"))
+      .orderBy("hour")
+  }
+
+  /** Event debouncing / rate limiting — the ingestion throttle that
+    * keeps only the FIRST event per (user, 5-minute window) and reports
+    * how much each noisy user was suppressed. The keeper is
+    * min(struct(ts, event_id)) per (user, bucket) — ONE partial-
+    * aggregable hash-agg, no window, no sort: each task reduces its own
+    * events to one count per (user, bucket) before the shuffle, so
+    * shuffle volume is bounded by active (user, bucket) pairs, not
+    * events. Bucketing is integer floor-div on epoch micros; the
+    * suppression ratio is floored milli-units — exact end to end. */
+  val qDebounce: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 300000000").as("bucket"))
+    ev.groupBy("user_id", "bucket")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(sum("n").as("n_events"),
+        count(lit(1)).as("n_kept"),
+        (sum("n") - count(lit(1))).as("n_suppressed"))
+      .withColumn("suppressed_milli",
+        expr("(n_suppressed * 1000L) div n_events"))
+      .filter(col("user_id") < 100)
+      .orderBy("user_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q_concurrency" -> qConcurrency,
     "q_retention_cohorts" -> qRetentionCohorts,
@@ -282,6 +335,8 @@ object Events {
     "q_max_streak" -> qMaxStreak,
     "q_decayed_sum" -> qDecayedSum,
     "q_downsample_peak" -> qDownsamplePeak,
+    "q_hourly_quantiles" -> qHourlyQuantiles,
+    "q_debounce" -> qDebounce,
   )
 
   /** Shared session-interval CTEs (mirrors q_sessionize's oracle). */
@@ -441,5 +496,34 @@ object Events {
         | strftime(ts, '%Y-%m-%d %H:%M:%S') AS peak_ts,
         | event_id, cents, n AS n_pts, CAST(dev AS BIGINT) AS dev_scaled
         |FROM dv WHERE rk = 1 ORDER BY hour""".stripMargin,
+    "q_hourly_quantiles" ->
+      """WITH pts AS (
+        | SELECT date_trunc('hour', ts) AS hour,
+        |  CAST(round(value * 100) AS BIGINT) AS cents, event_id
+        | FROM events WHERE event_type = 'purchase'),
+        |n AS (SELECT hour, CAST(count(*) AS BIGINT) AS n FROM pts GROUP BY hour),
+        |r AS (
+        | SELECT p.hour, p.cents, n.n,
+        |  row_number() OVER (PARTITION BY p.hour
+        |                     ORDER BY p.cents, p.event_id) AS rn
+        | FROM pts p JOIN n USING (hour))
+        |SELECT strftime(hour, '%Y-%m-%d %H:00:00') AS hour,
+        | max(n) AS n_pts,
+        | CAST(max(CASE WHEN rn = (n * 50 + 99) // 100 THEN cents END) AS BIGINT) AS p50_cents,
+        | CAST(max(CASE WHEN rn = (n * 95 + 99) // 100 THEN cents END) AS BIGINT) AS p95_cents
+        |FROM r GROUP BY hour ORDER BY hour""".stripMargin,
+    "q_debounce" ->
+      """WITH b AS (
+        | SELECT user_id, epoch_us(ts) // 300000000 AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM events GROUP BY 1, 2),
+        |u AS (
+        | SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events,
+        |  CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(n) - count(*) AS BIGINT) AS n_suppressed
+        | FROM b GROUP BY user_id)
+        |SELECT user_id, n_events, n_kept, n_suppressed,
+        | (n_suppressed * 1000) // n_events AS suppressed_milli
+        |FROM u WHERE user_id < 100 ORDER BY user_id""".stripMargin,
   )
 }

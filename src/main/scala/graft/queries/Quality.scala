@@ -199,6 +199,34 @@ object Quality {
       .orderBy("change_type")
   }
 
+  /** Denormalized nested export — the document-assembly step that feeds
+    * a feature store / retrieval index / LLM-context builder from a
+    * normalized star: each order becomes ONE row carrying its line
+    * items as an order-preserved nested payload (here serialized
+    * "ln:part:cents|…" so the oracle can replay it with ordered
+    * string_agg). The per-group array is bounded by items-per-order
+    * (≤ 7 in TPC-H shape) — the collect_list can never buffer an
+    * unbounded group; one equi-join + one okey-keyed agg, so the plan
+    * is linear at any order count. */
+  val qDenormExport: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).filter(col("l_orderkey") < 500)
+      .select(col("l_orderkey").as("okey"), col("l_linenumber").as("ln"),
+        col("l_partkey").as("pk"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val o = Tables.orders(s, d).filter(col("o_orderkey") < 500)
+      .select(col("o_orderkey").as("okey"), col("o_custkey").as("custkey"))
+    o.join(li, "okey")
+      .groupBy("okey", "custkey")
+      .agg(count(lit(1)).as("n_items"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("ln"), col("pk"), col("cents")))),
+            x => concat_ws(":",
+              x.getField("ln"), x.getField("pk"), x.getField("cents"))),
+          "|").as("items"))
+      .orderBy("okey")
+  }
+
   /** Distribution-drift report — the data-quality monitor that catches a
     * silently shifted upstream feed: equi-width histogram ($50k bins on
     * order value) of a reference window (orders < 1995) vs the current
@@ -231,6 +259,7 @@ object Quality {
   val all: Map[String, Q] = Map(
     "q_kfold" -> qKfold,
     "q_hist_drift" -> qHistDrift,
+    "q_denorm_export" -> qDenormExport,
     "q_table_diff" -> qTableDiff,
     "q_basket_pairs" -> qBasketPairs,
     "q_benford" -> qBenford,
@@ -240,6 +269,18 @@ object Quality {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_denorm_export" ->
+      """WITH li AS (
+        | SELECT l_orderkey AS okey, l_linenumber AS ln, l_partkey AS pk,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        | FROM lineitem WHERE l_orderkey < 500)
+        |SELECT o.o_orderkey AS okey, o.o_custkey AS custkey,
+        | CAST(count(*) AS BIGINT) AS n_items,
+        | string_agg(ln || ':' || pk || ':' || cents, '|' ORDER BY ln, pk, cents) AS items
+        |FROM orders o JOIN li ON o.o_orderkey = li.okey
+        |WHERE o.o_orderkey < 500
+        |GROUP BY o.o_orderkey, o.o_custkey
+        |ORDER BY okey""".stripMargin,
     "q_hist_drift" ->
       """WITH binned AS (
         | SELECT year(o_orderdate) AS yr,

@@ -511,6 +511,32 @@ object Text {
       .orderBy("gid")
   }
 
+  /** Skip-gram pair extraction (window ±2) — the training-pair
+    * generator of word2vec/fastText-style embedding pipelines: for each
+    * token, the ordered pairs with its next 1 and next 2 neighbors,
+    * counted corpus-wide. Both distances are ZIP_WITH of the token
+    * array against its own shifted slice — per-row expansion bounded by
+    * 2·tokens, no positional self-join, no (doc, pos) shuffle; the only
+    * exchange carries (pair, count) from the partial agg. Top-100 by
+    * (count desc, pair) via TakeOrderedAndProject. */
+  val qSkipgrams: Q = (s, d) => {
+    def shifted(k: Int) = zip_with(
+      slice(col("toks"), lit(1), size(col("toks")) - k),
+      slice(col("toks"), lit(k + 1), size(col("toks")) - k),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(concat(shifted(1),
+        when(size(col("toks")) >= 3, shifted(2))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))))
+        .as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("w1"), asc("w2"))
+      .limit(100)
+  }
+
   /** Diversity-capped selection — the anti-domain-domination pass of
     * corpus curation: per language, pick the top-20 docs by length but
     * let no single source contribute more than 5 (greedy
@@ -869,6 +895,7 @@ object Text {
     "q_collocations" -> qCollocations,
     "q_diversity_select" -> qDiversitySelect,
     "q_shard_assign" -> qShardAssign,
+    "q_skipgrams" -> qSkipgrams,
     "q_vocab" -> qVocab,
     "q_sessionize" -> qSessionize,
     "q_session_window" -> qSessionWindow,
@@ -1077,6 +1104,20 @@ object Text {
         | FROM documents)
         |SELECT lang, doc_id, gid, gid // 64 AS shard, gid % 64 AS slot
         |FROM g ORDER BY gid""".stripMargin,
+    "q_skipgrams" ->
+      """WITH toks AS (
+        | SELECT string_split_regex(trim(text), '\s+') AS ts FROM documents),
+        |p AS (
+        | SELECT unnest(list_transform(range(1, len(ts)),
+        |   i -> {'w1': ts[i], 'w2': ts[i+1]})) AS p
+        | FROM toks WHERE len(ts) >= 2
+        | UNION ALL
+        | SELECT unnest(list_transform(range(1, len(ts)-1),
+        |   i -> {'w1': ts[i], 'w2': ts[i+2]})) AS p
+        | FROM toks WHERE len(ts) >= 3)
+        |SELECT p.w1 AS w1, p.w2 AS w2, CAST(count(*) AS BIGINT) AS cnt
+        |FROM p GROUP BY 1, 2
+        |ORDER BY cnt DESC, w1, w2 LIMIT 100""".stripMargin,
     "q_funnel" ->
       """WITH signup AS (
         | SELECT user_id, min(ts) AS t_signup FROM events
