@@ -325,6 +325,63 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Funnel-latency distribution — signup→first-purchase time-to-convert
+    * at p50/p90/p99, datum-valued in exact integer MICROSECONDS. The
+    * global quantile needs a corpus-wide rank, which is the
+    * single-partition-window trap; instead [[graft.operators.Scale
+    * .denseIds]] assigns contiguous global positions over the
+    * range-partitioned duration sort (the q_shard_assign enumeration
+    * applied to order statistics), and one conditional agg picks the
+    * three ⌈p·n⌉ ranks. No window ever sees more than one partition's
+    * rows. */
+  val qFunnelLatency: Q = (s, d) => {
+    val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("t_s"))
+    val durs = ev.filter(col("event_type") === "purchase")
+      .join(su, "user_id").filter(col("ts") >= col("t_s"))
+      .groupBy("user_id")
+      .agg((unix_micros(min(col("ts"))) - unix_micros(min(col("t_s"))))
+        .as("dur_us"))
+    val n = durs.agg(count(lit(1)).as("n"))
+    graft.operators.Scale.denseIds(durs, "pos", Seq("dur_us", "user_id"))
+      .crossJoin(n)
+      .agg(max("n").as("n_converted"),
+        max(when(col("pos") === expr("(n * 50 + 99) div 100"), col("dur_us")))
+          .as("p50_us"),
+        max(when(col("pos") === expr("(n * 90 + 99) div 100"), col("dur_us")))
+          .as("p90_us"),
+        max(when(col("pos") === expr("(n * 99 + 99) div 100"), col("dur_us")))
+          .as("p99_us"))
+  }
+
+  /** Running total with RESETS — the balance/meter pattern ("revenue
+    * since last signup") that a plain cumsum can't express: the reset
+    * segments come from a cumulative count of reset markers (the
+    * sessionize idiom with an event-type predicate), then the running
+    * sum restarts per (user, segment). Both windows share the one
+    * user-keyed shuffle; integer cents end to end. */
+  val qRunningReset: Q = (s, d) => {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("signup", "purchase") && col("user_id") < 20)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long")).otherwise(0L).as("cents"))
+      .withColumn("seg",
+        sum(when(col("event_type") === "signup", 1L).otherwise(0L)).over(byUser))
+    val bySeg = Window.partitionBy("user_id", "seg")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("run_cents", sum("cents").over(bySeg))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+        col("seg"), col("cents"), col("run_cents"))
+      .orderBy("user_id", "event_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q_concurrency" -> qConcurrency,
     "q_retention_cohorts" -> qRetentionCohorts,
@@ -337,6 +394,8 @@ object Events {
     "q_downsample_peak" -> qDownsamplePeak,
     "q_hourly_quantiles" -> qHourlyQuantiles,
     "q_debounce" -> qDebounce,
+    "q_funnel_latency" -> qFunnelLatency,
+    "q_running_reset" -> qRunningReset,
   )
 
   /** Shared session-interval CTEs (mirrors q_sessionize's oracle). */
@@ -525,5 +584,47 @@ object Events {
         |SELECT user_id, n_events, n_kept, n_suppressed,
         | (n_suppressed * 1000) // n_events AS suppressed_milli
         |FROM u WHERE user_id < 100 ORDER BY user_id""".stripMargin,
+    "q_funnel_latency" ->
+      """WITH su AS (
+        | SELECT user_id, min(ts) AS t_s FROM events
+        | WHERE event_type = 'signup' GROUP BY user_id),
+        |p AS (
+        | SELECT e.user_id,
+        |  min(epoch_us(e.ts)) - min(epoch_us(su.t_s)) AS dur_us
+        | FROM events e JOIN su USING (user_id)
+        | WHERE e.event_type = 'purchase'
+        |  AND epoch_us(e.ts) >= epoch_us(su.t_s)
+        | GROUP BY e.user_id),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM p),
+        |r AS (
+        | SELECT dur_us,
+        |  row_number() OVER (ORDER BY dur_us, user_id) AS pos
+        | FROM p)
+        |SELECT max(n.n) AS n_converted,
+        | CAST(max(CASE WHEN pos = (n * 50 + 99) // 100 THEN dur_us END) AS BIGINT) AS p50_us,
+        | CAST(max(CASE WHEN pos = (n * 90 + 99) // 100 THEN dur_us END) AS BIGINT) AS p90_us,
+        | CAST(max(CASE WHEN pos = (n * 99 + 99) // 100 THEN dur_us END) AS BIGINT) AS p99_us
+        |FROM r CROSS JOIN n""".stripMargin,
+    "q_running_reset" ->
+      """WITH ev AS (
+        | SELECT user_id, event_id, ts, event_type,
+        |  CASE WHEN event_type = 'purchase'
+        |   THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END AS cents
+        | FROM events
+        | WHERE event_type IN ('signup', 'purchase') AND user_id < 20),
+        |seg AS (
+        | SELECT *, CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |   OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seg
+        | FROM ev),
+        |run AS (
+        | SELECT *, CAST(sum(cents)
+        |   OVER (PARTITION BY user_id, seg ORDER BY ts, event_id
+        |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents
+        | FROM seg)
+        |SELECT user_id, event_id,
+        | strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, seg, cents, run_cents
+        |FROM run WHERE event_type = 'purchase'
+        |ORDER BY user_id, event_id""".stripMargin,
   )
 }

@@ -256,10 +256,65 @@ object Quality {
       .orderBy("bin")
   }
 
+  /** Sequence-completeness audit (gaps & islands, scale form) — did the
+    * upstream feed drop ids? The classic lag-over-global-sort answer
+    * single-partitions the world; instead keys fold into range buckets
+    * (k div 1000) where within-bucket missing = (max−min+1) − count is
+    * pure partial-aggregable arithmetic, and only the |buckets|-row
+    * summary passes through the one ordered window for boundary gaps
+    * (widen the bucket span to keep |buckets| driver-sized at any key
+    * range — the sqrt-decomposition contract of Prefix). Emits only
+    * anomalous buckets. The synthetic feed is gap-free, so dropped rows
+    * are PLANTED deterministically (every k ≡ 13 mod 97 — the qRedact
+    * planted-pattern idiom) and must all be localized. */
+  val qSeqAudit: Q = (s, d) => {
+    val b = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 97 =!= 13)
+      .groupBy(expr("o_orderkey div 1000").as("bucket"))
+      .agg(count(lit(1)).as("present"),
+        min("o_orderkey").as("lo"), max("o_orderkey").as("hi"))
+      .withColumn("missing_within", col("hi") - col("lo") + 1 - col("present"))
+    val w = Window.orderBy("bucket")
+    b.withColumn("gap_before",
+        coalesce(col("lo") - lag("hi", 1).over(w) - 1, lit(0L)))
+      .filter(col("missing_within") > 0 || col("gap_before") > 0)
+      .select("bucket", "present", "lo", "hi", "missing_within", "gap_before")
+      .orderBy("bucket")
+  }
+
+  /** Pareto concentration (80/20) — how many top parts carry 80% of
+    * revenue. The global cumulative share runs through
+    * [[graft.operators.Prefix.runningSum]] with a REVENUE-BAND bucket
+    * (−(cents div 10⁷), monotone in the descending revenue order), so
+    * no window ever sees more than one band; the 80% threshold compare
+    * is cross-multiplied integers (5·cum_prev < 4·total — the covering
+    * set includes the crossing part, exact at any scale). One summary
+    * row certifies the whole curve. */
+  val qPareto: Q = (s, d) => {
+    val rev = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+    val cum = graft.operators.Prefix.runningSum(rev,
+      expr("-(cents div 10000000)"),
+      Seq(col("cents").desc, col("pk").asc), col("cents"), "cum_cents")
+    cum.crossJoin(rev.agg(sum("cents").as("total_cents")))
+      .filter((col("cum_cents") - col("cents")) * 5 < col("total_cents") * 4)
+      .agg(count(lit(1)).as("n_top"),
+        max("cum_cents").as("top_cents"),
+        max("total_cents").as("total_cents"))
+      .crossJoin(rev.agg(count(lit(1)).as("n_parts")))
+      .select(col("n_parts"), col("n_top"), col("top_cents"),
+        col("total_cents"),
+        expr("(top_cents * 1000L) div total_cents").as("share_milli"),
+        expr("(n_top * 1000L) div n_parts").as("parts_milli"))
+  }
+
   val all: Map[String, Q] = Map(
     "q_kfold" -> qKfold,
     "q_hist_drift" -> qHistDrift,
     "q_denorm_export" -> qDenormExport,
+    "q_seq_audit" -> qSeqAudit,
+    "q_pareto" -> qPareto,
     "q_table_diff" -> qTableDiff,
     "q_basket_pairs" -> qBasketPairs,
     "q_benford" -> qBenford,
@@ -269,6 +324,40 @@ object Quality {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_seq_audit" ->
+      """WITH b AS (
+        | SELECT o_orderkey // 1000 AS bucket,
+        |  CAST(count(*) AS BIGINT) AS present,
+        |  min(o_orderkey) AS lo, max(o_orderkey) AS hi
+        | FROM orders WHERE o_orderkey % 97 <> 13 GROUP BY 1),
+        |g AS (
+        | SELECT bucket, present, lo, hi,
+        |  hi - lo + 1 - present AS missing_within,
+        |  coalesce(lo - lag(hi) OVER (ORDER BY bucket) - 1, 0) AS gap_before
+        | FROM b)
+        |SELECT bucket, present, lo, hi, missing_within, gap_before
+        |FROM g WHERE missing_within > 0 OR gap_before > 0
+        |ORDER BY bucket""".stripMargin,
+    "q_pareto" ->
+      """WITH rev AS (
+        | SELECT l_partkey AS pk,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        | FROM lineitem GROUP BY 1),
+        |c AS (
+        | SELECT cents, sum(cents) OVER (ORDER BY cents DESC, pk
+        |   ROWS UNBOUNDED PRECEDING) AS cum_cents
+        | FROM rev),
+        |t AS (SELECT CAST(sum(cents) AS BIGINT) AS total_cents,
+        |       CAST(count(*) AS BIGINT) AS n_parts FROM rev),
+        |f AS (SELECT c.*, t.total_cents, t.n_parts
+        |      FROM c CROSS JOIN t
+        |      WHERE (cum_cents - cents) * 5 < total_cents * 4)
+        |SELECT max(n_parts) AS n_parts, CAST(count(*) AS BIGINT) AS n_top,
+        | CAST(max(cum_cents) AS BIGINT) AS top_cents,
+        | max(total_cents) AS total_cents,
+        | (CAST(max(cum_cents) AS BIGINT) * 1000) // max(total_cents) AS share_milli,
+        | (CAST(count(*) AS BIGINT) * 1000) // max(n_parts) AS parts_milli
+        |FROM f""".stripMargin,
     "q_denorm_export" ->
       """WITH li AS (
         | SELECT l_orderkey AS okey, l_linenumber AS ln, l_partkey AS pk,
