@@ -511,6 +511,52 @@ object Text {
       .orderBy("gid")
   }
 
+  /** Vocabulary-coverage / OOV report — the tokenizer-fit metric that
+    * decides whether a vocab is big enough for a corpus slice: share of
+    * token OCCURRENCES outside the top-1000 frequency vocab, per
+    * language, in floored milli-units (exact integers — the corpus OOV
+    * rate is a ratio of counts). The vocab is driver-sized by
+    * construction (TakeOrdered 1000 with the count-desc/token-asc total
+    * order) and arrives broadcast; the token stream never re-shuffles
+    * for membership — only the per-lang partial counts do. */
+  val qVocabCoverage: Q = (s, d) => {
+    val tok = Tables.documents(s, d)
+      .select(col("lang"), explode(tokens(col("text"))).as("token"))
+    val vocab = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("token")).limit(1000)
+      .select(col("token"), lit(1L).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_milli", expr("(n_oov * 1000L) div n_tokens"))
+      .orderBy("lang")
+  }
+
+  /** Cross-source duplication provenance — WHICH feeds copy from which:
+    * for every byte-identical text appearing under two sources, one
+    * (src_a < src_b) pair per text, counted into the source×source
+    * matrix. Distinct (text, source) first, then a text-keyed self-join
+    * — only multi-source texts survive the a < b predicate, so pair
+    * volume is bounded by dup groups × sources², never corpus².
+    * (Production would self-join on xxhash64(text) with a text verify —
+    * the q_dedup_exact discipline; the oracle-parity form joins on text
+    * directly, same as q_dedup_exact's GROUP BY text.) The synthetic
+    * corpus never duplicates across sources, so a scraping "mirror"
+    * feed is PLANTED deterministically (every 13th doc re-tagged — the
+    * qRedact planting idiom) and its provenance must be recovered. */
+  val qDupProvenance: Q = (s, d) => {
+    val base = Tables.documents(s, d)
+    val mirror = base.filter(col("doc_id") % 13 === 2)
+      .withColumn("source", lit("mirror"))
+    val ds = base.unionByName(mirror).select("text", "source").distinct()
+    val a = ds.select(col("text"), col("source").as("src_a"))
+    val b = ds.select(col("text"), col("source").as("src_b"))
+    a.join(b, "text").filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_texts"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** Skip-gram pair extraction (window ±2) — the training-pair
     * generator of word2vec/fastText-style embedding pipelines: for each
     * token, the ordered pairs with its next 1 and next 2 neighbors,
@@ -896,6 +942,8 @@ object Text {
     "q_diversity_select" -> qDiversitySelect,
     "q_shard_assign" -> qShardAssign,
     "q_skipgrams" -> qSkipgrams,
+    "q_vocab_coverage" -> qVocabCoverage,
+    "q_dup_provenance" -> qDupProvenance,
     "q_vocab" -> qVocab,
     "q_sessionize" -> qSessionize,
     "q_session_window" -> qSessionWindow,
@@ -1118,6 +1166,32 @@ object Text {
         |SELECT p.w1 AS w1, p.w2 AS w2, CAST(count(*) AS BIGINT) AS cnt
         |FROM p GROUP BY 1, 2
         |ORDER BY cnt DESC, w1, w2 LIMIT 100""".stripMargin,
+    "q_vocab_coverage" ->
+      """WITH tok AS (
+        | SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS token
+        | FROM documents),
+        |vocab AS (
+        | SELECT token FROM (
+        |  SELECT token, count(*) AS cnt FROM tok GROUP BY token)
+        | ORDER BY cnt DESC, token LIMIT 1000),
+        |f AS (
+        | SELECT t.lang,
+        |  CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+        | FROM tok t LEFT JOIN vocab v USING (token))
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+        | CAST(sum(oov) AS BIGINT) AS n_oov,
+        | (CAST(sum(oov) AS BIGINT) * 1000) // count(*) AS oov_milli
+        |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_dup_provenance" ->
+      """WITH u AS (
+        | SELECT text, source FROM documents
+        | UNION ALL
+        | SELECT text, 'mirror' AS source FROM documents WHERE doc_id % 13 = 2),
+        |ds AS (SELECT DISTINCT text, source FROM u)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        | CAST(count(*) AS BIGINT) AS n_texts
+        |FROM ds a JOIN ds b ON a.text = b.text AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
     "q_funnel" ->
       """WITH signup AS (
         | SELECT user_id, min(ts) AS t_signup FROM events

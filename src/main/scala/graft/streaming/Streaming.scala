@@ -291,6 +291,21 @@ object Streaming {
     q.awaitTermination()
   }
 
+  /** Streaming heavy hitters — the stream sibling of
+    * [[graft.text.HeavyHitters]]: [[runStreamingAgg]] with a unit value
+    * folds each micro-batch's token counts into the crash-safe
+    * staging-swap state ([[graft.operators.IncrementalAgg]]), and top-k
+    * at ANY point in the stream is a TakeOrdered over the vocab-sized
+    * state table — counts are exact merges of exact partials, so unlike
+    * count-min/SpaceSaving there is no error term to track across
+    * batches; the state table (one row per distinct token) is the only
+    * thing that grows. */
+  def topTokensFromState(spark: SparkSession, statePath: String,
+                         k: Int): DataFrame =
+    graft.operators.IncrementalAgg.readState(spark, statePath)
+      .select(col("token"), col("cnt"))
+      .orderBy(desc("cnt"), asc("token")).limit(k)
+
   /** foreachBatch parquet sink — the escape hatch to any batch writer,
     * made replay-safe: each micro-batch overwrites its own
     * `batch_id=<id>` directory, so a batch replayed after a failure

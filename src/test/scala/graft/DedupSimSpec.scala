@@ -131,6 +131,29 @@ class DedupSimSpec extends AnyFunSuite with SharedSpark {
     assert(recall >= 0.8, s"quantized recall@10 too low: $recall")
   }
 
+  test("quantized dot approximates cosine within the int8 resolution bound") {
+    val vecs = Tables.embeddings(spark, sfDir)
+    val qs = vecs.filter($"vec_id" < 5)
+    val dim = vecs.select(size($"embedding")).head().getInt(0)
+    val cos = Similarity.bruteTopK(vecs, qs, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val quant = Similarity.quantizedTopK(vecs, qs, 10).collect()
+    // per-coord quantization error ≤ 0.5/127 on unit vectors; the dot of
+    // two quantized vectors then deviates from the true cosine by at most
+    // ~(|a|₁+|b|₁)·(0.5/127) + dim·(0.5/127)² ≤ 2·√dim·0.5/127 + ε
+    val bound = math.sqrt(dim.toDouble) / 127.0 + dim / (4.0 * 127 * 127) + 1e-6
+    val checked = quant.flatMap { r =>
+      cos.get((r.getLong(0), r.getLong(2))).map { c =>
+        (r.getLong(3) / (127.0 * 127.0), c)
+      }
+    }
+    assert(checked.length > 30, "too few overlapping pairs to check")
+    checked.foreach { case (approx, exact) =>
+      assert(math.abs(approx - exact) <= bound,
+        s"quantized $approx vs cosine $exact exceeds bound $bound")
+    }
+  }
+
   test("ivf knn: valid sims, full result set, recall vs brute force") {
     val vecs = Tables.embeddings(spark, sfDir)
     val qs = vecs.filter($"vec_id" < 5)

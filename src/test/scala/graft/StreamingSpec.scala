@@ -197,6 +197,32 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(again.sameElements(got), "checkpoint replay must not double-count")
   }
 
+  test("streaming heavy hitters from count state equal the exact batch top-k") {
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+      .withColumn("one", lit(1.0))
+    val src = java.nio.file.Files.createTempDirectory("graft_shh_src").toString
+    toks.repartition(4).write.mode("overwrite").parquet(src)
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_shh_state").toString + "/state"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_shh_ckpt").toString
+    val stream = spark.readStream.schema(toks.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    Streaming.runStreamingAgg(spark, stream, state, "token", "one", ckpt)
+    val got = Streaming.topTokensFromState(spark, state, 20).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val want = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("token")).limit(20).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.sameElements(want),
+      s"stream top-k ${got.take(3).mkString(",")} != batch ${want.take(3).mkString(",")}")
+    // checkpoint replay: nothing new → identical top-k, no double counts
+    Streaming.runStreamingAgg(spark, stream, state, "token", "one", ckpt)
+    val again = Streaming.topTokensFromState(spark, state, 20).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(again.sameElements(got))
+  }
+
   test("windowed stream agg equals batch date_trunc agg") {
     val stream = Streaming.windowedAgg(Streaming.readEvents(spark, sfDir))
     val result = Streaming.runAvailableNow(spark, stream, "stream_windowed")
