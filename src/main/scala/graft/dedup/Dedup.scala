@@ -521,6 +521,57 @@ object Dedup {
     votes.select(col("doc_id"), word(0).as("w0"), word(32).as("w1"))
   }
 
+  /** Duplicate-SPAN detection — exact substring dedup at token-window
+    * granularity: every `w`-token window appearing in >1 distinct
+    * document marks its token range [pos, pos+w) as duplicated, and
+    * overlapping/adjacent ranges within a doc merge into maximal spans
+    * (gaps-and-islands over start positions: break when the next start
+    * clears the previous window entirely). The pass document-level
+    * dedup can't see — shared boilerplate inside otherwise-distinct
+    * docs. Hash-first: candidate grouping runs on xxhash64(window)
+    * (16-byte shuffle rows), and only windows whose hash is cross-doc —
+    * a tiny set — are re-grouped on the window TEXT, so a 2⁻⁶⁴
+    * collision can't fabricate a span (the exact-dedup discipline).
+    * Returns one row per affected doc: n_spans, dup_tokens, max_span,
+    * dup_ratio. */
+  def dupSpans(docs: DataFrame, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    // sequence(0, n-w) is DESCENDING for n < w — filter short docs first
+    val wins = toks.filter(size(col("toks")) >= w)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        posexplode(expr(
+          s"transform(sequence(0, size(toks) - $w), " +
+            s"i -> concat_ws(' ', slice(toks, i + 1, $w)))"))
+          .as(Seq("pos", "win")))
+      .select(col("doc_id"), col("n_tokens"), col("pos").cast("long").as("pos"),
+        xxhash64(col("win")).as("h"), col("win"))
+    val candH = wins.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1).select("h")
+    val cand = wins.join(candH, Seq("h"), "left_semi")
+    val dupWin = cand.groupBy("win")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1).select("win")
+    val dupPos = cand.join(dupWin, Seq("win"), "left_semi")
+      .select("doc_id", "n_tokens", "pos")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = dupPos
+      .withColumn("prev", lag("pos", 1).over(byDoc))
+      .withColumn("brk",
+        when(col("prev").isNull || col("pos") > col("prev") + w, 1L).otherwise(0L))
+      .withColumn("island", sum("brk").over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "island")
+      .agg(first("n_tokens").as("n_tokens"),
+        min("pos").as("s0"), (max("pos") + w).as("s1"))
+    spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("s1") - col("s0")).as("dup_tokens"),
+        max(col("s1") - col("s0")).as("max_span"),
+        round(sum(col("s1") - col("s0")) / first("n_tokens"), 4).as("dup_ratio"))
+  }
+
   /** SimHash near-dup pairs: 4×16-bit band blocking on each word pair,
     * then hamming(bit_count(xor)) ≤ maxHamming verification. */
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {

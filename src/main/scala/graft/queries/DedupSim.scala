@@ -138,8 +138,90 @@ object DedupSim {
       .orderBy("label")
   }
 
+  /** LEAKAGE-FREE train/val/test split — the composition that makes
+    * id-hash splitting safe on a near-duplicated corpus: hashing RAW doc
+    * ids lets two near-identical documents land in train and test (the
+    * classic eval-contamination bug), so the split key is the near-dup
+    * CLUSTER id (min-id connected component over Jaccard ≥ 0.6 edges,
+    * singleton docs are their own cluster) — every member of a cluster
+    * moves together, by construction. Reuses the cluster closure and the
+    * Knuth-permutation bucket verbatim; the only addition is a left join
+    * from the corpus to the (small) non-singleton cluster map. */
+  val qLeakageSplit: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val clusters = Dedup.dupClusters(Dedup.jaccardPairs(docs, 0.6, maxDf = 16))
+    val assigned = docs.select(col("doc_id"))
+      .join(clusters, docs("doc_id") === clusters("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    graft.operators.Scale.idSplit(assigned, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+      .orderBy("doc_id")
+  }
+
+  /** SemDeDup (Abbas et al. 2023): SEMANTIC dedup — cluster the
+    * embedding space, then compare pairs only WITHIN a cluster and drop
+    * every vector with a lower-id neighbor above the cosine threshold.
+    * The clustering bounds the quadratic: all-pairs O(n²) becomes
+    * O(Σ|cellᵢ|²), and the per-cluster self-join is an equality join on
+    * the cluster id — no cartesian, no broadcast of the corpus. Cluster
+    * count scales with the corpus (n/K bounded ⇒ per-task work bounded);
+    * here K = the label vocabulary seeding per-label mean centroids.
+    *
+    * Cross-engine determinism: centroid components are round(·,6)'d
+    * BEFORE assignment (partition-order double sums differ in ulps),
+    * assignment score is dot(v,c)/|c| (row norm dropped — constant per
+    * row, fewer float ops to match), ties break to the lower label, and
+    * pair cosines are round(·,6)'d before thresholding — the exact
+    * discipline the embed-dedup oracle already certifies. Planted ±2%
+    * perturbed copies (cosine ≈ 0.9998) give the threshold real
+    * positives, as in [[qDedupEmbed]]. */
+  val qSemdedup: Q = (s, d) => {
+    val base = Tables.embeddings(s, d)
+    // per-label mean centroids, 6dp-rounded; K×dim — driver-sized
+    val cents: Array[(Int, Array[Double])] = base
+      .select(col("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
+      .groupBy("label", "dim").agg(round(avg("v"), 6).as("m"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("p"))
+      .select(col("label"), expr("transform(p, x -> x.m)").as("cvec"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val scoreStructs = {
+      val emb = col("emb")
+      array(cents.toIndexedSeq.map { case (cl, cv) =>
+        val cvLit = array(cv.toIndexedSeq.map(lit): _*)
+        val cnorm = math.sqrt(cv.map(x => x * x).sum)
+        struct((lit(-1.0) * Similarity.dot(emb, cvLit) / lit(cnorm)).as("negscore"),
+          lit(cl.toLong).as("cl"))
+      }: _*)
+    }
+    val assigned = Similarity.prepared(Similarity.withPlantedDups(base))
+      .withColumn("cl", array_min(scoreStructs).getField("cl"))
+      .select("cl", "vec_id", "emb", "nrm")
+    val a = assigned.select(col("cl"), col("vec_id").as("a_id"),
+      col("emb").as("ea"), col("nrm").as("na"))
+    val pairs = a.join(
+        assigned.select(col("cl"), col("vec_id").as("b_id"),
+          col("emb").as("eb"), col("nrm").as("nb")),
+        Seq("cl"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("sim",
+        round(Similarity.dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
+      .filter(col("sim") >= 0.9)
+    pairs.groupBy(col("b_id").as("vec_id"), col("cl"))
+      .agg(count(lit(1)).as("n_partners"), max("sim").as("max_sim"))
+      .select(col("vec_id"), col("cl").as("cluster"),
+        col("n_partners"), col("max_sim"))
+      .orderBy("vec_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q_dedup_exact" -> qDedupExact,
+    "q_semdedup" -> qSemdedup,
+    "q_leakage_split" -> qLeakageSplit,
     "q_dedup_jaccard" -> qDedupJaccard,
     "q_dedup_clusters" -> qDedupClusters,
     "q_dedup_minhash" -> qDedupMinhash,
@@ -230,6 +312,90 @@ object DedupSim {
         | UNION
         | SELECT r.id, e.dst FROM r JOIN edges e ON e.src = r.n)
         |SELECT id, min(n) AS cluster_id FROM r GROUP BY id ORDER BY id""".stripMargin,
+    "q_leakage_split" ->
+      """WITH RECURSIVE toks AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents),
+        |sh AS (
+        | SELECT doc_id, list_distinct(list_transform(range(1, len(ts)-1),
+        |   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+        | FROM toks WHERE len(ts) >= 3),
+        |e AS (SELECT doc_id, len(s) AS nsh, unnest(s) AS shingle FROM sh),
+        |common AS (
+        | SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.nsh AS na, b.nsh AS nb,
+        |        count(*) AS c
+        | FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2, 3, 4),
+        |prs AS (
+        | SELECT a_id, b_id FROM common WHERE CAST(c AS DOUBLE)/(na+nb-c) >= 0.6),
+        |edges AS (
+        | SELECT a_id AS src, b_id AS dst FROM prs
+        | UNION ALL
+        | SELECT b_id, a_id FROM prs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |r(id, n) AS (
+        | SELECT id, id FROM nodes
+        | UNION
+        | SELECT r.id, e.dst FROM r JOIN edges e ON e.src = r.n),
+        |cl AS (SELECT id, min(n) AS cluster_id FROM r GROUP BY id),
+        |asg AS (
+        | SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+        | FROM documents d LEFT JOIN cl ON cl.id = d.doc_id),
+        |b AS (
+        | SELECT doc_id, cluster_id,
+        |  ((((cluster_id % 2147483648) * 2654435761) % 2147483648) * 100)
+        |    // 2147483648 AS bucket
+        | FROM asg)
+        |SELECT doc_id, cluster_id,
+        | CASE WHEN bucket < 80 THEN 'train'
+        |      WHEN bucket < 90 THEN 'val'
+        |      ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "q_semdedup" ->
+      """WITH base AS (
+        | SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS emb
+        | FROM embeddings),
+        |cdims AS (
+        | SELECT label, u.i AS dim, round(avg(emb[u.i + 1]), 6) AS m
+        | FROM base, unnest(range(0, len(emb))) AS u(i)
+        | GROUP BY label, u.i),
+        |cents AS (
+        | SELECT label, list(m ORDER BY dim) AS cvec FROM cdims GROUP BY label),
+        |cn AS (
+        | SELECT label, cvec,
+        |  sqrt(list_sum(list_transform(cvec, x -> x * x))) AS cnorm
+        | FROM cents),
+        |pert0 AS (
+        | SELECT vec_id, list_transform(range(0, len(emb)),
+        |   i -> emb[i+1] * (1.0 + CAST((vec_id*31 + i*7) % 11 - 5 AS DOUBLE) * 0.004)) AS emb
+        | FROM base WHERE vec_id % 2 = 0),
+        |aug AS (
+        | SELECT vec_id, emb FROM base
+        | UNION ALL
+        | SELECT vec_id + 100000 AS vec_id, emb FROM pert0),
+        |v AS (
+        | SELECT vec_id, emb,
+        |  sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm
+        | FROM aug),
+        |scored AS (
+        | SELECT v.vec_id, v.emb, v.nrm, cn.label,
+        |  list_sum(list_transform(range(1, len(v.emb)+1),
+        |    i -> v.emb[i] * cn.cvec[i])) / cn.cnorm AS score
+        | FROM v, cn),
+        |assigned AS (
+        | SELECT vec_id, emb, nrm, CAST(label AS BIGINT) AS cl
+        | FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |         ORDER BY score DESC, label ASC) AS rn FROM scored)
+        | WHERE rn = 1),
+        |pairs AS (
+        | SELECT a.cl, a.vec_id AS a_id, b.vec_id AS b_id,
+        |  round(list_sum(list_transform(range(1, len(a.emb)+1),
+        |    i -> a.emb[i] * b.emb[i])) / (a.nrm * b.nrm), 6) AS sim
+        | FROM assigned a JOIN assigned b
+        |   ON a.cl = b.cl AND a.vec_id < b.vec_id)
+        |SELECT b_id AS vec_id, cl AS cluster,
+        | count(*) AS n_partners, max(sim) AS max_sim
+        |FROM pairs WHERE sim >= 0.9
+        |GROUP BY b_id, cl ORDER BY vec_id""".stripMargin,
     "q_dedup_embed" ->
       """WITH base AS (
         | SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb

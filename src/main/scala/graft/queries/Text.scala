@@ -911,8 +911,15 @@ object Text {
         min("doc_id").as("min_id"), max("doc_id").as("max_id"))
   }
 
+  /** Duplicate-SPAN detection at 8-token-window granularity — see
+    * [[graft.dedup.Dedup.dupSpans]] (maximal merged spans per affected
+    * doc; hash-first candidates, text-verified, collision-proof). */
+  val qDupSpans: Q = (s, d) =>
+    graft.dedup.Dedup.dupSpans(Tables.documents(s, d), 8).orderBy("doc_id")
+
   val all: Map[String, Q] = Map(
     "q_and_search" -> qAndSearch,
+    "q_dup_spans" -> qDupSpans,
     "q_text_stats" -> qTextStats,
     "q_gopher_rules" -> qGopherRules,
     "q_bpe_merges" -> qBpeMerges,
@@ -1259,6 +1266,39 @@ object Text {
         | FROM b)
         |SELECT split, lang, count(*) AS cnt FROM s
         |GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+    "q_dup_spans" ->
+      """WITH t AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        | FROM documents),
+        |w AS (
+        | SELECT doc_id, len(toks) AS n_tokens, i - 1 AS pos,
+        |  array_to_string(toks[i:i+7], ' ') AS win
+        | FROM t, unnest(range(1, len(toks) - 6)) AS u(i)
+        | WHERE len(toks) >= 8),
+        |dup AS (
+        | SELECT win FROM w GROUP BY win HAVING count(DISTINCT doc_id) > 1),
+        |p AS (SELECT w.doc_id, w.n_tokens, w.pos FROM w JOIN dup USING (win)),
+        |l AS (
+        | SELECT doc_id, n_tokens, pos,
+        |  lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        | FROM p),
+        |b AS (
+        | SELECT *, CASE WHEN prev IS NULL OR pos > prev + 8
+        |   THEN 1 ELSE 0 END AS brk
+        | FROM l),
+        |isl AS (
+        | SELECT doc_id, n_tokens, pos,
+        |  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        | FROM b),
+        |sp AS (
+        | SELECT doc_id, any_value(n_tokens) AS n_tokens, island,
+        |  min(pos) AS s0, max(pos) + 8 AS s1
+        | FROM isl GROUP BY doc_id, island)
+        |SELECT doc_id, count(*) AS n_spans,
+        | CAST(sum(s1 - s0) AS BIGINT) AS dup_tokens,
+        | CAST(max(s1 - s0) AS BIGINT) AS max_span,
+        | round(CAST(sum(s1 - s0) AS DOUBLE) / any_value(n_tokens), 4) AS dup_ratio
+        |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_decontam" ->
       """WITH toks AS (
         | SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents),

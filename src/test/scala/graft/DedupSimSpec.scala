@@ -650,4 +650,98 @@ class DedupSimSpec extends AnyFunSuite with SharedSpark {
       .map(r => (r.getLong(0), r.getLong(2)))
     assert(mp.length == mp.distinct.length)
   }
+
+  test("dupSpans reports exact maximal span bounds on a planted fixture") {
+    // docs 1 and 2 share tokens 3..12 (a 10-token run => three 8-token
+    // windows at positions 3,4,5 in doc 1 — wait, 10-token run has 3
+    // windows; they overlap/adjoin into ONE maximal span of 10 tokens).
+    val shared = (1 to 10).map(i => s"dup$i").mkString(" ")
+    val d = docs(
+      1L -> s"a1 a2 a3 $shared z1 z2",
+      2L -> s"b1 b2 b3 b4 $shared y1",
+      3L -> "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12 c13 c14 c15")
+    val out = Dedup.dupSpans(d, 8).orderBy("doc_id").collect()
+    // doc 3 shares nothing — absent
+    assert(out.map(_.getLong(0)).toSet == Set(1L, 2L))
+    val r1 = out(0)
+    // doc 1: windows start at pos 3,4,5 (0-based; shared run = tokens
+    // 3..12), merging to span [3, 13) = 10 tokens; 15 tokens total
+    assert(r1.getLong(1) == 1L, "n_spans")
+    assert(r1.getLong(2) == 10L, "dup_tokens")
+    assert(r1.getLong(3) == 10L, "max_span")
+    assert(r1.getDouble(4) == math.round(10.0 / 15.0 * 10000) / 10000.0)
+    val r2 = out(1)
+    assert(r2.getLong(1) == 1L && r2.getLong(2) == 10L)
+  }
+
+  test("dupSpans merges adjacent islands but splits across a gap") {
+    // two shared runs separated by a >w gap in doc 1 => two spans
+    val runA = (1 to 8).map(i => s"pa$i").mkString(" ")
+    val runB = (1 to 8).map(i => s"pb$i").mkString(" ")
+    val gap = (1 to 12).map(i => s"g$i").mkString(" ")
+    val d = docs(
+      1L -> s"$runA $gap $runB",
+      2L -> s"x1 x2 $runA x3 x4",
+      3L -> s"y1 y2 y3 $runB y4")
+    val out = Dedup.dupSpans(d, 8).orderBy("doc_id").collect()
+    val r1 = out.find(_.getLong(0) == 1L).get
+    assert(r1.getLong(1) == 2L, s"expected 2 spans, got ${r1.getLong(1)}")
+    assert(r1.getLong(2) == 16L, "dup_tokens = both runs")
+    assert(r1.getLong(3) == 8L, "max_span = one run")
+  }
+
+  test("semdedup: removals have genuine lower-id near-dups; recall on planted dups") {
+    val removed = graft.queries.DedupSim.qSemdedup(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    // precision referee: brute all-pairs cosine >= 0.9 over the same
+    // augmented corpus — every removal must have a lower-id partner
+    val brute = Similarity.cosinePairs(
+      Similarity.withPlantedDups(Tables.embeddings(spark, sfDir)), 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val loserSide = brute.map(_._2).toSet
+    assert(removed.subsetOf(loserSide),
+      s"removed ids with no genuine near-dup: ${removed -- loserSide}")
+    // recall: planted copies (id >= 100000) sit at cosine ~0.9998 to
+    // their originals; only cluster-boundary splits may miss — bound it
+    val planted = brute.count(_._2 >= 100000L)
+    val caught = removed.count(_ >= 100000L)
+    assert(planted > 0 && caught >= (planted * 0.9).toInt,
+      s"semdedup caught $caught of $planted planted dups")
+  }
+
+  test("leakage-free split keeps every near-dup cluster in one split") {
+    val split = graft.queries.DedupSim.qLeakageSplit(spark, sfDir)
+    val perCluster = split.groupBy("cluster_id")
+      .agg(countDistinct("split").as("n_splits"))
+      .filter($"n_splits" > 1).count()
+    assert(perCluster == 0L, "a near-dup cluster straddles splits")
+  }
+
+  test("raw id-hash split separates near-dup pairs; cluster split never does") {
+    // construct a near-dup pair whose RAW ids hash to different splits —
+    // the eval-contamination bug the cluster split exists to prevent
+    import graft.operators.Scale
+    val buckets = spark.range(0, 200)
+      .select(col("id"), Scale.pctBucket(col("id"), 2654435761L).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // two ids landing in different splits (bucket <80 vs >=80)
+    val trainId = (0L until 200L).find(buckets(_) < 80).get
+    val testId = (0L until 200L).find(buckets(_) >= 80).get
+    val same = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val d = docs(trainId -> same, testId -> same,
+      999L -> "totally unrelated filler content words here now then soon verily")
+    val clusters = Dedup.dupClusters(Dedup.jaccardPairs(d, 0.6))
+    val assigned = d.select(col("doc_id"))
+      .join(clusters, d("doc_id") === clusters("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val byCluster = Scale.idSplit(assigned, "cluster_id")
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byRawId = Scale.idSplit(assigned, "doc_id")
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byRawId(trainId) != byRawId(testId),
+      "fixture ids chosen to demonstrate raw-id leakage")
+    assert(byCluster(trainId) == byCluster(testId),
+      "cluster-keyed split must keep the near-dup pair together")
+  }
 }
