@@ -116,6 +116,16 @@ object DedupSim {
       .orderBy("q_id", "rank")
   }
 
+  /** Product-quantized approximate top-10 (scale path 3): 8-byte packed
+    * codes, ADC shortlist, exact re-rank — [[graft.similarity.Pq]].
+    * Rows-only (k-means codebooks aren't SQL-portable); recall vs brute
+    * and shortlist-membership properties are spec-pinned (PqSpec). */
+  val qKnnPq: Q = (s, d) => {
+    val vecs = Tables.embeddings(s, d)
+    graft.similarity.Pq.adcTopK(vecs, vecs.filter(col("vec_id") < 5), 10)
+      .orderBy("q_id", "rank")
+  }
+
   /** Per-cluster embedding centroids — the summary step of semantic
     * corpus analysis (cluster quality, drift monitoring, IVF seeding
     * diagnostics): element-wise mean per label, reported as driver-
@@ -232,6 +242,7 @@ object DedupSim {
     "q_knn_quantized" -> qKnnQuantized,
     "q_knn_lsh" -> qKnnLsh,
     "q_knn_ivf" -> qKnnIvf,
+    "q_knn_pq" -> qKnnPq,
     "q_embed_centroids" -> qEmbedCentroids,
   )
 

@@ -1,0 +1,156 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Similarity.{dot, prepared}
+
+/** Product quantization (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011) — the memory-compression path
+  * for billion-vector ANN: split each d-dim vector into `m` subvectors,
+  * vector-quantize each subspace against its own `ksub`-codeword
+  * codebook, and store only the m code ids. Here the whole code packs
+  * into ONE 64-bit long (m·log₂ksub ≤ 64 — the default 8×16 uses 32
+  * bits), so a 64-dim float vector (256 B) becomes an 8 B column: at
+  * 10⁹ vectors the corpus drops from 256 GB to 8 GB and the ADC scan
+  * reads a single long column — no embedding bytes touched until the
+  * exact re-rank of a driver-bounded shortlist.
+  *
+  * Every stage is Spark-native and shuffle-lean:
+  *  - training runs ALL m subspace k-means in one shuffle per Lloyd
+  *    iteration (explode to (subspace, code, dim) — m·ksub·dsub groups,
+  *    map-side combinable, centroids driver-sized);
+  *  - encoding is a pure narrow expression (inlined codebook literals,
+  *    argmin over (d², code) structs — the [[Ivf]] assignment idiom);
+  *  - ADC (asymmetric distance computation) inlines each query's
+  *    lookup table as an array literal indexed by the unpacked code
+  *    nibble — a narrow scan, no join, no shuffle;
+  *  - only the top-`rerank` shortlist per query shuffles (WindowGroupLimit
+  *    keeps `rerank` rows per task), then exact cosine re-ranks it.
+  *
+  * Approximation error lives ONLY in shortlist membership (like
+  * [[Ivf]]'s probe): reported similarities are exact. */
+object Pq {
+
+  /** codebooks(j)(c) = the dsub-dim codeword c of subspace j. */
+  type Codebooks = Array[Array[Array[Double]]]
+
+  /** Argmin-code expression for subspace j against inlined codeword
+    * literals. d² ordering drops the constant |sub|² term (argmin over c
+    * of −2·⟨sub,c⟩+|c|² — fewer float ops, same winner); ties break to
+    * the lower code. */
+  private def assignSub(emb: Column, j: Int, dsub: Int,
+                        book: Array[Array[Double]]): Column = {
+    val sub = slice(emb, j * dsub + 1, dsub)
+    array_min(array(book.indices.map { c =>
+      val cv = book(c)
+      val cvLit = array(cv.toIndexedSeq.map(lit): _*)
+      val c2 = cv.map(x => x * x).sum
+      struct((lit(-2.0) * dot(sub, cvLit) + lit(c2)).as("d2"),
+        lit(c).as("code"))
+    }: _*)).getField("code")
+  }
+
+  /** Train the m per-subspace codebooks: first-ksub-by-id seeding, then
+    * `iters` Lloyd steps — each step assigns all m codes per row in one
+    * narrow projection and computes every (subspace, code, dim) mean in
+    * ONE shuffle. Codebooks are driver-sized (m·ksub·dsub doubles). */
+  def train(vecs: DataFrame, m: Int = 8, ksub: Int = 16,
+            iters: Int = 2): Codebooks = {
+    val v = prepared(vecs).select(col("vec_id"), col("emb"))
+    val dim = v.select(size(col("emb"))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val seeds = v.orderBy("vec_id").limit(ksub)
+      .select("emb").collect().map(_.getSeq[Double](0).toArray)
+    require(seeds.length == ksub, s"corpus smaller than ksub=$ksub")
+    var books: Codebooks = Array.tabulate(m) { j =>
+      seeds.map(_.slice(j * dsub, (j + 1) * dsub))
+    }
+    for (_ <- 0 until iters) {
+      val codes = array((0 until m).map(j =>
+        assignSub(col("emb"), j, dsub, books(j))): _*)
+      val means = v.select(col("emb"), posexplode(codes).as(Seq("j", "code")))
+        .select(col("j"), col("code"),
+          posexplode(slice(col("emb"), col("j") * dsub + 1, lit(dsub)))
+            .as(Seq("dim", "x")))
+        .groupBy("j", "code", "dim").agg(avg("x").as("mu"))
+        .collect()
+      val next = books.map(_.map(_.clone))
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+      } // codes with no members keep their previous codeword
+      books = next
+    }
+    books
+  }
+
+  private def bitsFor(ksub: Int): Int = {
+    val b = 32 - Integer.numberOfLeadingZeros(ksub - 1)
+    math.max(b, 1)
+  }
+
+  /** Pack the m argmin codes into one long: code_j lives at bit j·bits.
+    * The 8 B/vector representation the ADC scan reads. */
+  def encode(vecs: DataFrame, books: Codebooks): DataFrame = {
+    val m = books.length
+    val ksub = books(0).length
+    val dsub = books(0)(0).length
+    val bits = bitsFor(ksub)
+    require(m * bits <= 64, s"$m×$bits-bit codes exceed one long")
+    val packed = (0 until m).map { j =>
+      assignSub(col("emb"), j, dsub, books(j)).cast("long") *
+        lit(1L << (j * bits))
+    }.reduce(_ + _)
+    prepared(vecs).select(col("vec_id"), col("emb"), col("nrm"),
+      packed.as("pq_code"))
+  }
+
+  /** Approximate top-k: ADC shortlist of `rerank` candidates per query
+    * (scored from the packed code alone), exact-cosine re-rank to k.
+    * Queries collect to the driver (query-side-only fan-out, as in
+    * [[Similarity.lshTopK]]); each query's m·ksub lookup table inlines
+    * as array literals indexed by code nibbles. Output matches the other
+    * kNN paths: (q_id, rank, n_id, sim) with EXACT sims. */
+  def adcTopK(vecs: DataFrame, queries: DataFrame, k: Int,
+              m: Int = 8, ksub: Int = 16, iters: Int = 2,
+              rerank: Int = 50): DataFrame = {
+    val books = train(vecs, m, ksub, iters)
+    val dsub = books(0)(0).length
+    val bits = bitsFor(ksub)
+    val enc = encode(vecs, books)
+    val qRows = prepared(queries).select(col("vec_id"), col("emb"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(qRows.nonEmpty, "no query vectors")
+    def adcExpr(q: Array[Double]): Column =
+      (0 until m).map { j =>
+        val qsub = q.slice(j * dsub, (j + 1) * dsub)
+        val lut = books(j).map { cv =>
+          cv.zip(qsub).map { case (c, x) => (c - x) * (c - x) }.sum
+        }
+        val nibble = shiftright(col("pq_code"), j * bits)
+          .bitwiseAND(lit((1L << bits) - 1)).cast("int")
+        element_at(array(lut.toIndexedSeq.map(lit): _*), nibble + 1)
+      }.reduce(_ + _)
+    val scored = enc.select(col("vec_id"), col("emb"), col("nrm"),
+      explode(array(qRows.toIndexedSeq.map { case (qid, q) =>
+        struct(lit(qid).as("q_id"), adcExpr(q).as("adc"))
+      }: _*)).as("qs"))
+      .select(col("vec_id"), col("emb"), col("nrm"),
+        col("qs.q_id").as("q_id"), col("qs.adc").as("adc"))
+      .filter(col("vec_id") =!= col("q_id"))
+    val short = scored
+      .withColumn("r", row_number().over(
+        Window.partitionBy("q_id").orderBy(asc("adc"), asc("vec_id"))))
+      .filter(col("r") <= rerank)
+    val qDf = broadcast(prepared(queries).select(col("vec_id").as("q_id"),
+      col("emb").as("q_emb"), col("nrm").as("q_nrm")))
+    short.join(qDf, "q_id")
+      .withColumn("sim",
+        round(dot(col("emb"), col("q_emb")) / (col("nrm") * col("q_nrm")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("sim"), asc("vec_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id").as("n_id"), col("sim"))
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.similarity.{Pq, Similarity}
+
+/** Product quantization: packed-code integrity, ADC recall vs the brute
+  * referee, and the planted-near-dup guarantee. */
+class PqSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  private def vecs = Tables.embeddings(spark, sfDir)
+
+  test("packed codes unpack to the per-subspace argmin assignments") {
+    val books = Pq.train(vecs, m = 8, ksub = 16, iters = 1)
+    val enc = Pq.encode(vecs, books)
+    // every nibble is a valid code id, and the pack uses only 32 bits
+    val bad = enc.filter(
+      (0 until 8).map(j => shiftright(col("pq_code"), j * 4)
+        .bitwiseAND(lit(15L)).between(0, 15)).reduce(_ && _) === false ||
+        col("pq_code") < 0 || col("pq_code") >= (1L << 32)).count()
+    assert(bad == 0L)
+    // reconstruction sanity: codeword of nibble j approximates the
+    // subvector better than a FIXED wrong codeword would on average —
+    // check via quantization distortion < distortion to codeword 0
+    val j = 0
+    val book0 = books(j)
+    val cw = (c: Int) => array(book0(c).toIndexedSeq.map(lit): _*)
+    def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      Similarity.dot(a, a) - lit(2.0) * Similarity.dot(a, b) + Similarity.dot(b, b)
+    val sub = slice(col("emb"), 1, 8)
+    val nib = shiftright(col("pq_code"), 0).bitwiseAND(lit(15L)).cast("int")
+    val assignedCw = element_at(
+      array(book0.indices.map(cw): _*), nib + 1)
+    val dist = enc.select(
+      avg(d2(sub, assignedCw)).as("own"),
+      avg(d2(sub, cw(0))).as("fixed")).head
+    assert(dist.getDouble(0) <= dist.getDouble(1),
+      "assigned codeword must beat a fixed codeword on mean distortion")
+  }
+
+  test("ADC + exact re-rank recovers most of the brute top-10") {
+    val qs = vecs.filter($"vec_id" < 5)
+    val brute = Similarity.bruteTopK(vecs, qs, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pq = Pq.adcTopK(vecs, qs, 10, rerank = 50).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (pq & brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"PQ recall@10 $recall below 0.5")
+    // widening the shortlist can only help (monotone in rerank)
+    val pqWide = Pq.adcTopK(vecs, qs, 10, rerank = 200).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recallWide = (pqWide & brute).size.toDouble / brute.size
+    assert(recallWide >= recall,
+      s"recall must be monotone in rerank: $recallWide < $recall")
+  }
+
+  test("a planted near-dup query returns its original at rank 1") {
+    // perturbed copy of vec 0 (cosine ~0.9998): its subvectors quantize
+    // to (nearly) the same codewords, so the original tops the ADC
+    // shortlist and exact re-rank puts it first
+    val aug = Similarity.withPlantedDups(vecs)
+    val q = aug.filter($"vec_id" === 100000L)
+    val top = Pq.adcTopK(aug, q, 1).collect()
+    assert(top.length == 1)
+    assert(top.head.getLong(2) == 0L,
+      s"expected original vec 0 at rank 1, got ${top.head.getLong(2)}")
+    assert(top.head.getDouble(3) > 0.99)
+  }
+
+  test("reported sims are exact: they match brute sims for shared pairs") {
+    val qs = vecs.filter($"vec_id" < 3)
+    val brute = Similarity.bruteTopK(vecs, qs, 10).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    val pq = Pq.adcTopK(vecs, qs, 10).collect()
+    val shared = pq.filter(r => brute.contains((r.getLong(0), r.getLong(2))))
+    assert(shared.nonEmpty)
+    shared.foreach { r =>
+      assert(r.getDouble(3) == brute((r.getLong(0), r.getLong(2))),
+        "ADC path must report the same exact cosine as brute")
+    }
+  }
+}
