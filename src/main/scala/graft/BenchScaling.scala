@@ -44,7 +44,12 @@ object BenchScaling {
     // r6c: the per-order pair self-join (bounded pair explosion is the
     // scale claim) and the user-keyed sequence window under the
     // transition matrix
-    "q_basket_pairs", "q_markov_transitions")
+    "q_basket_pairs", "q_markov_transitions",
+    // r6d: token-window duplicate spans (W× explode + hash-first
+    // candidate shuffle), SemDeDup's within-cluster quadratic, the
+    // cluster-keyed leakage-free split (closure + per-row hash), and the
+    // PQ pipeline (codebook training shuffles + narrow ADC scan)
+    "q_dup_spans", "q_semdedup", "q_leakage_split", "q_knn_pq")
 
   def main(args: Array[String]): Unit = {
     val smallDir = sys.env.getOrElse("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.01")

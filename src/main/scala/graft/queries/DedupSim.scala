@@ -126,6 +126,15 @@ object DedupSim {
       .orderBy("q_id", "rank")
   }
 
+  /** IVF-PQ approximate top-10 (scale path 4): coarse cells × residual
+    * product codes — [[graft.similarity.Pq.ivfPqTopK]]. Rows-only;
+    * recall, pruning, and exact-sim properties spec-pinned (PqSpec). */
+  val qKnnIvfPq: Q = (s, d) => {
+    val vecs = Tables.embeddings(s, d)
+    graft.similarity.Pq.ivfPqTopK(vecs, vecs.filter(col("vec_id") < 5), 10)
+      .orderBy("q_id", "rank")
+  }
+
   /** Per-cluster embedding centroids — the summary step of semantic
     * corpus analysis (cluster quality, drift monitoring, IVF seeding
     * diagnostics): element-wise mean per label, reported as driver-
@@ -243,6 +252,7 @@ object DedupSim {
     "q_knn_lsh" -> qKnnLsh,
     "q_knn_ivf" -> qKnnIvf,
     "q_knn_pq" -> qKnnPq,
+    "q_knn_ivfpq" -> qKnnIvfPq,
     "q_embed_centroids" -> qEmbedCentroids,
   )
 

@@ -106,39 +106,30 @@ object Pq {
       packed.as("pq_code"))
   }
 
-  /** Approximate top-k: ADC shortlist of `rerank` candidates per query
-    * (scored from the packed code alone), exact-cosine re-rank to k.
-    * Queries collect to the driver (query-side-only fan-out, as in
-    * [[Similarity.lshTopK]]); each query's m·ksub lookup table inlines
-    * as array literals indexed by code nibbles. Output matches the other
-    * kNN paths: (q_id, rank, n_id, sim) with EXACT sims. */
-  def adcTopK(vecs: DataFrame, queries: DataFrame, k: Int,
-              m: Int = 8, ksub: Int = 16, iters: Int = 2,
-              rerank: Int = 50): DataFrame = {
-    val books = train(vecs, m, ksub, iters)
+  /** Per-subspace squared-distance lookup table for one query subvector
+    * against codebook j, summed across subspaces by indexing each code
+    * nibble into an inlined array literal. */
+  private def lutSum(q: Array[Double], books: Codebooks, bits: Int,
+                     code: Column): Column = {
+    val m = books.length
     val dsub = books(0)(0).length
-    val bits = bitsFor(ksub)
-    val enc = encode(vecs, books)
-    val qRows = prepared(queries).select(col("vec_id"), col("emb"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    require(qRows.nonEmpty, "no query vectors")
-    def adcExpr(q: Array[Double]): Column =
-      (0 until m).map { j =>
-        val qsub = q.slice(j * dsub, (j + 1) * dsub)
-        val lut = books(j).map { cv =>
-          cv.zip(qsub).map { case (c, x) => (c - x) * (c - x) }.sum
-        }
-        val nibble = shiftright(col("pq_code"), j * bits)
-          .bitwiseAND(lit((1L << bits) - 1)).cast("int")
-        element_at(array(lut.toIndexedSeq.map(lit): _*), nibble + 1)
-      }.reduce(_ + _)
-    val scored = enc.select(col("vec_id"), col("emb"), col("nrm"),
-      explode(array(qRows.toIndexedSeq.map { case (qid, q) =>
-        struct(lit(qid).as("q_id"), adcExpr(q).as("adc"))
-      }: _*)).as("qs"))
-      .select(col("vec_id"), col("emb"), col("nrm"),
-        col("qs.q_id").as("q_id"), col("qs.adc").as("adc"))
-      .filter(col("vec_id") =!= col("q_id"))
+    (0 until m).map { j =>
+      val qsub = q.slice(j * dsub, (j + 1) * dsub)
+      val lut = books(j).map { cv =>
+        cv.zip(qsub).map { case (c, x) => (c - x) * (c - x) }.sum
+      }
+      val nibble = shiftright(code, j * bits)
+        .bitwiseAND(lit((1L << bits) - 1)).cast("int")
+      element_at(array(lut.toIndexedSeq.map(lit): _*), nibble + 1)
+    }.reduce(_ + _)
+  }
+
+  /** Shared tail: keep the `rerank` best ADC candidates per query
+    * (WindowGroupLimit bounds per-task state), then exact-cosine
+    * re-rank against the broadcast query vectors — reported sims are
+    * exact; only shortlist membership is approximate. */
+  private def rerankTail(scored: DataFrame, queries: DataFrame,
+                         k: Int, rerank: Int): DataFrame = {
     val short = scored
       .withColumn("r", row_number().over(
         Window.partitionBy("q_id").orderBy(asc("adc"), asc("vec_id"))))
@@ -152,5 +143,95 @@ object Pq {
         Window.partitionBy("q_id").orderBy(desc("sim"), asc("vec_id"))).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("vec_id").as("n_id"), col("sim"))
+  }
+
+  /** Approximate top-k: ADC shortlist of `rerank` candidates per query
+    * (scored from the packed code alone), exact-cosine re-rank to k.
+    * Queries collect to the driver (query-side-only fan-out, as in
+    * [[Similarity.lshTopK]]); each query's m·ksub lookup table inlines
+    * as array literals indexed by code nibbles. Output matches the other
+    * kNN paths: (q_id, rank, n_id, sim) with EXACT sims. */
+  def adcTopK(vecs: DataFrame, queries: DataFrame, k: Int,
+              m: Int = 8, ksub: Int = 16, iters: Int = 2,
+              rerank: Int = 50): DataFrame = {
+    val books = train(vecs, m, ksub, iters)
+    val bits = bitsFor(ksub)
+    val enc = encode(vecs, books)
+    val qRows = prepared(queries).select(col("vec_id"), col("emb"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(qRows.nonEmpty, "no query vectors")
+    val scored = enc.select(col("vec_id"), col("emb"), col("nrm"),
+      explode(array(qRows.toIndexedSeq.map { case (qid, q) =>
+        struct(lit(qid).as("q_id"),
+          lutSum(q, books, bits, col("pq_code")).as("adc"))
+      }: _*)).as("qs"))
+      .select(col("vec_id"), col("emb"), col("nrm"),
+        col("qs.q_id").as("q_id"), col("qs.adc").as("adc"))
+      .filter(col("vec_id") =!= col("q_id"))
+    rerankTail(scored, queries, k, rerank)
+  }
+
+  /** IVF-PQ — the billion-scale composition (coarse inverted cells ×
+    * residual product codes, the FAISS `IVFx,PQy` layout): [[Ivf.index]]
+    * partitions the corpus into cells; each vector PQ-encodes its
+    * RESIDUAL from its cell centroid (residuals are tighter around the
+    * codebooks than raw vectors, and ‖v−q‖ = ‖r_v−r_q‖ exactly when both
+    * subtract the same cell centroid — only the quantization of r_v is
+    * approximate); each query probes its `nprobe` nearest cells with a
+    * PER-CELL residual lookup table. The ADC scan stays narrow: a
+    * when-chain on the cell id selects the probed cell's LUT, unprobed
+    * cells score null and drop — pruning plus compression in one pass,
+    * no join, no shuffle until the `rerank`-bounded shortlist. */
+  def ivfPqTopK(vecs: DataFrame, queries: DataFrame, k: Int,
+                nCells: Int = 16, nprobe: Int = 4,
+                m: Int = 8, ksub: Int = 16,
+                ivfIters: Int = 2, pqIters: Int = 2,
+                rerank: Int = 50): DataFrame = {
+    val (assigned, centroidDf) = Ivf.index(vecs, nCells, ivfIters)
+    val cents: Array[(Int, Array[Double])] = centroidDf.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    require(cents.nonEmpty, "empty centroid table")
+    val centMapLit = map(cents.toIndexedSeq.flatMap { case (cid, cv) =>
+      Seq(lit(cid), array(cv.toIndexedSeq.map(lit): _*))
+    }: _*)
+    val withRes = assigned.withColumn("res",
+      zip_with(col("emb"), element_at(centMapLit, col("cid")), (a, b) => a - b))
+    val books = train(
+      withRes.select(col("vec_id"), col("res").as("embedding")), m, ksub, pqIters)
+    val dsub = books(0)(0).length
+    val bits = bitsFor(ksub)
+    val packed = (0 until m).map { j =>
+      assignSub(col("res"), j, dsub, books(j)).cast("long") *
+        lit(1L << (j * bits))
+    }.reduce(_ + _)
+    val enc = withRes.withColumn("pq_code", packed)
+      .select("vec_id", "emb", "nrm", "cid", "pq_code")
+    val qRows = prepared(queries).select(col("vec_id"), col("emb"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(qRows.nonEmpty, "no query vectors")
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    def adcExpr(q: Array[Double]): Column = {
+      val probed = cents.map { case (cid, cv) => (d2(q, cv), cid) }
+        .sortBy(x => (x._1, x._2)).take(nprobe)
+      probed.foldLeft(null: Column) { case (acc, (_, cid)) =>
+        val cv = cents.find(_._1 == cid).get._2
+        val qres = q.indices.map(i => q(i) - cv(i)).toArray
+        val e = lutSum(qres, books, bits, col("pq_code"))
+        if (acc == null) when(col("cid") === cid, e)
+        else acc.when(col("cid") === cid, e)
+      }
+    }
+    val scored = enc.select(col("vec_id"), col("emb"), col("nrm"),
+      explode(array(qRows.toIndexedSeq.map { case (qid, q) =>
+        struct(lit(qid).as("q_id"), adcExpr(q).as("adc"))
+      }: _*)).as("qs"))
+      .select(col("vec_id"), col("emb"), col("nrm"),
+        col("qs.q_id").as("q_id"), col("qs.adc").as("adc"))
+      .filter(col("adc").isNotNull && col("vec_id") =!= col("q_id"))
+    rerankTail(scored, queries, k, rerank)
   }
 }

@@ -68,6 +68,32 @@ class PqSpec extends AnyFunSuite with SharedSpark {
     assert(top.head.getDouble(3) > 0.99)
   }
 
+  test("IVF-PQ: planted near-dup at rank 1, recall floor, probed-cell pruning") {
+    val aug = Similarity.withPlantedDups(vecs)
+    val q = aug.filter($"vec_id" === 100000L)
+    // residual codes of a ±2% copy quantize like the original's; its
+    // cell is the original's cell, so nprobe=4 must surface it
+    val top = Pq.ivfPqTopK(aug, q, 1).collect()
+    assert(top.length == 1 && top.head.getLong(2) == 0L)
+    assert(top.head.getDouble(3) > 0.99)
+    // recall floor vs brute on plain queries — nprobe misses are the
+    // price of pruning, but half the brute top-10 must survive
+    val qs = vecs.filter($"vec_id" < 5)
+    val brute = Similarity.bruteTopK(vecs, qs, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = Pq.ivfPqTopK(vecs, qs, 10, rerank = 200).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (got & brute).size.toDouble / brute.size
+    assert(recall >= 0.4, s"IVF-PQ recall@10 $recall below 0.4")
+    // full-probe degenerate case = no pruning: recall must not drop
+    // below the same-shortlist plain-PQ path's
+    val full = Pq.ivfPqTopK(vecs, qs, 10, nprobe = 16, rerank = 200)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val fullRecall = (full & brute).size.toDouble / brute.size
+    assert(fullRecall >= recall,
+      s"probing every cell can't lose candidates: $fullRecall < $recall")
+  }
+
   test("reported sims are exact: they match brute sims for shared pairs") {
     val qs = vecs.filter($"vec_id" < 3)
     val brute = Similarity.bruteTopK(vecs, qs, 10).collect()
