@@ -534,8 +534,12 @@ object Dedup {
     * collision can't fabricate a span (the exact-dedup discipline).
     * Returns one row per affected doc: n_spans, dup_tokens, max_span,
     * dup_ratio. */
-  def dupSpans(docs: DataFrame, w: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Hash-prefiltered window candidates: every w-token window of every
+    * doc whose xxhash64 collides cross-doc — (doc_id, n_tokens, pos,
+    * win). The wide grouping runs on the 16-byte hash; only colliding
+    * windows (a tiny set) survive carrying text, for collision-proof
+    * re-verification downstream. */
+  private def dupWindowCandidates(docs: DataFrame, w: Int): DataFrame = {
     val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
     // sequence(0, n-w) is DESCENDING for n < w — filter short docs first
     val wins = toks.filter(size(col("toks")) >= w)
@@ -549,14 +553,17 @@ object Dedup {
     val candH = wins.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") > 1).select("h")
-    val cand = wins.join(candH, Seq("h"), "left_semi")
-    val dupWin = cand.groupBy("win")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") > 1).select("win")
-    val dupPos = cand.join(dupWin, Seq("win"), "left_semi")
-      .select("doc_id", "n_tokens", "pos")
+    wins.join(candH, Seq("h"), "left_semi")
+      .select("doc_id", "n_tokens", "pos", "win")
+  }
+
+  /** Gaps-and-islands merge of window start positions into maximal
+    * token intervals [s0, s1): break when the next start clears the
+    * previous window entirely. Input (doc_id, n_tokens, pos). */
+  private def mergeIslands(dupPos: DataFrame, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-    val spans = dupPos
+    dupPos
       .withColumn("prev", lag("pos", 1).over(byDoc))
       .withColumn("brk",
         when(col("prev").isNull || col("pos") > col("prev") + w, 1L).otherwise(0L))
@@ -565,11 +572,58 @@ object Dedup {
       .groupBy("doc_id", "island")
       .agg(first("n_tokens").as("n_tokens"),
         min("pos").as("s0"), (max("pos") + w).as("s1"))
-    spans.groupBy("doc_id")
+  }
+
+  def dupSpans(docs: DataFrame, w: Int): DataFrame = {
+    val cand = dupWindowCandidates(docs, w)
+    val dupWin = cand.groupBy("win")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1).select("win")
+    val dupPos = cand.join(dupWin, Seq("win"), "left_semi")
+      .select("doc_id", "n_tokens", "pos")
+    mergeIslands(dupPos, w).groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
         sum(col("s1") - col("s0")).as("dup_tokens"),
         max(col("s1") - col("s0")).as("max_span"),
         round(sum(col("s1") - col("s0")) / first("n_tokens"), 4).as("dup_ratio"))
+  }
+
+  /** Duplicate-span EXCISION — the rewrite that deduplicates at span
+    * granularity while keeping one canonical copy of every duplicated
+    * substring: each cross-doc w-token window has a canonical occurrence
+    * (global min (doc_id, pos)); in every HIGHER doc the window's token
+    * range is removable, removable ranges merge into maximal intervals,
+    * and the doc is reassembled from the surviving tokens. The canonical
+    * doc keeps its text; a span whose windows are canonical in several
+    * OTHER docs is excised wholly (its content existed earlier
+    * elsewhere). Interval lists are per-doc-bounded, so the rewrite is a
+    * per-row array filter — no token-level shuffle; only window
+    * candidates shuffle, hash-first as everywhere. Returns (doc_id,
+    * n_before, n_after, text_after) for every document. */
+  def exciseDupSpans(docs: DataFrame, w: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val cand = dupWindowCandidates(docs, w)
+    val winStats = cand.groupBy("win")
+      .agg(countDistinct(col("doc_id")).as("nd"),
+        min(struct(col("doc_id"), col("pos"))).as("canon"))
+      .filter(col("nd") > 1)
+      .select(col("win"), col("canon.doc_id").as("canon_doc"))
+    val removable = cand.join(winStats, Seq("win"))
+      .filter(col("canon_doc") < col("doc_id"))
+      .select("doc_id", "n_tokens", "pos")
+    val ivs = mergeIslands(removable, w)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("s0"), col("s1")))).as("ivs"))
+    toks.join(ivs, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_before"),
+        when(col("ivs").isNull, col("toks")).otherwise(
+          filter(col("toks"), (_, i) =>
+            !exists(col("ivs"), iv =>
+              i >= iv.getField("s0") && i < iv.getField("s1"))))
+          .as("kept"))
+      .select(col("doc_id"), col("n_before"),
+        size(col("kept")).cast("long").as("n_after"),
+        concat_ws(" ", col("kept")).as("text_after"))
   }
 
   /** SimHash near-dup pairs: 4×16-bit band blocking on each word pair,

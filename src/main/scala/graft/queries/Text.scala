@@ -917,9 +917,17 @@ object Text {
   val qDupSpans: Q = (s, d) =>
     graft.dedup.Dedup.dupSpans(Tables.documents(s, d), 8).orderBy("doc_id")
 
+  /** Duplicate-span EXCISION — the corpus rewrite keeping one canonical
+    * copy of every duplicated 8-token substring; see
+    * [[graft.dedup.Dedup.exciseDupSpans]]. The oracle replays the whole
+    * canonical-window → interval-merge → token-filter rewrite. */
+  val qDupExcise: Q = (s, d) =>
+    graft.dedup.Dedup.exciseDupSpans(Tables.documents(s, d), 8).orderBy("doc_id")
+
   val all: Map[String, Q] = Map(
     "q_and_search" -> qAndSearch,
     "q_dup_spans" -> qDupSpans,
+    "q_dup_excise" -> qDupExcise,
     "q_text_stats" -> qTextStats,
     "q_gopher_rules" -> qGopherRules,
     "q_bpe_merges" -> qBpeMerges,
@@ -1299,6 +1307,37 @@ object Text {
         | CAST(max(s1 - s0) AS BIGINT) AS max_span,
         | round(CAST(sum(s1 - s0) AS DOUBLE) / any_value(n_tokens), 4) AS dup_ratio
         |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_dup_excise" ->
+      """WITH t AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        | FROM documents),
+        |w AS (
+        | SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+7], ' ') AS win
+        | FROM t, unnest(range(1, len(toks) - 6)) AS u(i)
+        | WHERE len(toks) >= 8),
+        |ws AS (
+        | SELECT win, count(DISTINCT doc_id) AS nd,
+        |  min(struct_pack(doc_id := doc_id, pos := pos)) AS canon
+        | FROM w GROUP BY win),
+        |rem AS (
+        | SELECT w.doc_id, w.pos FROM w JOIN ws USING (win)
+        | WHERE ws.nd > 1 AND ws.canon.doc_id < w.doc_id),
+        |tok AS (
+        | SELECT doc_id, i - 1 AS idx, toks[i] AS tk
+        | FROM t, unnest(range(1, len(toks) + 1)) AS u(i)),
+        |kept AS (
+        | SELECT tok.doc_id, tok.idx, tok.tk FROM tok
+        | WHERE NOT EXISTS (SELECT 1 FROM rem
+        |   WHERE rem.doc_id = tok.doc_id
+        |     AND tok.idx >= rem.pos AND tok.idx < rem.pos + 8)),
+        |k2 AS (
+        | SELECT doc_id, count(*) AS n_after,
+        |  string_agg(tk, ' ' ORDER BY idx) AS text_after
+        | FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_before,
+        | CAST(coalesce(k2.n_after, 0) AS BIGINT) AS n_after,
+        | coalesce(k2.text_after, '') AS text_after
+        |FROM t LEFT JOIN k2 USING (doc_id) ORDER BY t.doc_id""".stripMargin,
     "q_decontam" ->
       """WITH toks AS (
         | SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents),

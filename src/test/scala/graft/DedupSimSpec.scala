@@ -690,6 +690,28 @@ class DedupSimSpec extends AnyFunSuite with SharedSpark {
     assert(r1.getLong(3) == 8L, "max_span = one run")
   }
 
+  test("exciseDupSpans keeps the canonical copy and strips the later one") {
+    val shared = (1 to 10).map(i => s"dup$i").mkString(" ")
+    val d = docs(
+      1L -> s"a1 a2 a3 $shared z1 z2",
+      2L -> s"b1 b2 b3 b4 $shared y1",
+      3L -> "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12 c13 c14 c15")
+    val out = Dedup.exciseDupSpans(d, 8).orderBy("doc_id").collect()
+    assert(out.length == 3, "every doc must appear in the rewrite")
+    // doc 1 is canonical (min doc_id): untouched
+    assert(out(0).getLong(2) == out(0).getLong(1))
+    assert(out(0).getString(3) == s"a1 a2 a3 $shared z1 z2")
+    // doc 2 loses exactly the shared run: windows at pos 4,5,6 merge to
+    // [4, 14) => kept = 4 prefix tokens + y1
+    assert(out(1).getString(3) == "b1 b2 b3 b4 y1")
+    assert(out(1).getLong(1) == 15L && out(1).getLong(2) == 5L)
+    // doc 3 shares nothing: untouched
+    assert(out(2).getLong(2) == 15L)
+    // the one-copy guarantee: every duplicated window text still occurs
+    // in the surviving corpus (here: in the canonical doc)
+    assert(out(0).getString(3).contains(shared))
+  }
+
   test("semdedup: removals have genuine lower-id near-dups; recall on planted dups") {
     val removed = graft.queries.DedupSim.qSemdedup(spark, sfDir)
       .collect().map(_.getLong(0)).toSet
