@@ -326,6 +326,30 @@ object Streaming {
     q.awaitTermination()
   }
 
+  /** Streaming ANN ingest — the embedding-pipeline front door: each
+    * micro-batch of new vectors assigns to the index's EXISTING
+    * centroids and appends to its cell partitions
+    * ([[graft.similarity.Ivf.appendToIndex]] — the signature-store
+    * ingest pattern applied to the vector index). Probes see appended
+    * vectors as soon as their batch commits. The stream checkpoint
+    * makes COMPLETED batches exactly-once across restarts; a crash
+    * inside a batch replays that batch's append — the same non-atomic
+    * window the batch append documents (run one ingest stream per
+    * index). Recall-drift bound and re-cluster rule: see
+    * [[graft.similarity.Ivf.appendToIndex]]. */
+  def runIndexIngest(spark: SparkSession, newVecs: DataFrame,
+                     indexPath: String, checkpointDir: String): Unit = {
+    val q = newVecs.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.similarity.Ivf.appendToIndex(spark, indexPath, batch)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long, value: Double)
   case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
 

@@ -448,4 +448,32 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
       assert(s.getLong(1) == b.getLong(1), s"session count mismatch for user ${s.getLong(0)}")
     }
   }
+
+  test("streaming embedding ingest appends to the IVF index; probes see new vectors") {
+    import graft.similarity.{Ivf, Similarity}
+    val vecs = Tables.embeddings(spark, sfDir)
+    val idx = java.nio.file.Files.createTempDirectory("graft_sivf").toString + "/ivf"
+    Ivf.writeIndex(vecs, idx)
+    val baseCount = spark.read.parquet(s"$idx/cells").count()
+    // planted ±2% copies arrive as the stream (cosine ~0.9998 to originals)
+    val newV = Similarity.withPlantedDups(vecs).filter(col("vec_id") >= 100000L)
+      .select(col("vec_id"), col("embedding"))
+    val src = java.nio.file.Files.createTempDirectory("graft_sivf_src").toString
+    newV.repartition(2).write.mode("overwrite").parquet(src)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sivf_ck").toString
+    // maxFilesPerTrigger=1 => multiple micro-batches, each appending
+    val stream = spark.readStream.schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    Streaming.runIndexIngest(spark, stream, idx, ckpt)
+    assert(spark.read.parquet(s"$idx/cells").count() == baseCount + newV.count())
+    // a query at an ORIGINAL vector must now see its streamed copy first
+    val q = vecs.filter(col("vec_id") === 0L)
+    val top = Ivf.topKFromIndex(spark, idx, q, 1).collect()
+    assert(top.length == 1 && top.head.getLong(2) == 100000L,
+      s"expected streamed copy 100000 at rank 1, got ${top.toSeq}")
+    // restart on the same checkpoint: no new files => no double-append
+    Streaming.runIndexIngest(spark, stream, idx, ckpt)
+    assert(spark.read.parquet(s"$idx/cells").count() == baseCount + newV.count(),
+      "checkpoint replay must not re-append committed batches")
+  }
 }
