@@ -110,12 +110,35 @@ object Ml {
       .select("l_returnflag", "k", "pmf")
       .orderBy("l_returnflag", "k")
 
+  /** FastText-style linear quality classifier over hashed token
+    * features, weak-labeled by the Gopher rule gate
+    * ([[graft.ml.QualityClassifier]]). Reported per source: docs, rule
+    * passes, model passes (P > 0.5), rule↔model agreement — the report
+    * a curation run reads to decide whether the learned gate can
+    * replace the rules. Rows-only (LBFGS weights aren't SQL-portable);
+    * accuracy/agreement/determinism are spec-pinned (MlSpec). */
+  val qQualityClassifier: Q = (s, d) => {
+    import graft.ml.QualityClassifier
+    val feat = QualityClassifier.featurize(Tables.documents(s, d))
+    val model = QualityClassifier.fit(feat)
+    QualityClassifier.score(model, feat)
+      .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("label")).cast("long").as("rule_pass"),
+        sum(when(col("quality_score") > 0.5, 1L).otherwise(0L)).as("model_pass"),
+        sum(when((col("quality_score") > 0.5) === (col("label") === 1.0), 1L)
+          .otherwise(0L)).as("agree"))
+      .orderBy("source")
+  }
+
   val all: Map[String, Q] = Map(
     "q_glm_poisson" -> qGlmPoisson,
     "q_model_data" -> qModelData,
     "q_simulation" -> qSimulation,
     "q_fifa_star" -> qFifaStar,
     "q_score_dist" -> qScoreDist,
+    "q_quality_classifier" -> qQualityClassifier,
   )
 
   val oracles: Map[String, String] = Map(

@@ -122,4 +122,44 @@ class MlSpec extends AnyFunSuite with SharedSpark {
     assert(math.abs(preds("hi") - math.exp(1.0)) < 0.15, s"hi pred ${preds("hi")}")
     assert(math.abs(preds("lo") - 1.0) < 0.1, s"lo pred ${preds("lo")}")
   }
+
+  test("quality classifier learns the weak rule gate and is deterministic") {
+    import graft.ml.QualityClassifier
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val feat = QualityClassifier.featurize(docs).cache()
+    try {
+      val both = feat.groupBy("label").count().collect()
+      assert(both.length == 2, "fixture must contain passes AND fails")
+      val model = QualityClassifier.fit(feat)
+      val scored = QualityClassifier.score(model, feat).cache()
+      try {
+        // scores are probabilities
+        assert(scored.filter(col("quality_score") < 0.0 ||
+          col("quality_score") > 1.0).count() == 0L)
+        // the squared-stat features make the two-sided rules linearly
+        // accessible — demand near-complete rule recovery AND a real
+        // margin over the majority-class baseline (a collapsed model
+        // scores exactly the majority fraction)
+        val n = scored.count().toDouble
+        val correct = scored.filter(
+          (col("quality_score") > 0.5) === (col("label") === 1.0)).count()
+        val acc = correct / n
+        val majority = math.max(
+          scored.filter(col("label") === 1.0).count() / n,
+          scored.filter(col("label") === 0.0).count() / n)
+        assert(acc >= 0.9 && acc >= majority + 0.05,
+          s"train accuracy $acc vs majority baseline $majority")
+        // determinism: same data, second fit => identical scores
+        val model2 = QualityClassifier.fit(feat)
+        val s1 = scored.orderBy("doc_id")
+          .collect().map(_.getDouble(2))
+        val s2 = QualityClassifier.score(model2, feat).orderBy("doc_id")
+          .collect().map(_.getDouble(2))
+        s1.zip(s2).foreach { case (a, b) =>
+          assert(math.abs(a - b) < 1e-9, s"non-deterministic fit: $a vs $b")
+        }
+      } finally scored.unpersist()
+    } finally feat.unpersist()
+  }
 }
