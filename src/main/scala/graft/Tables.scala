@@ -19,15 +19,35 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read nanos as long (legacy conf, runtime
-    * settable) and downconvert to a microsecond TimestampType column —
-    * integer `div` to avoid double-precision loss on ~1.7e18 nanos. */
+  /** events.parquet's `ts` physical type has drifted across testdata
+    * generations — INT64 TIMESTAMP(NANOS) originally, TIMESTAMP_MICROS
+    * (isAdjustedToUTC=false → TIMESTAMP_NTZ) now — so load first and
+    * branch on the ARRIVED dataType instead of assuming a layout.
+    * Canonical downstream type is microsecond TimestampType: with the
+    * UTC session timezone ([[GraftSession]]) an NTZ→TZ cast is an exact
+    * epoch-micros identity, matching what the DuckDB oracle reads from
+    * the same file. Legacy nanos arrive as long (runtime-settable conf,
+    * a no-op on non-nanos files) and downconvert via integer `div` to
+    * avoid double-precision loss on ~1.7e18 nanos. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    canonicalTs(load(s, d, "events"))
+  }
+
+  /** Normalize an events frame's `ts` to the canonical type, whatever
+    * physical form it arrived in. Shared by the batch loader above and
+    * the file-source stream ([[graft.streaming.Streaming.readEvents]]),
+    * so batch and stream cannot drift on the conversion. */
+  private[graft] def canonicalTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df
+      case other => throw new IllegalStateException(
+        s"events.ts arrived as unsupported type $other; expected nanos-long, TIMESTAMP_NTZ, or TIMESTAMP")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

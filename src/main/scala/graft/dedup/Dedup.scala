@@ -268,8 +268,9 @@ object Dedup {
     * means ALL consumers — both join sides, the DF count, the hot-per-doc
     * correction — reuse ONE scan + tokenize + shingle pass (ReuseExchange
     * / AQE stage reuse) instead of each re-deriving the index from the
-    * source (measured 25% faster at sf0.1 even though everything there
-    * fits in broadcast range). */
+    * source. A/B re-measured r7 on an idle box (sf0.1, 3 runs each):
+    * with 3.6-4.0 s, without 4.9-5.7 s — the r6 bench's apparent
+    * regression was machine contention; the repartition stays. */
   def jaccardPairs(docs: DataFrame, threshold: Double,
                    maxDf: Int = Int.MaxValue): DataFrame = {
     val inv = shingled(docs)

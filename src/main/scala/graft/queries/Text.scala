@@ -721,8 +721,10 @@ object Text {
   /** Approximate heavy hitters: top-20 tokens via the bucket-capped
     * two-phase plan ([[graft.text.HeavyHitters]]) — the scale path for
     * corpora whose vocabulary is too large to shuffle exactly.
-    * Deterministic rows-only (xxhash64 bucketing isn't portable SQL);
-    * recall + exact-count parity vs [[qTokenTopk]] are spec-pinned. */
+    * Oracle-checked against the EXACT top-k SQL: phase-2 counts are exact
+    * and recall at oracle scale is deterministically 1.0, so the
+    * approximate plan is held to the exact answer; recall + parity vs
+    * [[qTokenTopk]] are additionally spec-pinned. */
   val qHeavyHitters: Q = (s, d) =>
     graft.text.HeavyHitters.topTokens(
       Tables.documents(s, d).select(explode(tokens(col("text"))).as("token")), 20)
@@ -1077,6 +1079,14 @@ object Text {
          | CAST(sum(bpeish) AS BIGINT) AS total_bpeish, count(*) AS n_docs
          |FROM m GROUP BY source ORDER BY source""".stripMargin,
     "q_token_topk" ->
+      """SELECT token, count(*) AS cnt FROM (
+        | SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents)
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+    // the bucket-capped approximate path is held to the EXACT top-20: its
+    // counts are exact by construction (phase-2 recount) and at oracle
+    // scale its recall is 1.0 deterministically (xxhash64 is seedless), so
+    // any miss is a real algorithmic break, not sampling noise
+    "q_heavy_hitters" ->
       """SELECT token, count(*) AS cnt FROM (
         | SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents)
         |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin,

@@ -17,25 +17,25 @@ import org.apache.spark.sql.types._
   */
 object Streaming {
 
-  /** events parquet physical schema: ts is INT64 nanos (read as long via
-    * the legacy conf, converted after load — same as Tables.events). */
-  private val eventsPhysical = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** File-source stream over the events table inside an sf directory
-    * (file sources need a directory; the glob filter selects the table). */
+    * (file sources need a directory; the glob filter selects the table).
+    *
+    * File streams require an explicit schema, but the testdata's `ts`
+    * physical type has drifted across generations (INT64 nanos →
+    * TIMESTAMP_MICROS/NTZ), so the schema is SNIFFED from the parquet
+    * footer via a batch read (footer-only, no row I/O) instead of being
+    * hardcoded, and the ts canonicalization is the same shared branch
+    * the batch loader uses ([[graft.Tables.canonicalTs]]) — stream and
+    * batch cannot disagree on timestamp semantics. */
   def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsPhysical)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val physical = spark.read
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir).schema
+    graft.Tables.canonicalTs(
+      spark.readStream
+        .schema(physical)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir))
   }
 
   /** Watermarked tumbling 1-hour window counts + sums (the streaming form
