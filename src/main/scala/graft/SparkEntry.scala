@@ -26,7 +26,8 @@ object SparkEntry {
       graft.queries.Ml.all ++
       graft.queries.Graph.all ++
       graft.queries.Events.all ++
-      graft.queries.Quality.all
+      graft.queries.Quality.all ++
+      graft.queries.Corpus.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -42,5 +43,6 @@ object SparkEntry {
       graft.queries.Ml.oracles ++
       graft.queries.Graph.oracles ++
       graft.queries.Events.oracles ++
-      graft.queries.Quality.oracles
+      graft.queries.Quality.oracles ++
+      graft.queries.Corpus.oracles
 }
