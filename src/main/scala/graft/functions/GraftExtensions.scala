@@ -41,7 +41,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => SimHash64(args(0))),
     ("nfc_normalize",
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
-      (args: Seq[Expression]) => NfcNormalize(args(0))))
+      (args: Seq[Expression]) => NfcNormalize(args(0))),
+    ("zorder2",
+      new ExpressionInfo(classOf[ZOrder2].getName, "zorder2"),
+      (args: Seq[Expression]) => ZOrder2(args(0), args(1))))
 
   /** Runtime registration on an existing session (functions + the
     * sorted-intersect optimizer rule via experimental.extraOptimizations,

@@ -137,12 +137,85 @@ object Corpus {
       .agg(count(lit(1)).as("n_docs"), countDistinct("fp").as("n_distinct"))
       .orderBy("source")
 
+  /** Integer 16-bit min-max normalization, overflow-free for ANY long
+    * range: first compress by `step = range div 2^16 + 1` (so the
+    * compressed value fits 16 bits), then stretch the compressed range
+    * back up to [0, 65535]. Monotone, pure integer — identical in Spark
+    * SQL and DuckDB. Interleaving UNnormalized keys would let the
+    * larger-ranged key own all the high z bits and the curve degrades to
+    * a plain sort on it (measured: partkey spans stayed ~80% of global
+    * before normalization). */
+  private def scale16(k: String, mn: String, mx: String): String = {
+    val step = s"(($mx - $mn) div 65536 + 1)"
+    s"(((($k - $mn) div $step) * 65535) div ((($mx - $mn) div $step) + 1))"
+  }
+
+  /** Z-order clustering effectiveness report: min-max-normalize
+    * (l_orderkey, l_partkey) to 16 bits each, Morton-interleave via the
+    * codegen'd [[graft.functions.ZOrder2]] expression, cut the 32-bit z
+    * space into its 32 top-level slices (what a z-sorted layout's files
+    * would contain — [[graft.operators.Layout.zorderLayout]] is the
+    * write-side operator), and report each slice's span on BOTH keys.
+    * Narrow spans on both = scans filtering either key prune most files
+    * on parquet footer stats. Pure integer math end to end —
+    * bit-identical cross-engine.
+    *
+    * 100 TB shape: key bounds are one columnar-stats-cheap agg broadcast
+    * back as a single row; z is a per-row codegen'd expression; the
+    * report is one hash-agg on the 32-way slice id (z < 2^32 by
+    * construction, so the slice is a constant shift — no max_z pass). */
+  val qZorderLayout: Q = (s, d) => {
+    val keys = Tables.lineitem(s, d)
+      .select(col("l_orderkey").cast("long").as("ok"),
+        col("l_partkey").cast("long").as("pk"))
+    val bounds = keys.agg(
+      min("ok").as("mn_ok"), max("ok").as("mx_ok"),
+      min("pk").as("mn_pk"), max("pk").as("mx_pk"))
+    keys.crossJoin(bounds) // 1-row aggregate broadcast
+      .withColumn("z", graft.functions.ZOrder2.zorder2(
+        expr(scale16("ok", "mn_ok", "mx_ok")),
+        expr(scale16("pk", "mn_pk", "mx_pk"))))
+      .withColumn("bucket", expr("z div 134217728")) // 2^32 / 32 slices
+      .groupBy("bucket").agg(
+        count(lit(1)).as("n_rows"),
+        min("ok").as("min_orderkey"), max("ok").as("max_orderkey"),
+        min("pk").as("min_partkey"), max("pk").as("max_partkey"))
+      .orderBy("bucket")
+  }
+
+  /** Per-source distribution shift: KL divergence (nats) of each source's
+    * token unigram distribution from the corpus-wide distribution — the
+    * "which source is unlike the rest" score driving mixing and
+    * quality-review priorities.
+    *
+    * 100 TB shape: two token-keyed hash-aggs (per-source and global, both
+    * map-side combined) joined on token, then a per-source sum; the join
+    * carries one row per (source, distinct token), not per occurrence.
+    * Float discipline matches q_token_entropy: ln() terms summed then
+    * rounded 4dp on both engines. */
+  val qSourceDivergence: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("t"))
+    val st = toks.groupBy("source", "t").agg(count(lit(1)).as("c"))
+    val stot = st.groupBy("source").agg(sum("c").as("ns"))
+    val glob = toks.groupBy("t").agg(count(lit(1)).as("g"))
+    val gtot = glob.agg(sum("g").as("n"))
+    st.join(stot, "source").join(glob, "t").crossJoin(gtot)
+      .withColumn("term", (col("c") / col("ns")) *
+        log((col("c") / col("ns")) / (col("g") / col("n"))))
+      .groupBy("source")
+      .agg(max("ns").as("n_tokens"), round(sum("term"), 4).as("kl_nats"))
+      .orderBy("source")
+  }
+
   val all: Map[String, Q] = Map(
     "q_temperature_mix" -> qTemperatureMix,
     "q_kanon" -> qKanon,
     "q_embed_outliers" -> qEmbedOutliers,
     "q_vocab_growth" -> qVocabGrowth,
     "q_norm_fingerprint" -> qNormFingerprint,
+    "q_zorder_layout" -> qZorderLayout,
+    "q_source_divergence" -> qSourceDivergence,
   )
 
   val oracles: Map[String, String] = Map(
@@ -197,5 +270,53 @@ object Corpus {
       """SELECT source, count(*) AS n_docs,
         | count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS n_distinct
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // 16-bit integer min-max normalization (compress-then-stretch, same
+    // formula as scale16) + the 5-step mask-and-spread Morton interleave,
+    // staged as CTEs; all masks in decimal — integer-exact
+    "q_zorder_layout" ->
+      """WITH k0 AS (
+        | SELECT CAST(l_orderkey AS BIGINT) AS ok0, CAST(l_partkey AS BIGINT) AS pk0
+        | FROM lineitem),
+        |bnd AS (SELECT min(ok0) AS mn_ok, max(ok0) AS mx_ok,
+        |         min(pk0) AS mn_pk, max(pk0) AS mx_pk FROM k0),
+        |k AS (SELECT ok0, pk0,
+        |  (((ok0 - mn_ok) // ((mx_ok - mn_ok) // 65536 + 1)) * 65535)
+        |    // (((mx_ok - mn_ok) // ((mx_ok - mn_ok) // 65536 + 1)) + 1) AS a,
+        |  (((pk0 - mn_pk) // ((mx_pk - mn_pk) // 65536 + 1)) * 65535)
+        |    // (((mx_pk - mn_pk) // ((mx_pk - mn_pk) // 65536 + 1)) + 1) AS b
+        | FROM k0, bnd),
+        |s1 AS (SELECT ok0, pk0,
+        |        (a | (a << 16)) & 281470681808895 AS a,
+        |        (b | (b << 16)) & 281470681808895 AS b FROM k),
+        |s2 AS (SELECT ok0, pk0,
+        |        (a | (a << 8)) & 71777214294589695 AS a,
+        |        (b | (b << 8)) & 71777214294589695 AS b FROM s1),
+        |s3 AS (SELECT ok0, pk0,
+        |        (a | (a << 4)) & 1085102592571150095 AS a,
+        |        (b | (b << 4)) & 1085102592571150095 AS b FROM s2),
+        |s4 AS (SELECT ok0, pk0,
+        |        (a | (a << 2)) & 3689348814741910323 AS a,
+        |        (b | (b << 2)) & 3689348814741910323 AS b FROM s3),
+        |s5 AS (SELECT ok0, pk0,
+        |        (a | (a << 1)) & 6148914691236517205 AS a,
+        |        (b | (b << 1)) & 6148914691236517205 AS b FROM s4),
+        |z AS (SELECT ok0, pk0, a | (b << 1) AS z FROM s5)
+        |SELECT z // 134217728 AS bucket, count(*) AS n_rows,
+        | min(ok0) AS min_orderkey, max(ok0) AS max_orderkey,
+        | min(pk0) AS min_partkey, max(pk0) AS max_partkey
+        |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q_source_divergence" ->
+      """WITH toks AS (
+        | SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS t
+        | FROM documents),
+        |st AS (SELECT source, t, count(*) AS c FROM toks GROUP BY 1, 2),
+        |stot AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM st GROUP BY 1),
+        |gc AS (SELECT t, count(*) AS g FROM toks GROUP BY 1),
+        |gtot AS (SELECT CAST(sum(g) AS BIGINT) AS n FROM gc)
+        |SELECT source, max(ns) AS n_tokens,
+        | round(sum((c / CAST(ns AS DOUBLE)) *
+        |   ln((c / CAST(ns AS DOUBLE)) / (g / CAST(n AS DOUBLE)))), 4) AS kl_nats
+        |FROM st JOIN stot USING (source) JOIN gc USING (t), gtot
+        |GROUP BY source ORDER BY source""".stripMargin,
   )
 }

@@ -382,7 +382,30 @@ object Events {
       .orderBy("user_id", "event_id")
   }
 
+  /** Hourly event-rate anomalies: hours whose event count sits more than
+    * 2σ from the overall hourly mean. The ops-side drift alarm over an
+    * ingest stream — a collection outage or a bot flood shows up as an
+    * anomalous hour before it shows up in model metrics.
+    *
+    * 100 TB shape: ONE hour-keyed hash-agg (map-side combined), then the
+    * moment agg and z threshold run on the hour series — O(hours) rows —
+    * via a 1-row broadcast. Integer counts make the mean exact; mu/sigma
+    * are rounded 4dp on both engines before the threshold compare. */
+  val qRateAnomaly: Q = (s, d) => {
+    val hourly = Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val st = hourly.agg(round(avg("cnt"), 4).as("mu"),
+      round(stddev_samp("cnt"), 4).as("sigma"))
+    hourly.crossJoin(st) // 1-row aggregate broadcast
+      .withColumn("z", round((col("cnt") - col("mu")) / col("sigma"), 4))
+      .filter(abs(col("z")) > 2.0)
+      .select(col("hour"), col("cnt"), col("z"))
+      .orderBy("hour")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_rate_anomaly" -> qRateAnomaly,
     "q_concurrency" -> qConcurrency,
     "q_retention_cohorts" -> qRetentionCohorts,
     "q_resample_ffill" -> qResampleFfill,
@@ -417,6 +440,17 @@ object Events {
       |       FROM sess GROUP BY user_id, session_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_rate_anomaly" ->
+      """WITH h AS (
+        | SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+        |  count(*) AS cnt
+        | FROM events GROUP BY 1),
+        |st AS (SELECT round(avg(cnt), 4) AS mu,
+        |        round(stddev_samp(cnt), 4) AS sigma FROM h)
+        |SELECT hour, cnt, round((cnt - mu) / sigma, 4) AS z
+        |FROM h, st
+        |WHERE abs(round((cnt - mu) / sigma, 4)) > 2.0
+        |ORDER BY hour""".stripMargin,
     "q_concurrency" ->
       s"""WITH $sessionCtes,
          |bd AS (SELECT s AS ts, 1 AS delta FROM iv
