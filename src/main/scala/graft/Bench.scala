@@ -72,6 +72,12 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       try {
         def once(): Double = {
+          // full GC before the timer: heap garbage left by the PREVIOUS
+          // query otherwise lands as collection pauses inside THIS one's
+          // window (r6 measured 3-13x med/min spreads on queries following
+          // heavy ones — q_model_data 2.1 s min vs 27.7 s median). The
+          // pause moves outside the timer; measured work stays identical.
+          System.gc()
           val t0 = System.nanoTime()
           materialize(fn(spark, sfDir))
           (System.nanoTime() - t0) / 1e9

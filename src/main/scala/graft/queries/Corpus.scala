@@ -208,7 +208,58 @@ object Corpus {
       .orderBy("source")
   }
 
+  /** BM25 ranked retrieval (Robertson/Okapi, k1=1.2 b=0.75, Lucene's
+    * +1-inside-the-log idf) for a fixed conjunctive-ish query — the
+    * lexical half of corpus search, complementing the ANN layer's vector
+    * half. Top-20 docs by summed term score.
+    *
+    * 100 TB shape: the per-term filter runs BEFORE any shuffle (literal
+    * isin on the exploded scan), so only query-term occurrences ever
+    * leave a task; df/N/avgdl are O(#terms)+1-row broadcasts; ranking is
+    * TakeOrderedAndProject, never a global sort. Scores rounded 4dp on
+    * both engines before the rank (ties broken by doc_id). */
+  val qBm25Search: Q = (s, d) => {
+    val terms = Seq("spark", "query", "table")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"), col("toks"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg("dl").as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("t"))
+      .filter(col("t").isin(terms: _*))
+      .groupBy("doc_id", "dl", "t").agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy("t").agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(df), "t").crossJoin(stats)
+      .withColumn("idf", log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("score", col("idf") * col("tf") * (lit(1.2) + 1.0) /
+        (col("tf") + lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id").agg(round(sum("score"), 4).as("bm25"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(desc("bm25"), asc("doc_id"))
+      .limit(20)
+  }
+
+  /** l-diversity companion to [[qKanon]]: within each quasi-identifier
+    * group, how many DISTINCT sensitive values (account-balance bands in
+    * integer cents — k-anonymity without l-diversity still leaks when a
+    * whole group shares one sensitive value). Flags k < 5 or l < 2.
+    *
+    * 100 TB shape: one hash-agg on (QI, band) then one on QI — both
+    * map-side combined; integer banding (cents div 100000) is exact. */
+  val qLDiversity: Q = (s, d) =>
+    Tables.customer(s, d)
+      .select(col("c_nationkey").cast("long").as("nationkey"),
+        col("c_mktsegment").as("mktsegment"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT) div 100000").as("band"))
+      .groupBy("nationkey", "mktsegment")
+      .agg(count(lit(1)).as("k"), countDistinct("band").as("l"),
+        (count(lit(1)) < 5 || countDistinct("band") < 2).cast("long").as("at_risk"))
+      .orderBy("nationkey", "mktsegment")
+
   val all: Map[String, Q] = Map(
+    "q_bm25_search" -> qBm25Search,
+    "q_ldiversity" -> qLDiversity,
     "q_temperature_mix" -> qTemperatureMix,
     "q_kanon" -> qKanon,
     "q_embed_outliers" -> qEmbedOutliers,
@@ -219,6 +270,32 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_bm25_search" ->
+      """WITH docs AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        | FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM docs),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |           avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf FROM (
+        |  SELECT doc_id, dl, unnest(toks) AS t FROM dl)
+        | WHERE t IN ('spark', 'query', 'table') GROUP BY 1, 2, 3),
+        |df AS (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY t),
+        |sc AS (SELECT doc_id,
+        |  ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * (1.2 + 1.0) /
+        |    (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS score
+        | FROM tf JOIN df USING (t), stats)
+        |SELECT doc_id, round(sum(score), 4) AS bm25, count(*) AS n_terms_hit
+        |FROM sc GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "q_ldiversity" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey, c_mktsegment AS mktsegment,
+        | count(*) AS k,
+        | count(DISTINCT CAST(round(c_acctbal * 100) AS BIGINT) // 100000) AS l,
+        | CAST((count(*) < 5 OR
+        |   count(DISTINCT CAST(round(c_acctbal * 100) AS BIGINT) // 100000) < 2)
+        |  AS BIGINT) AS at_risk
+        |FROM customer GROUP BY 1, 2 ORDER BY nationkey, mktsegment""".stripMargin,
     "q_temperature_mix" ->
       """WITH cnt AS (
         | SELECT source, CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens

@@ -47,6 +47,22 @@ object Streaming {
       .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
       .select(col("window.start").as("hour"), col("cnt"), col("sum_value"))
 
+  /** Streaming event-rate anomaly alarm — the streaming sibling of batch
+    * q_rate_anomaly: watermarked hourly counts z-scored against FIXED
+    * reference moments (mu, sigma), emitting only anomalous hours. The
+    * moments come from a trailing batch profile (the batch query), not
+    * from the stream itself: an online mean would adapt TO the anomaly it
+    * is supposed to flag. State is the engine-managed window store,
+    * evicted past the watermark — bounded like the tumbling agg. */
+  def rateAnomaly(events: DataFrame, mu: Double, sigma: Double): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("hour"), col("cnt"))
+      .withColumn("z", round((col("cnt") - lit(mu)) / lit(sigma), 4))
+      .filter(abs(col("z")) > 2.0)
+
   /** Native gap-based SESSION WINDOWS — the streaming sibling of batch
     * q_sessionize's lag+cumsum: `session_window(ts, gap)` opens a window
     * [ts, ts+gap) per event and merges overlapping windows per user, so

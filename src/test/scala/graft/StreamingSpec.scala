@@ -223,6 +223,25 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(again.sameElements(got))
   }
 
+  test("streaming rate anomaly equals batch q_rate_anomaly given the batch moments") {
+    // reference moments from the batch profile (NOT the stream: an online
+    // mean would adapt to the anomaly it should flag)
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val m = hourly.agg(round(avg("cnt"), 4), round(stddev_samp("cnt"), 4)).head()
+    val (mu, sigma) = (m.getDouble(0), m.getDouble(1))
+    val stream = Streaming.rateAnomaly(
+      Streaming.readEvents(spark, sfDir), mu, sigma)
+    val got = Streaming.runAvailableNow(spark, stream, "stream_rate_anomaly")
+      .orderBy("hour").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2)))
+    val want = graft.queries.Events.qRateAnomaly(spark, sfDir)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty && got.sameElements(want),
+      s"stream ${got.take(3).mkString(",")} != batch ${want.take(3).mkString(",")}")
+  }
+
   test("windowed stream agg equals batch date_trunc agg") {
     val stream = Streaming.windowedAgg(Streaming.readEvents(spark, sfDir))
     val result = Streaming.runAvailableNow(spark, stream, "stream_windowed")
