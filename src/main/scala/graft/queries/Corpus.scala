@@ -257,7 +257,59 @@ object Corpus {
         (count(lit(1)) < 5 || countDistinct("band") < 2).cast("long").as("at_risk"))
       .orderBy("nationkey", "mktsegment")
 
+  /** Chi-square independence scan: is the event-type mix stable across
+    * weekdays? Per-(type, isodow) observed vs expected-under-independence
+    * counts, aggregated to a per-type statistic (summing them gives the
+    * table's chi2; dof = (types-1)(7-1)). A drifting cell means the
+    * event mix depends on the day — the seasonality check run before
+    * treating any daily sample as representative.
+    *
+    * 100 TB shape: one (type, dow)-keyed hash-agg; margins are tiny
+    * broadcasts; the statistic is computed on the contingency table —
+    * O(types × 7) rows — not the event stream. */
+  val qChiSquare: Q = (s, d) => {
+    val obs = Tables.events(s, d)
+      .select(col("event_type"), (weekday(col("ts")) + 1).cast("long").as("dow"))
+      .groupBy("event_type", "dow").agg(count(lit(1)).cast("double").as("o"))
+    val rowM = obs.groupBy("event_type").agg(sum("o").as("rm"))
+    val colM = obs.groupBy("dow").agg(sum("o").as("cm"))
+    val tot = obs.agg(sum("o").as("n"))
+    obs.join(broadcast(rowM), "event_type").join(broadcast(colM), "dow")
+      .crossJoin(tot)
+      .withColumn("e", col("rm") * col("cm") / col("n"))
+      .withColumn("contrib", (col("o") - col("e")) * (col("o") - col("e")) / col("e"))
+      .groupBy("event_type")
+      .agg(sum("o").cast("long").as("n_events"),
+        round(sum("contrib"), 4).as("chi2_contrib"))
+      .orderBy("event_type")
+  }
+
+  /** Categorical mutual information I(lang; source) in nats, reported as
+    * per-lang partial sums (their total is the table MI). Near-zero MI =
+    * language is independent of source; high MI = sources are
+    * language-siloed — which changes how language-balanced sampling must
+    * stratify.
+    *
+    * 100 TB shape: identical to [[qChiSquare]] — the statistic lives on
+    * the (lang × source) contingency table, never the corpus. */
+  val qMutualInfo: Q = (s, d) => {
+    val obs = Tables.documents(s, d)
+      .groupBy("lang", "source").agg(count(lit(1)).cast("double").as("o"))
+    val rowM = obs.groupBy("lang").agg(sum("o").as("rm"))
+    val colM = obs.groupBy("source").agg(sum("o").as("cm"))
+    val tot = obs.agg(sum("o").as("n"))
+    obs.join(broadcast(rowM), "lang").join(broadcast(colM), "source")
+      .crossJoin(tot)
+      .withColumn("term",
+        (col("o") / col("n")) * log(col("o") * col("n") / (col("rm") * col("cm"))))
+      .groupBy("lang")
+      .agg(sum("o").cast("long").as("n_docs"), round(sum("term"), 4).as("mi_contrib"))
+      .orderBy("lang")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_chi_square" -> qChiSquare,
+    "q_mutual_info" -> qMutualInfo,
     "q_bm25_search" -> qBm25Search,
     "q_ldiversity" -> qLDiversity,
     "q_temperature_mix" -> qTemperatureMix,
@@ -270,6 +322,30 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_chi_square" ->
+      """WITH obs AS (
+        | SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow,
+        |  CAST(count(*) AS DOUBLE) AS o
+        | FROM events GROUP BY 1, 2),
+        |rm AS (SELECT event_type, sum(o) AS rm FROM obs GROUP BY 1),
+        |cm AS (SELECT dow, sum(o) AS cm FROM obs GROUP BY 1),
+        |tot AS (SELECT sum(o) AS n FROM obs)
+        |SELECT event_type, CAST(sum(o) AS BIGINT) AS n_events,
+        | round(sum((o - rm * cm / n) * (o - rm * cm / n) / (rm * cm / n)), 4)
+        |   AS chi2_contrib
+        |FROM obs JOIN rm USING (event_type) JOIN cm USING (dow), tot
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_mutual_info" ->
+      """WITH obs AS (
+        | SELECT lang, source, CAST(count(*) AS DOUBLE) AS o
+        | FROM documents GROUP BY 1, 2),
+        |rm AS (SELECT lang, sum(o) AS rm FROM obs GROUP BY 1),
+        |cm AS (SELECT source, sum(o) AS cm FROM obs GROUP BY 1),
+        |tot AS (SELECT sum(o) AS n FROM obs)
+        |SELECT lang, CAST(sum(o) AS BIGINT) AS n_docs,
+        | round(sum((o / n) * ln(o * n / (rm * cm))), 4) AS mi_contrib
+        |FROM obs JOIN rm USING (lang) JOIN cm USING (source), tot
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_bm25_search" ->
       """WITH docs AS (
         | SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
