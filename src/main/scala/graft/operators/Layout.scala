@@ -35,7 +35,13 @@ object Layout {
     * 4 longs). `numFiles` sizes the range partitioning — at cluster
     * scale pick (table bytes / target file size); the range boundaries
     * come from Spark's reservoir sampling of the z column, after which
-    * the layout is one exchange + per-partition sort. */
+    * the layout is one exchange + per-partition sort.
+    *
+    * This is the INTEGER-key path: the scaling and z-value are exact
+    * integer math, replayable bit-for-bit by any engine (the
+    * q_zorder_layout oracle does). For float keys use the double-scaled
+    * writer [[graft.operators.Scale.zorderWrite]] — same ZOrder2
+    * expression, double min-max normalization. */
   def zorderLayout(df: DataFrame, k1: Column, k2: Column,
                    numFiles: Int): DataFrame = {
     val named = df

@@ -160,11 +160,19 @@ object Scale {
   }
 
   /** Z-order (Morton-curve) clustered write on two numeric columns:
-    * min/max-normalize each to 16 bits, interleave the bits, then
-    * range-partition + sort by the z-value. Each output file then covers
-    * a tight rectangle in (x, y), so parquet min/max stats prune scans
-    * filtered on EITHER column — multi-dimensional pruning from a
-    * one-dimensional layout. Stats collection is one tiny agg job. */
+    * min/max-normalize each to 16 bits, interleave the bits via the
+    * codegen'd [[graft.functions.ZOrder2]] expression (one fused loop —
+    * replaces this method's original 16-term shift/mask Column reduce,
+    * which evaluated 48 expression nodes per row), then range-partition +
+    * sort by the z-value. Each output file then covers a tight rectangle
+    * in (x, y), so parquet min/max stats prune scans filtered on EITHER
+    * column — multi-dimensional pruning from a one-dimensional layout.
+    * Stats collection is one tiny agg job.
+    *
+    * This is the general NUMERIC path (double min-max scaling, works for
+    * float columns); for integer keys where the z-value itself must be
+    * integer-exact / cross-engine-replayable, use
+    * [[graft.operators.Layout.zorderLayout]]. */
   def zorderWrite(df: DataFrame, colX: String, colY: String, n: Int,
                   path: String): Unit = {
     val r = df.agg(min(colX), max(colX), min(colY), max(colY)).first()
@@ -174,12 +182,8 @@ object Scale {
       if (hi == lo) lit(0L)
       else least(lit(65535L),
         ((c.cast("double") - lit(lo)) / lit(hi - lo) * 65536.0).cast("long"))
-    val nx = norm16(col(colX), loX, hiX)
-    val ny = norm16(col(colY), loY, hiY)
-    val z = (0 until 16).map { i =>
-      shiftright(nx, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
-        shiftright(ny, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
-    }.reduce(_ + _)
+    val z = graft.functions.ZOrder2.zorder2(
+      norm16(col(colX), loX, hiX), norm16(col(colY), loY, hiY))
     df.withColumn("__z", z)
       .repartitionByRange(n, col("__z"))
       .sortWithinPartitions("__z")
