@@ -307,7 +307,51 @@ object Corpus {
       .orderBy("lang")
   }
 
+  /** Window-free per-group argmax: richest customer per nation via two
+    * hash-aggs and a broadcast join (max value per group → tie-break on
+    * min key among the maxima) instead of a rank() window. On a 100 TB
+    * fact table the window form sorts EVERY group's rows; this form
+    * shuffles one row per group twice and never sorts — the idiom to
+    * reach for when only the argmax survives. */
+  val qArgmax: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+      .select(col("c_nationkey").cast("long").as("nationkey"),
+        col("c_custkey").as("custkey"), col("c_acctbal").as("acctbal"))
+    val mx = c.groupBy("nationkey")
+      .agg(max("acctbal").as("best_acctbal"))
+      .withColumnRenamed("nationkey", "mx_nationkey")
+    c.join(broadcast(mx), col("nationkey") === col("mx_nationkey") &&
+        col("acctbal") === col("best_acctbal"))
+      .groupBy("nationkey", "best_acctbal")
+      .agg(min("custkey").as("best_custkey"))
+      .select("nationkey", "best_custkey", "best_acctbal")
+      .orderBy("nationkey")
+  }
+
+  /** Curriculum deciles: documents cut into 10 length bands per language
+    * (ntile over a FULLY deterministic order — n_chars then doc_id), with
+    * per-band counts and bounds. The banding behind length-staged
+    * training curricula and per-band quality review.
+    *
+    * 100 TB shape: the window partitions by lang — parallel across
+    * languages; within one language ntile is a sort, the honest cost of
+    * exact deciles (the approx-percentile path is the sort-free
+    * alternative, q_percentiles). */
+  val qCurriculum: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy("lang", "decile")
+      .agg(count(lit(1)).as("n_docs"),
+        min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+      .orderBy("lang", "decile")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_argmax" -> qArgmax,
+    "q_curriculum" -> qCurriculum,
     "q_chi_square" -> qChiSquare,
     "q_mutual_info" -> qMutualInfo,
     "q_bm25_search" -> qBm25Search,
@@ -322,6 +366,24 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_argmax" ->
+      """WITH mx AS (
+        | SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        |  max(c_acctbal) AS best_acctbal
+        | FROM customer GROUP BY 1)
+        |SELECT nationkey, min(c_custkey) AS best_custkey, best_acctbal
+        |FROM customer JOIN mx
+        |  ON CAST(c_nationkey AS BIGINT) = nationkey AND c_acctbal = best_acctbal
+        |GROUP BY nationkey, best_acctbal ORDER BY nationkey""".stripMargin,
+    "q_curriculum" ->
+      """WITH t AS (
+        | SELECT lang, doc_id, n_chars,
+        |  CAST(ntile(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+        |    AS BIGINT) AS decile
+        | FROM documents)
+        |SELECT lang, decile, count(*) AS n_docs,
+        | min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM t GROUP BY 1, 2 ORDER BY lang, decile""".stripMargin,
     "q_chi_square" ->
       """WITH obs AS (
         | SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow,

@@ -404,7 +404,43 @@ object Events {
       .orderBy("hour")
   }
 
+  /** CDC changelog → snapshot: replay the event log as entity operations
+    * (signup = insert, error = delete, purchase = balance credit) and
+    * materialize the LIVE account state — alive iff the last signup
+    * postdates the last error, balance = purchases since that signup.
+    * The batch form of applying an upsert/delete stream to a table.
+    *
+    * 100 TB shape: one user-keyed hash-agg derives the entity lifecycle
+    * (last signup/error) as conditional aggregates, then the SURVIVORS
+    * join the purchase slice on user_id — both sides pre-filtered, no
+    * window, no per-user collect (a collect_list variant would
+    * materialize per-user event lists, unbounded under skew); integer
+    * cents end to end. */
+  val qCdcSnapshot: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        unix_micros(col("ts")).as("us"))
+    ev.groupBy("user_id")
+      .agg(
+        max(when(col("event_type") === "signup", col("us"))).as("last_signup"),
+        max(when(col("event_type") === "error", col("us"))).as("last_error"))
+      .filter(col("last_signup").isNotNull &&
+        (col("last_error").isNull || col("last_error") < col("last_signup")))
+      .join(ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("us"), col("cents")), Seq("user_id"), "left")
+      .withColumn("counted",
+        when(col("us") > col("last_signup"), lit(1L)).otherwise(lit(0L)))
+      .groupBy("user_id", "last_signup")
+      .agg(sum("counted").as("n_purchases"),
+        coalesce(sum(when(col("counted") === 1L, col("cents"))), lit(0L))
+          .as("balance_cents"))
+      .select(col("user_id"), col("n_purchases"), col("balance_cents"))
+      .orderBy("user_id")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_cdc_snapshot" -> qCdcSnapshot,
     "q_rate_anomaly" -> qRateAnomaly,
     "q_concurrency" -> qConcurrency,
     "q_retention_cohorts" -> qRetentionCohorts,
@@ -440,6 +476,28 @@ object Events {
       |       FROM sess GROUP BY user_id, session_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_cdc_snapshot" ->
+      """WITH ev AS (
+        | SELECT user_id, event_type,
+        |  CAST(round(value * 100) AS BIGINT) AS cents, epoch_us(ts) AS us
+        | FROM events),
+        |life AS (
+        | SELECT user_id,
+        |  max(CASE WHEN event_type = 'signup' THEN us END) AS last_signup,
+        |  max(CASE WHEN event_type = 'error' THEN us END) AS last_error
+        | FROM ev GROUP BY user_id),
+        |alive AS (
+        | SELECT user_id, last_signup FROM life
+        | WHERE last_signup IS NOT NULL
+        |   AND (last_error IS NULL OR last_error < last_signup))
+        |SELECT a.user_id,
+        | CAST(coalesce(sum(CASE WHEN p.us > a.last_signup THEN 1 END), 0)
+        |   AS BIGINT) AS n_purchases,
+        | CAST(coalesce(sum(CASE WHEN p.us > a.last_signup THEN p.cents END), 0)
+        |   AS BIGINT) AS balance_cents
+        |FROM alive a LEFT JOIN (SELECT * FROM ev WHERE event_type = 'purchase') p
+        |  ON a.user_id = p.user_id
+        |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
     "q_rate_anomaly" ->
       """WITH h AS (
         | SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
