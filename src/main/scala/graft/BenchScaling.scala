@@ -65,6 +65,9 @@ object BenchScaling {
 
     def pass(dir: String): Map[String, Either[String, Double]] =
       heavy.map { name =>
+        // same measurement hygiene as Bench: collect the previous query's
+        // garbage OUTSIDE this query's timing window
+        System.gc()
         val t0 = System.nanoTime()
         // registry lookup inside the try: a renamed/removed query must
         // land in its own err entry, not abort the whole run's output
