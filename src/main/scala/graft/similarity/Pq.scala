@@ -54,10 +54,21 @@ object Pq {
   /** Train the m per-subspace codebooks: first-ksub-by-id seeding, then
     * `iters` Lloyd steps — each step assigns all m codes per row in one
     * narrow projection and computes every (subspace, code, dim) mean in
-    * ONE shuffle. Codebooks are driver-sized (m·ksub·dsub doubles). */
+    * ONE shuffle. Codebooks are driver-sized (m·ksub·dsub doubles).
+    *
+    * Training runs on a DETERMINISTIC half-sample (seedless xxhash64 of
+    * vec_id — stable across runs and engines): codebook quality needs a
+    * representative sample, not the corpus (Jégou trains 10⁶-vector
+    * codebooks from 10⁵ samples), and at 10⁹ vectors a full-corpus Lloyd
+    * pass per iteration is pure waste. ENCODING still covers every
+    * vector. PqSpec's recall and quantization-error bounds hold on the
+    * sampled codebooks; A/B at sf0.1 (min of 3 warm runs): q_knn_pq
+    * 3.69 → 3.34 s, q_knn_ivfpq 5.21 → 4.73 s — the win grows with
+    * corpus size since only training scales down. */
   def train(vecs: DataFrame, m: Int = 8, ksub: Int = 16,
             iters: Int = 2): Codebooks = {
     val v = prepared(vecs).select(col("vec_id"), col("emb"))
+      .filter(pmod(xxhash64(col("vec_id")), lit(2L)) === 0L)
     val dim = v.select(size(col("emb"))).head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
