@@ -123,11 +123,18 @@ object Ivf {
             firstKSeed: Boolean = false): (DataFrame, DataFrame) = {
     val spark = vecs.sparkSession
     val v = prepared(vecs).select("vec_id", "emb", "nrm")
+    // Lloyd steps run on a deterministic half-sample (seedless xxhash64 of
+    // vec_id), the same rationale as Pq.train: centroid quality needs a
+    // representative sample, not the corpus, and at 10⁹ vectors the
+    // per-iteration pass is the training cost. ASSIGNMENT below still
+    // covers every vector; IvfSpec's recall floors hold on the sampled
+    // centroids.
+    val vt = v.filter(pmod(xxhash64(col("vec_id")), lit(2L)) === 0L)
     var cents: Centroids =
-      if (firstKSeed) firstKSeeds(v, k) else seedCentroids(v, k)
+      if (firstKSeed) firstKSeeds(vt, k) else seedCentroids(vt, k)
     for (_ <- 0 until iters) {
       cents = collectCentroids(
-        v.withColumn("cid", assignExpr(col("emb"), cents))
+        vt.withColumn("cid", assignExpr(col("emb"), cents))
           .select(col("cid"), posexplode(col("emb")).as(Seq("dim", "x")))
           .groupBy("cid", "dim").agg(avg("x").as("m"))
           .groupBy("cid")
