@@ -27,7 +27,8 @@ object SparkEntry {
       graft.queries.Graph.all ++
       graft.queries.Events.all ++
       graft.queries.Quality.all ++
-      graft.queries.Corpus.all
+      graft.queries.Corpus.all ++
+      graft.queries.Analytics.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -44,5 +45,6 @@ object SparkEntry {
       graft.queries.Graph.oracles ++
       graft.queries.Events.oracles ++
       graft.queries.Quality.oracles ++
-      graft.queries.Corpus.oracles
+      graft.queries.Corpus.oracles ++
+      graft.queries.Analytics.oracles
 }

@@ -310,6 +310,58 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Directional containment join: pairs (a, b), a ≠ b, where at least
+    * `num`/`den` of a's shingles also appear in b — the asymmetric
+    * near-dup Jaccard misses (a short doc quoted whole inside a long one
+    * has high containment but low Jaccard, since the union is dominated
+    * by the long doc). The threshold is an integer RATIO, compared as
+    * `den·common ≥ num·na` — no float threshold anywhere, so the keep
+    * decision is bit-identical in any engine.
+    *
+    * Same inverted-index shape and skew machinery as [[jaccardPairs]]
+    * (8-byte xxhash64 join keys, one up-front repartition on the shingle
+    * hash shared by every consumer, `maxDf` hot-shingle cap with the
+    * exact broadcast correction); the only structural differences are the
+    * direction (a ≠ b instead of a < b — both directions of a pair are
+    * real, distinct findings here) and the denominator (na, not the
+    * union). */
+  def containmentPairs(docs: DataFrame, num: Int, den: Int,
+                       maxDf: Int = Int.MaxValue): DataFrame = {
+    val inv = shingled(docs)
+      .select(col("doc_id"), col("nsh"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), col("nsh"), xxhash64(col("shingle")).as("hs"))
+      .repartition(col("hs"))
+    val capped = maxDf != Int.MaxValue
+    lazy val hot = inv.groupBy("hs").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("hs")
+    val indexed =
+      if (capped) inv.join(broadcast(hot), Seq("hs"), "left_anti") else inv
+    val counted = indexed.as("a").join(indexed.as("b"), col("a.hs") === col("b.hs"))
+      .filter(col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.nsh").as("na"))
+      .groupBy("a_id", "b_id", "na")
+      .agg(count(lit(1)).as("cold_common"))
+    val corrected =
+      if (!capped) counted.withColumn("common", col("cold_common"))
+      else {
+        val hotPerDoc = inv.join(broadcast(hot), Seq("hs"))
+          .groupBy("doc_id").agg(collect_set("hs").as("hh"))
+        counted
+          .join(hotPerDoc.select(col("doc_id").as("a_id"), col("hh").as("ha")),
+            Seq("a_id"), "left")
+          .join(hotPerDoc.select(col("doc_id").as("b_id"), col("hh").as("hb")),
+            Seq("b_id"), "left")
+          .withColumn("common", col("cold_common") +
+            coalesce(size(array_intersect(col("ha"), col("hb"))), lit(0)).cast("long"))
+      }
+    corrected
+      .filter(col("common") * den >= col("na") * num)
+      .select(col("a_id"), col("b_id"), col("na").cast("long").as("na"),
+        col("common").cast("long").as("common"),
+        round(col("common").cast("double") / col("na"), 4).as("containment"))
+  }
+
   /** MinHash signatures for all docs via explode + 64-way min-aggregate
     * (one shuffle on doc_id; every hash is a cheap long→long xxhash64 in
     * codegen — no higher-order lambdas, whose captured subtrees Spark
