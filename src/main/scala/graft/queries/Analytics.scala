@@ -7,13 +7,17 @@ import graft.Tables
 import graft.dedup.Dedup
 import graft.text.TextFunctions._
 
-/** r7b analytics batch — four cross-domain operators a curation/BI stack
+/** r7b analytics batch — cross-domain operators a curation/BI stack
   * reaches for next: Pareto-frontier selection (skyline), directional
-  * containment dedup, first-occurrence n-gram novelty, and multi-touch
-  * purchase attribution. All four DuckDB-oracle-paired; float discipline
-  * follows the repo convention (integer thresholds and integer credit
-  * units wherever a comparison or a sum could drift, rounding only on
-  * final reported values).
+  * containment dedup, first-occurrence n-gram novelty, multi-touch
+  * purchase attribution, PCA structure reporting, farthest-first
+  * coresets, content-defined chunking, leakage-free temporal splits,
+  * deflate-compressibility profiling, and the per-source dataset card.
+  * DuckDB-oracle-paired wherever SQL can express the semantics (all but
+  * the eigensolve, the float-argmax coreset, and the compressor); float
+  * discipline follows the repo convention (integer thresholds, integer
+  * credit units, integer cents wherever a comparison or a sum could
+  * drift — rounding only on final reported values).
   */
 object Analytics {
   type Q = (SparkSession, String) => DataFrame
@@ -127,14 +131,179 @@ object Analytics {
     attributed.unionByName(direct).orderBy("channel")
   }
 
+  /** Embeddings with the canonical double-vector column. */
+  private def embDouble(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"),
+      col("label").cast("long").as("label"),
+      expr("transform(embedding, x -> cast(x as double))").as("emb"))
+
+  /** PCA structure report: fit top-2 principal components
+    * ([[graft.ml.Pca]] — one-pass distributed sufficient statistics,
+    * driver-sized Jacobi eigensolve), project every embedding, report
+    * per-label moments of the projected coordinates plus the global
+    * explained-variance ratios. The "is the label structure visible in
+    * 2 linear dims" diagnostic run before trusting labels downstream.
+    *
+    * Rows-only: an eigendecomposition is not ANSI-SQL-expressible; the
+    * fit itself is pinned by PcaSpec (residual ‖Cv−λv‖, orthonormality,
+    * projected-variance ≡ eigenvalue, determinism). */
+  val qPcaProject: Q = (s, d) => {
+    val v = embDouble(s, d)
+    val dim = v.select(size(col("emb"))).limit(1).collect().head.getInt(0)
+    val fit = graft.ml.Pca.fit(v, dim, k = 2)
+    val evr = fit.eigenvalues.map(e => math.rint(e / fit.totalVar * 10000) / 10000)
+    v.withColumn("pc1", graft.ml.Pca.projection(col("emb"), fit.components(0)))
+      .withColumn("pc2", graft.ml.Pca.projection(col("emb"), fit.components(1)))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg("pc1"), 4).as("mean_pc1"), round(stddev_samp("pc1"), 4).as("sd_pc1"),
+        round(avg("pc2"), 4).as("mean_pc2"), round(stddev_samp("pc2"), 4).as("sd_pc2"))
+      .withColumn("evr1", lit(evr(0))).withColumn("evr2", lit(evr(1)))
+      .orderBy("label")
+  }
+
+  /** Farthest-first k-center coreset (k = 8) over the embeddings
+    * ([[graft.similarity.Coreset]]): the selection order, each pick's
+    * vec_id, and the coverage radius the pick reduced. Rows-only
+    * (float-argmax selection); the greedy invariants are spec-pinned
+    * (non-increasing radii, brute-force parity at sf0.001). */
+  val qCoreset: Q = (s, d) => {
+    val picked = graft.similarity.Coreset.kCenter(embDouble(s, d), 8)
+    import s.implicits._
+    picked.zipWithIndex.map { case ((id, _, r), i) =>
+      (i + 1L, id, if (r.isNaN) 0.0 else math.rint(r * 1e6) / 1e6)
+    }.toDF("sel_idx", "vec_id", "radius").orderBy("sel_idx")
+  }
+
+  /** Content-defined chunking census ([[graft.text.Chunker]] — rolling
+    * polynomial-hash boundaries, exact integer math): per-source chunk
+    * counts, mean chunk length, and the chunk-level duplication ratio
+    * (1 − distinct/total over md5 chunk fingerprints) — the CDC
+    * prefilter view of cross-version redundancy that document-level
+    * dedup can't see. Oracle replays the identical polynomial in SQL. */
+  val qCdcChunks: Q = (s, d) => {
+    val ch = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(graft.text.Chunker.chunks(col("text"))).as("chunk"))
+    ch.groupBy("source").agg(
+        countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        round(avg(length(col("chunk"))), 4).as("avg_chunk_len"),
+        countDistinct(md5(col("chunk"))).as("n_distinct_chunks"))
+      .withColumn("dup_ratio",
+        round(lit(1.0) - col("n_distinct_chunks").cast("double") / col("n_chunks"), 4))
+      .orderBy("source")
+  }
+
+  /** Leakage-free temporal split: per user, the FIRST 80% of events (by
+    * (ts, event_id) — a total order, so the cut is deterministic) go to
+    * train, the rest to test — the split that respects causality for
+    * sequence models, where a random split leaks future context into
+    * training. Integer math: rn ≤ (4n div 5).
+    *
+    * 100 TB shape: one user-partitioned window (parallel across users,
+    * spillable within one) + a per-user count broadcast-joined back via
+    * a count(*) OVER the same partition — no second shuffle. */
+  val qTemporalSplit: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val cnt = Window.partitionBy("user_id")
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(cnt))
+      .withColumn("split",
+        when(col("rn") * 5 <= col("n") * 4, "train").otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("n_users"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("total_value_c"))
+      .orderBy("split")
+  }
+
+  /** Deflate-compressibility profile per source
+    * ([[graft.text.Compressibility]]): mean/min/max compression ratio —
+    * repetitive (templated/spammy) sources score low, noise-like ones
+    * high. Rows-only: no SQL engine exposes a compressor; determinism
+    * and the monotone repetitive-vs-random invariant are spec-pinned. */
+  val qCompressRatio: Q = (s, d) =>
+    graft.text.Compressibility.withRatio(Tables.documents(s, d))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("ratio"), 4).as("avg_ratio"),
+        round(min("ratio"), 4).as("min_ratio"),
+        round(max("ratio"), 4).as("max_ratio"))
+      .orderBy("source")
+
+  /** Dataset card: the per-source datasheet row a release ships with —
+    * doc/token/language counts, exact-duplicate share, and the median
+    * document length (lower median via
+    * [[graft.operators.Percentiles.groupedMedianLow]] — a datum, so
+    * bit-identical cross-engine). One scan feeds the token/lang/dup
+    * aggs; the median adds the one sort order statistics honestly cost.
+    */
+  val qDatasetCard: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val base = docs
+      .withColumn("nt", size(tokens(col("text"))).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("nt").as("n_tokens"),
+        countDistinct("lang").as("n_langs"))
+    val dups = docs.groupBy("source", "text")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum(col("c") - 1).as("n_dup_docs"))
+    val med = graft.operators.Percentiles.groupedMedianLow(
+      docs.select(col("source"), col("n_chars")), "source", "n_chars", "med_chars")
+    base.join(dups, "source").join(med, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_langs"),
+        col("n_dup_docs"), col("med_chars"))
+      .orderBy("source")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_temporal_split" -> qTemporalSplit,
+    "q_compress_ratio" -> qCompressRatio,
+    "q_dataset_card" -> qDatasetCard,
     "q_skyline" -> qSkyline,
     "q_containment" -> qContainment,
     "q_ngram_novelty" -> qNgramNovelty,
     "q_attribution" -> qAttribution,
+    "q_pca_project" -> qPcaProject,
+    "q_coreset" -> qCoreset,
+    "q_cdc_chunks" -> qCdcChunks,
   )
 
   val oracles: Map[String, String] = Map(
+    "q_temporal_split" ->
+      """WITH w AS (
+        | SELECT user_id, value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |  count(*) OVER (PARTITION BY user_id) AS n
+        | FROM events)
+        |SELECT CASE WHEN rn * 5 <= n * 4 THEN 'train' ELSE 'test' END AS split,
+        | count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_c
+        |FROM w GROUP BY 1 ORDER BY split""".stripMargin,
+    "q_dataset_card" ->
+      """WITH base AS (
+        | SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
+        |  count(DISTINCT lang) AS n_langs
+        | FROM documents GROUP BY source),
+        |dups AS (
+        | SELECT source, CAST(sum(c - 1) AS BIGINT) AS n_dup_docs FROM (
+        |  SELECT source, text, count(*) AS c FROM documents GROUP BY 1, 2)
+        | GROUP BY source),
+        |med AS (
+        | SELECT source, n_chars AS med_chars FROM (
+        |  SELECT source, n_chars,
+        |   row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+        |   count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        | WHERE rn = (n + 1) // 2)
+        |SELECT source, n_docs, n_tokens, n_langs, n_dup_docs, med_chars
+        |FROM base JOIN dups USING (source) JOIN med USING (source)
+        |ORDER BY source""".stripMargin,
     "q_skyline" ->
       """WITH p AS (
         | SELECT p_brand AS brand, CAST(p_partkey AS BIGINT) AS partkey,
@@ -211,5 +380,40 @@ object Analytics {
         |  count(*) AS n_purchases
         | FROM p WHERE p_id NOT IN (SELECT p_id FROM tot))
         |SELECT * FROM att UNION ALL SELECT * FROM dir ORDER BY channel""".stripMargin,
+    // identical polynomial rolling hash (base 31, window 8, divisor 64),
+    // exact int64 arithmetic: max term 0xFFFF·31⁷ ≈ 1.8e15, ×8 < 2⁶³
+    "q_cdc_chunks" ->
+      """WITH c AS (
+        | SELECT doc_id, source, text,
+        |  list_transform(string_split_regex(text, ''),
+        |    ch -> CAST(ascii(ch) AS BIGINT)) AS codes
+        | FROM documents),
+        |b AS (
+        | SELECT doc_id, source, text, len(codes) AS n,
+        |  list_concat(
+        |   list_filter(range(8, greatest(len(codes), 8) + 1),
+        |    i -> i < len(codes) AND
+        |     list_sum(list_transform(range(1, 9),
+        |       j -> codes[i - 8 + j] *
+        |            ([1, 31, 961, 29791, 923521, 28629151, 887503681,
+        |              27512614111][j]))) % 64 = 0),
+        |   [CAST(len(codes) AS BIGINT)]) AS bounds
+        | FROM c),
+        |sp AS (
+        | SELECT doc_id, source,
+        |  unnest(list_zip(list_concat([CAST(0 AS BIGINT)],
+        |            bounds[1:len(bounds)-1]), bounds)) AS z
+        | FROM b),
+        |ck AS (
+        | SELECT doc_id, source,
+        |  substr(c.text, CAST(z[1] + 1 AS INT),
+        |         CAST(z[2] - z[1] AS INT)) AS chunk
+        | FROM sp JOIN c USING (doc_id, source))
+        |SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
+        | round(avg(length(chunk)), 4) AS avg_chunk_len,
+        | count(DISTINCT md5(chunk)) AS n_distinct_chunks,
+        | round(1.0 - CAST(count(DISTINCT md5(chunk)) AS DOUBLE) / count(*), 4)
+        |   AS dup_ratio
+        |FROM ck GROUP BY source ORDER BY source""".stripMargin,
   )
 }

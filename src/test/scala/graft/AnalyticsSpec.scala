@@ -65,6 +65,101 @@ class AnalyticsSpec extends AnyFunSuite with SharedSpark {
     assert(rows.map(_.getString(0)).toSet == Set("click", "view", "direct"))
   }
 
+  test("k-center coreset matches the in-memory greedy referee") {
+    val data = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var sel = Vector(data.head._1)
+    var expectedRadii = Vector.empty[Double]
+    while (sel.size < 8) {
+      val selVecs = sel.map(id => data.find(_._1 == id).get._2)
+      val far = data.map { case (id, v) => (id, selVecs.map(c => d2(v, c)).min) }
+        .maxBy { case (id, dd) => (dd, -id) }
+      sel = sel :+ far._1
+      expectedRadii = expectedRadii :+ math.sqrt(far._2)
+    }
+    val got = graft.queries.Analytics.qCoreset(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toVector == sel, s"picks ${got.map(_._1).toVector} vs $sel")
+    got.drop(1).map(_._2).zip(expectedRadii).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-5, s"radius $g vs $e")
+    }
+    // greedy k-center radii never increase
+    val radii = got.drop(1).map(_._2)
+    radii.sliding(2).foreach {
+      case Array(a, b) => assert(b <= a + 1e-9, s"radius grew: $a -> $b")
+      case _ =>
+    }
+  }
+
+  test("CDC chunker matches an in-memory rolling-hash referee and reassembles the text") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .limit(30).collect().map(r => r.getLong(0) -> r.getString(1))
+    def refBounds(t: String): Vector[Long] = {
+      val codes = t.map(_.toLong)
+      val pow = Array.iterate(1L, 8)(_ * 31L)
+      val cuts = (8 to codes.length).filter { i =>
+        i < codes.length &&
+          (0 until 8).map(j => codes(i - 8 + j) * pow(j)).sum % 64 == 0
+      }.map(_.toLong).toVector
+      cuts :+ codes.length.toLong
+    }
+    val df = spark.createDataFrame(docs.toSeq).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), graft.text.Chunker.boundaries(col("text")).as("b"),
+        graft.text.Chunker.chunks(col("text")).as("ch"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toVector,
+        r.getSeq[String](2), r.getString(3)))
+    val byId = docs.toMap
+    got.foreach { case (id, bounds, chunks, text) =>
+      assert(bounds == refBounds(byId(id)), s"doc $id boundary mismatch")
+      assert(chunks.mkString == text, s"doc $id chunks don't reassemble")
+    }
+  }
+
+  test("CDC boundaries are shift-invariant beyond the edit region") {
+    val text = Tables.documents(spark, sfDir).select("text").limit(1)
+      .collect().head.getString(0)
+    val prefix = "INSERTED EDIT "
+    val df = spark.createDataFrame(Seq((1L, text), (2L, prefix + text)))
+      .toDF("id", "text")
+    val b = df.select(col("id"), graft.text.Chunker.boundaries(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val p = prefix.length
+    // every original cut (not the end-of-doc bound) reappears shifted by
+    // the edit length; new cuts can only exist inside the edit window
+    val origCuts = b(1L).dropRight(1)
+    val shiftedCuts = b(2L).dropRight(1).filter(_ >= p + 8)
+    assert(shiftedCuts == origCuts.map(_ + p),
+      s"cuts not shift-invariant: $shiftedCuts vs ${origCuts.map(_ + p)}")
+  }
+
+  test("compressibility: repetitive text scores lower than varied text, deterministically") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam spam spam " * 8),
+      (2L, (0 until 96).map(i => s"w${i * 7919 % 997}x${i * 104729 % 1009}").mkString(" "))
+    )).toDF("doc_id", "text")
+    def ratios = graft.text.Compressibility.withRatio(df)
+      .select("doc_id", "ratio").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val r1 = ratios
+    assert(r1(1L) < r1(2L), s"repetitive ${r1(1L)} should compress below varied ${r1(2L)}")
+    assert(r1.values.forall(v => v > 0.0 && v < 2.0))
+    assert(ratios == r1, "deflate ratios must be deterministic across runs")
+  }
+
+  test("temporal split puts exactly the first 4n/5 events of every user in train") {
+    val perUser = Tables.events(spark, sfDir)
+      .groupBy("user_id").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expTrain = perUser.values.map(n => n * 4 / 5).sum
+    val got = graft.queries.Analytics.qTemporalSplit(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("train") == expTrain, s"train ${got("train")} vs $expTrain")
+    assert(got("train") + got("test") == perUser.values.sum)
+  }
+
   test("ngram novelty: every source ratio is in (0, 1] and the earliest doc is fully novel") {
     val rows = Analytics.qNgramNovelty(spark, sfDir).collect()
     assert(rows.nonEmpty)
