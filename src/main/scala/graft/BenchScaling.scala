@@ -49,7 +49,13 @@ object BenchScaling {
     // candidate shuffle), SemDeDup's within-cluster quadratic, the
     // cluster-keyed leakage-free split (closure + per-row hash), and the
     // PQ pipeline (codebook training shuffles + narrow ADC scan)
-    "q_dup_spans", "q_semdedup", "q_leakage_split", "q_knn_pq")
+    "q_dup_spans", "q_semdedup", "q_leakage_split", "q_knn_pq",
+    // r7b: directional containment (the inverted-index join cost under
+    // the asymmetric denominator), CDC chunking (per-char rolling-hash
+    // expression + md5 census), first-occurrence novelty (shingle-keyed
+    // global map + join-back), and the PCA sufficient-statistic pass
+    // (d² per-row products into a d²-key hash-agg)
+    "q_containment", "q_cdc_chunks", "q_ngram_novelty", "q_pca_project")
 
   def main(args: Array[String]): Unit = {
     val smallDir = sys.env.getOrElse("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.01")

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -260,7 +260,68 @@ object Analytics {
       .orderBy("source")
   }
 
+  /** Deterministic portable epoch shuffle: the data-ordering operator a
+    * training pipeline needs for reproducible epochs — shard and
+    * within-shard order derived ONLY from md5(doc_id:epoch), so any
+    * engine (and any rerun, on any cluster layout) produces the
+    * identical sequence. Shard = first two hex digits mod 8 (uniform);
+    * within-shard rank over (hash, doc_id). The order_checksum
+    * (Σ doc_id·rank, exact integer) certifies the full per-shard
+    * SEQUENCE cross-engine, not just membership.
+    *
+    * 100 TB shape: shard assignment is a per-row expression; the rank
+    * window partitions by shard — embarrassingly parallel, no global
+    * order anywhere. */
+  val qEpochShuffle: Q = (s, d) => {
+    val h = md5(concat(col("doc_id").cast("string"), lit(":"), lit("1")))
+    def hx(i: Int): Column =
+      expr(s"instr('0123456789abcdef', substring(h, $i, 1)) - 1")
+    val w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    Tables.documents(s, d).select(col("doc_id"))
+      .withColumn("h", h)
+      .withColumn("shard", pmod(hx(1) * 16 + hx(2), lit(8)).cast("long"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id") * col("rn")).as("order_checksum"))
+      .orderBy("shard")
+  }
+
+  /** Two-sample A/B test (Welch z) on purchase values, variant =
+    * user_id parity: the experiment read-out an analytics engine ships —
+    * per-variant n/mean, the z statistic, and the |z| > 1.96 call.
+    * All moments flow from EXACT integer-cent sums (Σv, Σv² as longs) —
+    * the double arithmetic after is the same expression tree in both
+    * engines, so the 4dp-rounded statistic cannot drift. One conditional
+    * aggregation pass, map-side combined. */
+  val qAbTest: Q = (s, d) => {
+    val p = Tables.events(s, d).filter(col("event_type") === "purchase")
+      .withColumn("va", pmod(col("user_id"), lit(2)))
+      .withColumn("vc", expr("CAST(round(value * 100) AS BIGINT)"))
+    def side(v: Int, c: Column) = sum(when(col("va") === v, c).otherwise(lit(0L)))
+    p.agg(
+        side(0, lit(1L)).as("n_a"), side(1, lit(1L)).as("n_b"),
+        side(0, col("vc")).as("s_a"), side(1, col("vc")).as("s_b"),
+        side(0, col("vc") * col("vc")).as("ss_a"),
+        side(1, col("vc") * col("vc")).as("ss_b"))
+      .withColumn("mean_a", round(col("s_a") / col("n_a") / 100.0, 4))
+      .withColumn("mean_b", round(col("s_b") / col("n_b") / 100.0, 4))
+      // square in DOUBLE: (Σcents)² overflows int64 at sf0.1 scale
+      .withColumn("var_a",
+        (col("ss_a") - col("s_a").cast("double") * col("s_a") / col("n_a")) /
+          (col("n_a") - 1) / 10000.0)
+      .withColumn("var_b",
+        (col("ss_b") - col("s_b").cast("double") * col("s_b") / col("n_b")) /
+          (col("n_b") - 1) / 10000.0)
+      .withColumn("z", round((col("s_a") / col("n_a") - col("s_b") / col("n_b")) / 100.0 /
+        sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b")), 4))
+      .withColumn("significant", (abs(col("z")) > 1.96).cast("long"))
+      .select("n_a", "n_b", "mean_a", "mean_b", "z", "significant")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_epoch_shuffle" -> qEpochShuffle,
+    "q_ab_test" -> qAbTest,
     "q_temporal_split" -> qTemporalSplit,
     "q_compress_ratio" -> qCompressRatio,
     "q_dataset_card" -> qDatasetCard,
@@ -274,6 +335,48 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_epoch_shuffle" ->
+      """WITH t AS (
+        | SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':' || '1') AS h
+        | FROM documents),
+        |sh AS (
+        | SELECT doc_id, h,
+        |  ((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 +
+        |   (instr('0123456789abcdef', substr(h, 2, 1)) - 1)) % 8 AS shard
+        | FROM t),
+        |r AS (
+        | SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS rn
+        | FROM sh)
+        |SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
+        | CAST(sum(doc_id * rn) AS BIGINT) AS order_checksum
+        |FROM r GROUP BY shard ORDER BY shard""".stripMargin,
+    "q_ab_test" ->
+      """WITH p AS (
+        | SELECT user_id % 2 AS va, CAST(round(value * 100) AS BIGINT) AS vc
+        | FROM events WHERE event_type = 'purchase'),
+        |st AS (
+        | SELECT
+        |  CAST(sum(CASE WHEN va = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN va = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |  CAST(sum(CASE WHEN va = 0 THEN vc ELSE 0 END) AS BIGINT) AS s_a,
+        |  CAST(sum(CASE WHEN va = 1 THEN vc ELSE 0 END) AS BIGINT) AS s_b,
+        |  CAST(sum(CASE WHEN va = 0 THEN vc * vc ELSE 0 END) AS BIGINT) AS ss_a,
+        |  CAST(sum(CASE WHEN va = 1 THEN vc * vc ELSE 0 END) AS BIGINT) AS ss_b
+        | FROM p),
+        |v AS (
+        | SELECT *,
+        |  (ss_a - CAST(s_a AS DOUBLE) * s_a / n_a) / (n_a - 1) / 10000.0 AS var_a,
+        |  (ss_b - CAST(s_b AS DOUBLE) * s_b / n_b) / (n_b - 1) / 10000.0 AS var_b
+        | FROM st)
+        |SELECT n_a, n_b,
+        | round(CAST(s_a AS DOUBLE) / n_a / 100.0, 4) AS mean_a,
+        | round(CAST(s_b AS DOUBLE) / n_b / 100.0, 4) AS mean_b,
+        | round((CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b) / 100.0 /
+        |       sqrt(var_a / n_a + var_b / n_b), 4) AS z,
+        | CAST(abs(round((CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b) / 100.0 /
+        |       sqrt(var_a / n_a + var_b / n_b), 4)) > 1.96 AS BIGINT) AS significant
+        |FROM v""".stripMargin,
     "q_temporal_split" ->
       """WITH w AS (
         | SELECT user_id, value,

@@ -82,10 +82,22 @@ object Graph {
         sum(col("w.a") + col("w.b") + col("w.c")).as("node_checksum"))
   }
 
+  /** Connected components via large-star/small-star contraction
+    * ([[graft.graph.BigStar]]) on the SAME near-dup pair graph
+    * q_dedup_clusters resolves by min-label propagation — two round
+    * complexities, one contract, held to the identical recursive-CTE
+    * oracle. Propagation needs O(diameter) rounds; star contraction
+    * O(log²) — the variant a long-chained 100 TB graph requires. */
+  val qCcBigStar: Q = (s, d) =>
+    graft.graph.BigStar.components(
+      graft.dedup.Dedup.jaccardPairs(Tables.documents(s, d), 0.6, maxDf = 16))
+      .orderBy("id")
+
   val all: Map[String, Q] = Map(
     "q_pagerank" -> qPagerank,
     "q_degree_stats" -> qDegreeStats,
     "q_triangles" -> qTriangles,
+    "q_cc_bigstar" -> qCcBigStar,
   )
 
   private val edgeCtes =
@@ -101,6 +113,9 @@ object Graph {
        | GROUP BY u.dst)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same contract as the propagation path — the closure oracle is
+    // shared verbatim, so both algorithms are held to one ground truth
+    "q_cc_bigstar" -> DedupSim.oracles("q_dedup_clusters"),
     "q_pagerank" ->
       s"""WITH $edgeCtes,
          |deg AS (SELECT src, count(*) AS deg FROM und GROUP BY src),

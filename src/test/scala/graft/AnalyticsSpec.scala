@@ -160,6 +160,47 @@ class AnalyticsSpec extends AnyFunSuite with SharedSpark {
     assert(got("train") + got("test") == perUser.values.sum)
   }
 
+  test("large-star/small-star components equal min-label propagation on the same pair graph") {
+    val pairs = graft.dedup.Dedup.jaccardPairs(
+      Tables.documents(spark, sfDir), 0.6, maxDf = 16)
+    val viaProp = graft.dedup.Dedup.dupClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaStar = graft.graph.BigStar.components(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaStar == viaProp,
+      s"missing=${(viaProp -- viaStar).take(3)} extra=${(viaStar -- viaProp).take(3)}")
+    assert(viaStar.nonEmpty)
+  }
+
+  test("epoch shuffle is deterministic and partitions every doc exactly once") {
+    val total = Tables.documents(spark, sfDir).count()
+    def run() = graft.queries.Analytics.qEpochShuffle(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val a = run(); val b = run()
+    assert(a.sameElements(b), "epoch shuffle must be run-stable")
+    assert(a.map(_._2).sum == total)
+    assert(a.map(_._1).distinct.length == a.length)
+  }
+
+  test("welch z matches an in-memory recomputation from the raw purchases") {
+    val vals = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("value")).collect()
+      .map(r => (r.getLong(0) % 2, math.rint(r.getDouble(1) * 100).toLong))
+    def stats(v: Long) = {
+      val xs = vals.filter(_._1 == v).map(_._2)
+      val n = xs.length.toDouble
+      val s = xs.sum.toDouble
+      val ss = xs.map(x => x.toDouble * x).sum
+      (n, s / n / 100.0, (ss - s * s / n) / (n - 1) / 10000.0)
+    }
+    val (na, ma, va) = stats(0); val (nb, mb, vb) = stats(1)
+    val z = math.rint((ma - mb) / math.sqrt(va / na + vb / nb) * 10000) / 10000
+    val row = graft.queries.Analytics.qAbTest(spark, sfDir).collect().head
+    assert(row.getLong(0) == na.toLong && row.getLong(1) == nb.toLong)
+    assert(math.abs(row.getDouble(4) - z) < 1e-3, s"z ${row.getDouble(4)} vs $z")
+  }
+
   test("ngram novelty: every source ratio is in (0, 1] and the earliest doc is fully novel") {
     val rows = Analytics.qNgramNovelty(spark, sfDir).collect()
     assert(rows.nonEmpty)
