@@ -1,0 +1,182 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Perceptual image hashing (the classic DCT pHash) + near-duplicate
+  * image pairing — image-level dedup for a multimodal corpus: re-encoded,
+  * slightly-retouched, or resized copies of one image land within a few
+  * bits of each other, while distinct images differ in ~32 of 64 bits.
+  *
+  * Pipeline shape (all per-row until the candidate join):
+  *  1. decode + hash in ONE `mapPartitions` pass (javax.imageio, same
+  *     justification and SPI as [[Multimodal.decodeWith]]): nearest-
+  *     sample to 32×32 grayscale, 2-D DCT-II (StrictMath cos table —
+  *     bit-stable anywhere), threshold the 63 low-frequency AC
+  *     coefficients against their median → one 64-bit long per image.
+  *  2. candidate generation by BANDING the hash into 4×16-bit words
+  *     (pigeonhole: hamming ≤ 10 pairs collide on ≥ 1 word when bits
+  *     spread — the same OR-amplification the SimHash text path uses):
+  *     equality join on (band, word), never an all-pairs compare.
+  *  3. exact verify: bit_count(xor) ≤ threshold — codegen'd.
+  *
+  * 100 TB shape: payload bytes never shuffle (hashes are 8 B/row); the
+  * join is equality on 8-byte keys; Σ|bucket|² is bounded because a
+  * 16-bit word over diverse images spreads across 65 536 buckets.
+  */
+object Phash {
+
+  private val N = 32 // resample grid; DCT over the full grid, keep 8×8
+
+  private lazy val cosTable: Array[Array[Double]] = {
+    // cos((2x+1)·u·π / 2N) via StrictMath: identical bits on every JVM
+    Array.tabulate(N, N)((u, x) =>
+      StrictMath.cos((2 * x + 1) * u * StrictMath.PI / (2.0 * N)))
+  }
+
+  /** 64-bit perceptual hash of a decoded image. Deterministic: nearest
+    * sampling, integer luma, StrictMath DCT, lower-median threshold. */
+  def phash64(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    val g = Array.ofDim[Double](N, N)
+    var y = 0
+    while (y < N) {
+      var x = 0
+      while (x < N) {
+        val p = img.getRGB(x * w / N, y * h / N)
+        g(y)(x) = (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 +
+          (p & 0xff) * 114) / 1000.0
+        x += 1
+      }
+      y += 1
+    }
+    // 2-D DCT-II, keeping only the 8×8 low-frequency block
+    val dct = Array.ofDim[Double](8, 8)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0.0
+        var yy = 0
+        while (yy < N) {
+          var xx = 0
+          while (xx < N) {
+            s += g(yy)(xx) * cosTable(u)(yy) * cosTable(v)(xx)
+            xx += 1
+          }
+          yy += 1
+        }
+        dct(u)(v) = s
+        v += 1
+      }
+      u += 1
+    }
+    val ac = (for (i <- 0 until 8; j <- 0 until 8 if i != 0 || j != 0)
+      yield dct(i)(j)).toArray
+    val med = ac.sorted.apply((ac.length + 1) / 2 - 1) // lower median datum
+    var bits = 0L
+    var k = 0
+    for (i <- 0 until 8; j <- 0 until 8 if i != 0 || j != 0) {
+      if (dct(i)(j) > med) bits |= (1L << k)
+      k += 1
+    }
+    bits
+  }
+
+  /** (media_id, phash) for every decodable payload — one decode+hash
+    * pass, unreadable rows dropped (they have no perceptual content). */
+  def hashes(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+          if (img == null) None else Some((id, phash64(img)))
+        }
+      }.toDF("media_id", "phash")
+  }
+
+  /** Near-duplicate image pairs: banded candidates, exact hamming
+    * verify, `maxHamming` bits apart or closer. */
+  def nearDupPairs(spark: SparkSession, media: DataFrame,
+                   maxHamming: Int = 10): DataFrame = {
+    val hs = hashes(spark, media)
+    val banded = hs.select(col("media_id"), col("phash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("phash"), b * 16).bitwiseAND(lit(0xffffL)).as("word"))): _*))
+          .as("bw"))
+      .select(col("media_id"), col("phash"),
+        col("bw.band").as("band"), col("bw.word").as("word"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.word") === col("b.word") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("a_id"), col("b.media_id").as("b_id"),
+        col("a.phash").as("pa"), col("b.phash").as("pb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("pa").bitwiseXOR(col("pb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
+  }
+
+  /** Pattern parameters for gid: (stripe phase, stripe width, green
+    * shift, diagonal slope) — ~14k distinct visual combinations, so two
+    * different gids share a pattern only by pigeonhole at corpus scale
+    * (such a collision is a TRUE visual duplicate, not a hash error —
+    * the spec verifies any non-twin pair has equal parameters). */
+  def patternParams(gid: Long): (Int, Int, Int, Int) = (
+    (gid * 2654435761L % 31L).toInt,
+    3 + (gid % 7L).toInt,
+    ((gid / 7) % 13L).toInt * 20,
+    4 + ((gid / 91) % 5L).toInt)
+
+  /** Patterned synthetic PNGs for the pHash path: consecutive (2k, 2k+1)
+    * ids render the SAME id-derived gradient+stripe pattern, the odd one
+    * with a tiny corner retouch — planted near-dup twins; different k →
+    * visually distinct patterns. (The solid-color
+    * [[Multimodal.syntheticPngs]] corpus is degenerate for a DCT hash:
+    * every AC coefficient is zero.) */
+  def patternPngs(spark: SparkSession, ids: DataFrame): DataFrame = {
+    import spark.implicits._
+    // the id column comes from a single small parquet file → 1 scan
+    // partition; PNG encode + DCT are CPU-bound per row, so spread the
+    // (8-byte) ids across all cores before the heavy mapPartitions
+    ids.select(col("doc_id")).repartition(spark.sparkContext.defaultParallelism)
+      .as[Long].mapPartitions { it =>
+      it.map { id =>
+        val gid = id / 2
+        val p = patternParams(gid)
+        val w = 48; val h = 48
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val base = ((x + p._1) / p._2 % 2) * 160 +
+              ((x * p._4 + y * 3) % 96)
+            val r = base; val g = (base + p._3) % 256
+            val b = 255 - base
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        if (id % 2 == 1) { // the retouch: a 3×3 corner patch
+          var yy = 0
+          while (yy < 3) {
+            var xx = 0
+            while (xx < 3) { img.setRGB(xx, yy, 0xffffff); xx += 1 }
+            yy += 1
+          }
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (id, bos.toByteArray)
+      }
+    }.toDF("media_id", "payload")
+  }
+}

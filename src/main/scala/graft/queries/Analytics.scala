@@ -182,9 +182,9 @@ object Analytics {
     * prefilter view of cross-version redundancy that document-level
     * dedup can't see. Oracle replays the identical polynomial in SQL. */
   val qCdcChunks: Q = (s, d) => {
-    val ch = Tables.documents(s, d)
-      .select(col("doc_id"), col("source"),
-        explode(graft.text.Chunker.chunks(col("text"))).as("chunk"))
+    val ch = graft.text.Chunker
+      .withChunks(Tables.documents(s, d).select("doc_id", "source", "text"), "text")
+      .select(col("doc_id"), col("source"), explode(col("chunks")).as("chunk"))
     ch.groupBy("source").agg(
         countDistinct("doc_id").as("n_docs"),
         count(lit(1)).as("n_chunks"),

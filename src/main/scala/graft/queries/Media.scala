@@ -91,7 +91,20 @@ object Media {
         col("width"), col("height"), col("mean_r"))
       .orderBy("media_id", "frame_idx")
 
+  /** Perceptual near-dup image pairs ([[graft.multimodal.Phash]]):
+    * id-patterned PNGs where each even/odd id pair renders the same
+    * gradient+stripe pattern with a tiny retouch on the odd twin —
+    * DCT pHash + 16-bit-band candidate join + exact hamming verify
+    * should recover exactly the planted twins. Rows-only (a DCT over
+    * decoded pixels has no SQL form); the twin-recovery precision/recall
+    * invariant is spec-pinned. */
+  val qImagePhash: Q = (s, d) =>
+    graft.multimodal.Phash.nearDupPairs(s,
+        graft.multimodal.Phash.patternPngs(s, Tables.documents(s, d)))
+      .orderBy("a_id", "b_id")
+
   val all: Map[String, Q] = Map(
+    "q_image_phash" -> qImagePhash,
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_media_features" -> qMediaFeatures,
     "q_image_decode" -> qImageDecode,

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Content-defined chunking (the rsync/LBFS/FastCDC family): cut each
@@ -11,13 +11,22 @@ import org.apache.spark.sql.functions._
   * matching after edits, which is why CDC is the standard prefilter for
   * near-identical-version storage and crawl-snapshot dedup.
   *
-  * Engine shape: everything is per-row higher-order-function expressions
-  * (`transform`/`filter`/`aggregate` over the char-code array) — no UDF,
-  * no explode until the final per-chunk accounting, zero shuffle in the
+  * Engine shape: per-row higher-order-function expressions — no UDF, no
+  * explode until the caller's per-chunk accounting, zero shuffle in the
   * chunker itself. The polynomial window hash is EXACT integer math
   * (max term 0xFFFF·31⁷ ≈ 1.8e15, summed ×8 < 2⁶³), so boundaries are
   * bit-identical in any engine with 64-bit integers — the DuckDB oracle
   * replays the identical polynomial.
+  *
+  * IMPORTANT construction detail: every intermediate (char codes,
+  * boundary list, span list) is BOUND TO ITS OWN COLUMN via successive
+  * projections, so lambdas only ever capture attribute references. A
+  * naive single expression tree captures the `codes` subtree inside the
+  * position-filter lambda and re-evaluates the whole O(n) transform per
+  * element — O(n²·w) per document (the repo's known higher-order-lambda
+  * pitfall; measured as a ~50× slowdown here). CollapseProject keeps the
+  * projections apart because each bound array is referenced more than
+  * once by its consumer.
   */
 object Chunker {
   val B = 31L          // polynomial base
@@ -27,38 +36,45 @@ object Chunker {
   private val powers: Array[Long] =
     Array.iterate(1L, Window)(_ * B) // B^0 .. B^(w-1)
 
-  /** 1-based char positions where a chunk ENDS (window hash hits the
-    * boundary), always including the document end. */
-  def boundaries(text: Column): Column = {
-    // split("", -1) keeps a trailing empty string in Spark — slice it off
-    // (DuckDB's string_split_regex does not produce one)
-    val codes = transform(slice(split(text, ""), lit(1), length(text)),
-      c => ascii(c).cast("long"))
-    val n = size(codes)
-    val hashAt = (i: Column) =>
-      aggregate(sequence(lit(1), lit(Window)),
-        lit(0L),
-        (acc, j) => acc + element_at(codes, (i - Window + j).cast("int")) *
-          element_at(array(powers.map(lit): _*), j.cast("int")))
-    // cut strictly before the end, then append the end — keeps the list
-    // ascending and duplicate-free WITHOUT array_distinct (whose
-    // order-preservation DuckDB's list_distinct does not guarantee, and
-    // the oracle replays this construction verbatim)
-    val cut = filter(sequence(lit(Window), greatest(n, lit(Window))),
-      i => i < n && pmod(hashAt(i), lit(Divisor)) === 0)
-    concat(cut, array(n.cast("long")))
-  }
+  /** Window hash ending at 1-based position `i` over a BOUND codes
+    * column: 8 statically-unrolled element_at reads — no nested
+    * aggregate, no captured subtrees. */
+  private def hashAt(codes: Column, i: Column): Column =
+    (1 to Window).map(j =>
+      element_at(codes, (i - Window + j).cast("int")) * lit(powers(j - 1)))
+      .reduce(_ + _)
 
-  /** Array of (start-exclusive, end-inclusive) chunk spans from the
-    * boundary positions: zip the 0-prepended bounds with themselves
-    * shifted by one. */
-  def chunkSpans(bounds: Column): Column = {
-    val starts = concat(array(lit(0L)), slice(bounds, lit(1), size(bounds) - 1))
-    zip_with(starts, bounds, (s, e) => struct(s.as("s"), e.as("e")))
+  /** Adds `bounds` (1-based char positions where a chunk ends, always
+    * including the doc end) and `chunks` (the chunk texts) for
+    * `textCol`. Intermediates are dropped. */
+  def withChunks(df: DataFrame, textCol: String): DataFrame = {
+    val text = col(textCol)
+    // split("", -1) keeps a trailing empty string in Spark — slice it
+    // off (DuckDB's string_split_regex does not produce one)
+    df
+      .withColumn("__codes",
+        transform(slice(split(text, ""), lit(1), length(text)),
+          c => ascii(c).cast("long")))
+      .withColumn("__n", size(col("__codes")).cast("long"))
+      // cut strictly before the end, then append the end — ascending and
+      // duplicate-free WITHOUT array_distinct (whose order preservation
+      // DuckDB's list_distinct does not guarantee); the oracle replays
+      // this construction verbatim
+      .withColumn("bounds",
+        concat(
+          filter(sequence(lit(Window.toLong), greatest(col("__n"), lit(Window.toLong))),
+            i => i < col("__n") &&
+              pmod(hashAt(col("__codes"), i), lit(Divisor)) === 0),
+          array(col("__n"))))
+      .withColumn("__spans",
+        zip_with(
+          concat(array(lit(0L)),
+            slice(col("bounds"), lit(1), greatest(size(col("bounds")) - 1, lit(0)))),
+          col("bounds"),
+          (s, e) => struct(s.as("s"), e.as("e"))))
+      .withColumn("chunks",
+        transform(col("__spans"),
+          sp => text.substr((sp("s") + 1).cast("int"), (sp("e") - sp("s")).cast("int"))))
+      .drop("__codes", "__n", "__spans")
   }
-
-  /** The chunk texts themselves (substring by char positions). */
-  def chunks(text: Column): Column =
-    transform(chunkSpans(boundaries(text)),
-      sp => text.substr((sp("s") + 1).cast("int"), (sp("e") - sp("s")).cast("int")))
 }

@@ -107,8 +107,8 @@ class AnalyticsSpec extends AnyFunSuite with SharedSpark {
       cuts :+ codes.length.toLong
     }
     val df = spark.createDataFrame(docs.toSeq).toDF("doc_id", "text")
-    val got = df.select(col("doc_id"), graft.text.Chunker.boundaries(col("text")).as("b"),
-        graft.text.Chunker.chunks(col("text")).as("ch"), col("text"))
+    val got = graft.text.Chunker.withChunks(df, "text")
+      .select(col("doc_id"), col("bounds"), col("chunks"), col("text"))
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toVector,
         r.getSeq[String](2), r.getString(3)))
     val byId = docs.toMap
@@ -124,7 +124,7 @@ class AnalyticsSpec extends AnyFunSuite with SharedSpark {
     val prefix = "INSERTED EDIT "
     val df = spark.createDataFrame(Seq((1L, text), (2L, prefix + text)))
       .toDF("id", "text")
-    val b = df.select(col("id"), graft.text.Chunker.boundaries(col("text")))
+    val b = graft.text.Chunker.withChunks(df, "text").select("id", "bounds")
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     val p = prefix.length
     // every original cut (not the end-of-doc bound) reappears shifted by
