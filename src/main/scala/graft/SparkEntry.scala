@@ -28,7 +28,8 @@ object SparkEntry {
       graft.queries.Events.all ++
       graft.queries.Quality.all ++
       graft.queries.Corpus.all ++
-      graft.queries.Analytics.all
+      graft.queries.Analytics.all ++
+      graft.queries.Analytics2.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -46,5 +47,6 @@ object SparkEntry {
       graft.queries.Events.oracles ++
       graft.queries.Quality.oracles ++
       graft.queries.Corpus.oracles ++
-      graft.queries.Analytics.oracles
+      graft.queries.Analytics.oracles ++
+      graft.queries.Analytics2.oracles
 }

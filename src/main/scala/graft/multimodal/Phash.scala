@@ -122,21 +122,54 @@ object Phash {
       .select("a_id", "b_id", "hamming")
   }
 
-  /** Pattern parameters for gid: (stripe phase, stripe width, green
-    * shift, diagonal slope) — ~14k distinct visual combinations, so two
-    * different gids share a pattern only by pigeonhole at corpus scale
-    * (such a collision is a TRUE visual duplicate, not a hash error —
-    * the spec verifies any non-twin pair has equal parameters). */
-  def patternParams(gid: Long): (Int, Int, Int, Int) = (
-    (gid * 2654435761L % 31L).toInt,
-    3 + (gid % 7L).toInt,
-    ((gid / 7) % 13L).toInt * 20,
-    4 + ((gid / 91) % 5L).toInt)
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Pattern parameters for gid — the 64-bit mixed seed that fully
+    * determines the synthetic image's spectrum, split into ints for the
+    * spec's equality compare. Distinct gids always have distinct params,
+    * so ANY non-twin near-dup pair the banding join surfaces is a hash
+    * error by definition (the spec asserts there are none). */
+  def patternParams(gid: Long): (Int, Int, Int, Int) = {
+    val s = splitmix64(gid)
+    ((s >>> 48).toInt, ((s >>> 32) & 0xffff).toInt,
+      ((s >>> 16) & 0xffff).toInt, (s & 0xffff).toInt)
+  }
+
+  /** Per-gid pseudo-random low-frequency spectrum: one amplitude for
+    * every AC coefficient of the 8×8 block the hash keeps, sign uniform,
+    * magnitude bounded away from zero (|a| ∈ [0.35, 1]). Every hash bit
+    * therefore has solid energy behind it — the property real photos'
+    * 1/f spectra give pHash, and exactly what a stripes-only synthetic
+    * pattern lacks (its off-axis coefficients hover at the median, so
+    * bits flip on any perturbation). */
+  private def spectrum(gid: Long): Array[Array[Double]] = {
+    val a = Array.ofDim[Double](8, 8)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        if (u != 0 || v != 0) {
+          val h = splitmix64(gid * 64 + u * 8 + v)
+          val mag = 0.35 + 0.65 * ((h >>> 11).toDouble / (1L << 53).toDouble)
+          a(u)(v) = if ((h & 1L) == 0L) mag else -mag
+        }
+        v += 1
+      }
+      u += 1
+    }
+    a
+  }
 
   /** Patterned synthetic PNGs for the pHash path: consecutive (2k, 2k+1)
-    * ids render the SAME id-derived gradient+stripe pattern, the odd one
-    * with a tiny corner retouch — planted near-dup twins; different k →
-    * visually distinct patterns. (The solid-color
+    * ids render the SAME gid-derived pattern — an inverse-DCT image of
+    * the gid's [[spectrum]] — the odd one with a small corner retouch
+    * (+45 luma on a 2×2 patch) — planted near-dup twins; different k →
+    * visually distinct patterns ~32/64 hash bits apart. (The solid-color
     * [[Multimodal.syntheticPngs]] corpus is degenerate for a DCT hash:
     * every AC coefficient is zero.) */
   def patternPngs(spark: SparkSession, ids: DataFrame): DataFrame = {
@@ -146,32 +179,42 @@ object Phash {
     // (8-byte) ids across all cores before the heavy mapPartitions
     ids.select(col("doc_id")).repartition(spark.sparkContext.defaultParallelism)
       .as[Long].mapPartitions { it =>
+      val w = 64; val h = 64
+      // cos(π·u·(2x+1) / 2W) over the synthesis grid (StrictMath: bit-stable)
+      val cosW = Array.tabulate(8, w)((u, x) =>
+        StrictMath.cos((2 * x + 1) * u * StrictMath.PI / (2.0 * w)))
       it.map { id =>
         val gid = id / 2
-        val p = patternParams(gid)
-        val w = 48; val h = 48
+        val a = spectrum(gid)
         val img = new java.awt.image.BufferedImage(
           w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
         var y = 0
         while (y < h) {
           var x = 0
           while (x < w) {
-            val base = ((x + p._1) / p._2 % 2) * 160 +
-              ((x * p._4 + y * 3) % 96)
-            val r = base; val g = (base + p._3) % 256
-            val b = 255 - base
-            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            var s = 0.0
+            var u = 0
+            while (u < 8) {
+              var v = 0
+              while (v < 8) {
+                s += a(u)(v) * cosW(v)(x) * cosW(u)(y)
+                v += 1
+              }
+              u += 1
+            }
+            // A=8: coefficient floor ≈ 8·0.35·256 ≈ 700 ≫ the ≤45 retouch
+            // delta, so twins land ≤3 bits apart — inside the 4-band
+            // pigeonhole recall guarantee (hamming ≤3 → ≥1 clean band)
+            var g = 128 + (8.0 * s).toInt
+            // the retouch lives on the EVEN sampling grid (phash64 reads
+            // x·64/32 = even pixels), so the twin's hash sees exactly one
+            // perturbed sample — a delta far below the spectrum floor
+            if (id % 2 == 1 && x < 2 && y < 2) g += 45
+            val c = if (g < 0) 0 else if (g > 255) 255 else g
+            img.setRGB(x, y, (c << 16) | (c << 8) | c)
             x += 1
           }
           y += 1
-        }
-        if (id % 2 == 1) { // the retouch: a 3×3 corner patch
-          var yy = 0
-          while (yy < 3) {
-            var xx = 0
-            while (xx < 3) { img.setRGB(xx, yy, 0xffffff); xx += 1 }
-            yy += 1
-          }
         }
         val bos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(img, "png", bos)
