@@ -29,7 +29,8 @@ object SparkEntry {
       graft.queries.Quality.all ++
       graft.queries.Corpus.all ++
       graft.queries.Analytics.all ++
-      graft.queries.Analytics2.all
+      graft.queries.Analytics2.all ++
+      graft.queries.Analytics3.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -48,5 +49,6 @@ object SparkEntry {
       graft.queries.Quality.oracles ++
       graft.queries.Corpus.oracles ++
       graft.queries.Analytics.oracles ++
-      graft.queries.Analytics2.oracles
+      graft.queries.Analytics2.oracles ++
+      graft.queries.Analytics3.oracles
 }

@@ -1,0 +1,329 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.operators.Scale
+
+/** r7d analytics batch — distribution and linkage operators: RFM customer
+  * segmentation on exact global quintiles, Lorenz/Gini concentration,
+  * integer-exact lagged autocorrelation, CUSUM changepoint localization,
+  * Jaro–Winkler record linkage (native codegen'd expression), and
+  * hard-negative mining over the embedding corpus. All quantile ranks go
+  * through [[graft.operators.Scale.denseIds]] (range-partitioned global
+  * rank — no single-partition window on a data-sized frame); day-level
+  * and report-level frames may use plain ordered windows because their
+  * row count is calendar/bucket-bounded, not input-bounded.
+  */
+object Analytics3 {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** RFM segmentation: per purchasing user, Recency (hours from last
+    * purchase to corpus end), Frequency (purchase count), Monetary
+    * (total cents), each cut into exact global quintiles (1..5; recency
+    * quintile 5 = most recent, so higher is always better), then the
+    * per-segment census. Quintiles come from three [[Scale.denseIds]]
+    * total-order ranks ((id−1)·5 div n) — ties broken by user_id, so
+    * both engines assign identical buckets.
+    *
+    * 100 TB shape: events collapse to the user dimension first (one
+    * partial-agg'd shuffle); the three rank passes run on |users| ≪
+    * |events| rows, each range-partitioned — never a one-partition
+    * ntile. */
+  val qRfmSegments: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val horizon = ev.agg(max(unix_micros(col("ts"))).as("end_us"))
+    val users = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(max(unix_micros(col("ts"))).as("last_us"),
+        count(lit(1)).as("f"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("m"))
+      .crossJoin(horizon)
+      .select(col("user_id"),
+        expr("(end_us - last_us) div 3600000000L").as("r_hours"),
+        col("f"), col("m"))
+    def quintile(metric: String, asc: Boolean): DataFrame = {
+      val ranked = Scale.denseIds(
+        users.select(col("user_id"),
+          (if (asc) col(metric) else -col(metric)).as("mv")),
+        "rid", Seq("mv", "user_id"))
+      ranked.crossJoin(users.agg(count(lit(1)).as("n")))
+        .select(col("user_id"),
+          (expr("((rid - 1) * 5) div n") + 1L).as(s"q_$metric"))
+    }
+    users
+      .join(quintile("r_hours", asc = false), Seq("user_id")) // recent = small r_hours = high q
+      .join(quintile("f", asc = true), Seq("user_id"))
+      .join(quintile("m", asc = true), Seq("user_id"))
+      .groupBy(col("q_r_hours").as("rq"), col("q_f").as("fq"), col("q_m").as("mq"))
+      .agg(count(lit(1)).as("n_users"),
+        expr("sum(r_hours) div count(1)").as("avg_r_hours"),
+        expr("sum(f) div count(1)").as("avg_f"),
+        expr("sum(m) div count(1)").as("avg_m_c"))
+      .orderBy("rq", "fq", "mq")
+  }
+
+  /** Lorenz curve + Gini coefficient of order-value concentration:
+    * ranks every order by value ([[Scale.denseIds]] — distributed total
+    * order), reports the cumulative value share at each decile boundary
+    * and the exact Gini (2Σi·xᵢ − (n+1)Σx)/(nΣx) from BIGINT moments
+    * (the rank-sum identity — no pairwise |xᵢ−xⱼ| join). Within-decile
+    * Σx is invariant to tie ordering (equal ranks ↔ equal values), so a
+    * price-only sort key is exact.
+    *
+    * 100 TB shape: one range-partitioned rank pass, one 10-row decile
+    * agg, one scalar agg — Σi·x fits int64 to ~10¹⁸ (≈10¹¹ rows at
+    * TPC-H prices; beyond that move the moments to DECIMAL(38,0)). */
+  val qGiniLorenz: Q = (s, d) => {
+    val priced = Tables.orders(s, d).select(
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_c"))
+    val ranked = Scale.denseIds(priced, "i", Seq("price_c"))
+    val moments = ranked.agg(
+      count(lit(1)).as("n"), sum("price_c").as("tot"),
+      sum(col("i") * col("price_c")).as("ix"))
+    val deciles = ranked.crossJoin(moments.select("n"))
+      .groupBy(expr("((i - 1) * 10) div n").as("decile"))
+      .agg(count(lit(1)).as("n_orders"), sum("price_c").as("dec_value_c"))
+    deciles
+      .withColumn("cum_value_c", sum("dec_value_c").over(
+        Window.orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(moments)
+      .select(col("decile"), col("n_orders"), col("dec_value_c"),
+        expr("(cum_value_c * 1000L) div tot").as("cum_share_milli"),
+        round((lit(2.0) * col("ix") - (col("n") + 1) * col("tot")) /
+          (col("n") * col("tot")), 6).as("gini"))
+      .orderBy("decile")
+  }
+
+  /** Lag-k autocorrelation (k = 1..7) of the daily event count — the
+    * seasonality probe for a feed (a weekly cycle shows as a peak at
+    * k=7). Days join on integer epoch-day (day, day+k); every Pearson
+    * moment (Σxy, Σx, Σx², counts) is an exact BIGINT, with one double
+    * division rounded at the end — no FP accumulation-order hazard.
+    *
+    * 100 TB shape: the daily-count agg is the only input-sized pass;
+    * the lag join and moments run on the |days|·7 calendar frame. */
+  val qAutocorr: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(datediff(to_date(col("ts")), lit("1970-01-01")).as("day_i"))
+      .agg(count(lit(1)).as("x"))
+    val lagged = daily.select(col("day_i"), col("x"))
+      .withColumn("k", explode(sequence(lit(1), lit(7))))
+      .withColumn("day_j", col("day_i") + col("k"))
+      .join(daily.select(col("day_i").as("day_j"), col("x").as("y")), Seq("day_j"))
+    lagged.groupBy("k")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("k").cast("long").as("k"), col("n_pairs"),
+        round((col("n_pairs") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((col("n_pairs") * col("syy") - col("sy") * col("sy")).cast("double"))), 6)
+          .as("r"))
+      .orderBy("k")
+  }
+
+  /** CUSUM changepoint scan over the daily event count: the cumulative
+    * deviation from the global mean, kept exact by scaling with n
+    * (n·Σ_{i≤t}xᵢ − t·Σx — integers only), peaks at the most likely
+    * level-shift point. Emits the full curve with the peak flagged —
+    * the monitoring artifact a feed-health dashboard plots.
+    *
+    * 100 TB shape: input-sized work is the daily agg; the scan is one
+    * ordered window over the calendar frame. */
+  val qCusumChangepoint: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(datediff(to_date(col("ts")), lit("1970-01-01")).as("day_i"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.orderBy("day_i")
+    val curve = daily
+      .withColumn("t", row_number().over(w).cast("long"))
+      .withColumn("cum_x", sum("x").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(daily.agg(count(lit(1)).as("n"), sum("x").as("tot")))
+      .withColumn("cusum_scaled", col("n") * col("cum_x") - col("t") * col("tot"))
+    curve
+      .crossJoin(curve.agg(max(abs(col("cusum_scaled"))).as("peak")))
+      .select(col("day_i").cast("long").as("day_i"), col("x"), col("cusum_scaled"),
+        (abs(col("cusum_scaled")) === col("peak")).cast("long").as("is_peak"))
+      .orderBy("day_i")
+  }
+
+  /** Record linkage over part names: same-brand candidate pairs whose
+    * names land at Jaro–Winkler ≥ 0.92 — blocking (equality join on
+    * brand) bounds the quadratic verify to Σ|block|², and the verifier
+    * is the native codegen'd [[graft.functions.JaroWinklerSim]] (Spark
+    * ships no Jaro family; a Scala UDF would fall out of whole-stage
+    * codegen). Similarity reported at round 6; DuckDB's
+    * jaro_winkler_similarity implements the identical conditional-boost
+    * Winkler, keeping the pair set oracle-checkable.
+    *
+    * 100 TB shape: candidates are an equality self-join on the blocking
+    * key — never all-pairs; a skewed block would salt the same way
+    * [[Dedup]]'s inverted index does. */
+  val qRecordLinkage: Q = (s, d) => {
+    val p = Tables.part(s, d).select(
+      col("p_brand").as("brand"), col("p_partkey").as("pk"), col("p_name").as("nm"))
+    val a = p.select(col("brand"), col("pk").as("pk_a"), col("nm").as("nm_a"))
+    val b = p.select(col("brand"), col("pk").as("pk_b"), col("nm").as("nm_b"))
+    a.join(b, Seq("brand")).filter(col("pk_a") < col("pk_b"))
+      .withColumn("jw", round(
+        graft.functions.JaroWinkler.jaro_winkler(col("nm_a"), col("nm_b")), 6))
+      .filter(col("jw") >= 0.92)
+      .select("brand", "pk_a", "pk_b", "jw")
+      .orderBy("brand", "pk_a", "pk_b")
+  }
+
+  /** Hard-negative mining for contrastive training: for each probe
+    * vector (vec_id ≡ 0 mod 50), the 3 nearest OTHER-label vectors by
+    * cosine — the near-misses a metric-learning loss needs. The
+    * label-mismatch filter runs BEFORE ranking, and the top-k is the
+    * partial WindowGroupLimit shape ([[DedupSim]] brute-kNN plan): each
+    * task keeps only k rows per probe before the exchange.
+    *
+    * 100 TB shape: probes broadcast (driver-sized by the mod filter);
+    * the corpus streams through one codegen'd dot-product pass — no
+    * corpus shuffle, exchange volume is k·|probes|. */
+  val qHardNegatives: Q = (s, d) => {
+    import graft.functions.GraftFunctions.dot_product
+    val v = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("vec"))
+      .withColumn("nrm", sqrt(dot_product(col("vec"), col("vec"))))
+    val probes = v.filter(col("vec_id") % 50 === 0).select(
+      col("vec_id").as("q_id"), col("label").as("q_label"),
+      col("vec").as("q_vec"), col("nrm").as("q_nrm"))
+    val sims = v.join(broadcast(probes), col("vec_id") =!= col("q_id"))
+      .filter(col("label") =!= col("q_label"))
+      .select(col("q_id"), col("vec_id").as("n_id"), col("label").as("n_label"),
+        round(dot_product(col("q_vec"), col("vec")) / (col("q_nrm") * col("nrm")), 6)
+          .as("sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("q_id", "rank", "n_id", "n_label", "sim")
+      .orderBy("q_id", "rank")
+  }
+
+  val all: Map[String, Q] = Map(
+    "q_rfm_segments" -> qRfmSegments,
+    "q_gini_lorenz" -> qGiniLorenz,
+    "q_autocorr" -> qAutocorr,
+    "q_cusum_changepoint" -> qCusumChangepoint,
+    "q_record_linkage" -> qRecordLinkage,
+    "q_hard_negatives" -> qHardNegatives,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_rfm_segments" ->
+      """WITH horizon AS (SELECT max(epoch_us(ts)) AS end_us FROM events),
+        |u AS (
+        | SELECT user_id,
+        |  (end_us - max(epoch_us(ts))) // 3600000000 AS r_hours,
+        |  count(*) AS f,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS m
+        | FROM events CROSS JOIN horizon
+        | WHERE event_type = 'purchase' GROUP BY user_id, end_us),
+        |n AS (SELECT count(*) AS n FROM u),
+        |qr AS (SELECT user_id, ((row_number() OVER (ORDER BY -r_hours, user_id) - 1) * 5) // n + 1 AS rq FROM u CROSS JOIN n),
+        |qf AS (SELECT user_id, ((row_number() OVER (ORDER BY f, user_id) - 1) * 5) // n + 1 AS fq FROM u CROSS JOIN n),
+        |qm AS (SELECT user_id, ((row_number() OVER (ORDER BY m, user_id) - 1) * 5) // n + 1 AS mq FROM u CROSS JOIN n)
+        |SELECT CAST(rq AS BIGINT) AS rq, CAST(fq AS BIGINT) AS fq, CAST(mq AS BIGINT) AS mq,
+        | count(*) AS n_users,
+        | CAST(sum(r_hours) AS BIGINT) // count(*) AS avg_r_hours,
+        | CAST(sum(f) AS BIGINT) // count(*) AS avg_f,
+        | CAST(sum(m) AS BIGINT) // count(*) AS avg_m_c
+        |FROM u JOIN qr USING (user_id) JOIN qf USING (user_id) JOIN qm USING (user_id)
+        |GROUP BY 1, 2, 3 ORDER BY rq, fq, mq""".stripMargin,
+    "q_gini_lorenz" ->
+      """WITH priced AS (
+        | SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS price_c FROM orders),
+        |ranked AS (
+        | SELECT price_c, CAST(row_number() OVER (ORDER BY price_c) AS BIGINT) AS i
+        | FROM priced),
+        |m AS (SELECT count(*) AS n, CAST(sum(price_c) AS BIGINT) AS tot,
+        |       CAST(sum(i * price_c) AS BIGINT) AS ix FROM ranked),
+        |dec AS (
+        | SELECT ((i - 1) * 10) // n AS decile, count(*) AS n_orders,
+        |  CAST(sum(price_c) AS BIGINT) AS dec_value_c
+        | FROM ranked CROSS JOIN m GROUP BY 1),
+        |cum AS (
+        | SELECT decile, n_orders, dec_value_c,
+        |  CAST(sum(dec_value_c) OVER (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_value_c
+        | FROM dec)
+        |SELECT CAST(decile AS BIGINT) AS decile, n_orders, dec_value_c,
+        | (cum_value_c * 1000) // tot AS cum_share_milli,
+        | round((2.0 * ix - (n + 1) * tot) / (CAST(n AS DOUBLE) * tot), 6) AS gini
+        |FROM cum CROSS JOIN m ORDER BY decile""".stripMargin,
+    "q_autocorr" ->
+      """WITH daily AS (
+        | SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_i,
+        |  count(*) AS x
+        | FROM events GROUP BY 1),
+        |lagged AS (
+        | SELECT k.k, a.x AS x, b.x AS y
+        | FROM daily a CROSS JOIN (SELECT unnest(range(1, 8)) AS k) k
+        | JOIN daily b ON b.day_i = a.day_i + k.k)
+        |SELECT CAST(k AS BIGINT) AS k, count(*) AS n_pairs,
+        | round((count(*) * CAST(sum(x * y) AS BIGINT) -
+        |         CAST(sum(x) AS BIGINT) * CAST(sum(y) AS BIGINT)) /
+        |  (sqrt(CAST(count(*) * CAST(sum(x * x) AS BIGINT) -
+        |         CAST(sum(x) AS BIGINT) * CAST(sum(x) AS BIGINT) AS DOUBLE)) *
+        |   sqrt(CAST(count(*) * CAST(sum(y * y) AS BIGINT) -
+        |         CAST(sum(y) AS BIGINT) * CAST(sum(y) AS BIGINT) AS DOUBLE))), 6) AS r
+        |FROM lagged GROUP BY k ORDER BY k""".stripMargin,
+    "q_cusum_changepoint" ->
+      """WITH daily AS (
+        | SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_i,
+        |  count(*) AS x
+        | FROM events GROUP BY 1),
+        |m AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS tot FROM daily),
+        |curve AS (
+        | SELECT day_i, x,
+        |  CAST(row_number() OVER (ORDER BY day_i) AS BIGINT) AS t,
+        |  CAST(sum(x) OVER (ORDER BY day_i
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_x
+        | FROM daily),
+        |sc AS (
+        | SELECT day_i, x, n * cum_x - t * tot AS cusum_scaled
+        | FROM curve CROSS JOIN m),
+        |pk AS (SELECT max(abs(cusum_scaled)) AS peak FROM sc)
+        |SELECT CAST(day_i AS BIGINT) AS day_i, x,
+        | CAST(cusum_scaled AS BIGINT) AS cusum_scaled,
+        | CAST(abs(cusum_scaled) = peak AS BIGINT) AS is_peak
+        |FROM sc CROSS JOIN pk ORDER BY day_i""".stripMargin,
+    "q_record_linkage" ->
+      """SELECT a.p_brand AS brand, a.p_partkey AS pk_a, b.p_partkey AS pk_b,
+        | round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+        |FROM part a JOIN part b
+        | ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.92
+        |ORDER BY brand, pk_a, pk_b""".stripMargin,
+    "q_hard_negatives" ->
+      """WITH v AS (
+        | SELECT vec_id, label,
+        |  list_transform(embedding, x -> x::DOUBLE) AS vec
+        | FROM embeddings),
+        |n AS (
+        | SELECT vec_id, label, vec,
+        |  sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm
+        | FROM v),
+        |probes AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+        |sims AS (
+        | SELECT p.vec_id AS q_id, c.vec_id AS n_id, c.label AS n_label,
+        |  round(list_sum(list_transform(range(1, len(p.vec) + 1),
+        |    i -> p.vec[i] * c.vec[i])) / (p.nrm * c.nrm), 6) AS sim
+        | FROM probes p JOIN n c
+        |  ON c.vec_id <> p.vec_id AND c.label <> p.label),
+        |r AS (
+        | SELECT q_id, n_id, n_label, sim,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rank
+        | FROM sims)
+        |SELECT q_id, rank, n_id, n_label, sim FROM r WHERE rank <= 3
+        |ORDER BY q_id, rank""".stripMargin,
+  )
+}

@@ -18,54 +18,32 @@ import org.apache.spark.sql.functions._
   * bit-identical in any engine with 64-bit integers — the DuckDB oracle
   * replays the identical polynomial.
   *
-  * IMPORTANT construction detail: every intermediate (char codes,
-  * boundary list, span list) is BOUND TO ITS OWN COLUMN via successive
-  * projections, so lambdas only ever capture attribute references. A
-  * naive single expression tree captures the `codes` subtree inside the
-  * position-filter lambda and re-evaluates the whole O(n) transform per
-  * element — O(n²·w) per document (the repo's known higher-order-lambda
-  * pitfall; measured as a ~50× slowdown here). CollapseProject keeps the
-  * projections apart because each bound array is referenced more than
-  * once by its consumer.
+  * The boundary scan is the native codegen'd
+  * [[graft.functions.CdcBounds]] expression — ONE compiled O(n·w) pass
+  * per document. The first cut of this operator composed Spark's
+  * higher-order array functions (transform→filter over a per-position
+  * sequence); those never enter whole-stage codegen, and the filter
+  * lambda captured the O(n) codes transform and re-evaluated it per
+  * position → O(n²·w) interpreted per document, measured >2000 s on ONE
+  * sf0.1 bench task. The per-CHUNK assembly below (spans, substrings)
+  * stays in higher-order functions deliberately: it is O(#chunks) ≈
+  * n/64 per row, where interpreted eval is harmless.
   */
 object Chunker {
   val B = 31L          // polynomial base
   val Window = 8       // rolling window chars
   val Divisor = 64L    // boundary when hash % 64 == 0 → ~64-char chunks
 
-  private val powers: Array[Long] =
-    Array.iterate(1L, Window)(_ * B) // B^0 .. B^(w-1)
-
-  /** Window hash ending at 1-based position `i` over a BOUND codes
-    * column: 8 statically-unrolled element_at reads — no nested
-    * aggregate, no captured subtrees. */
-  private def hashAt(codes: Column, i: Column): Column =
-    (1 to Window).map(j =>
-      element_at(codes, (i - Window + j).cast("int")) * lit(powers(j - 1)))
-      .reduce(_ + _)
-
   /** Adds `bounds` (1-based char positions where a chunk ends, always
     * including the doc end) and `chunks` (the chunk texts) for
     * `textCol`. Intermediates are dropped. */
   def withChunks(df: DataFrame, textCol: String): DataFrame = {
     val text = col(textCol)
-    // split("", -1) keeps a trailing empty string in Spark — slice it
-    // off (DuckDB's string_split_regex does not produce one)
     df
-      .withColumn("__codes",
-        transform(slice(split(text, ""), lit(1), length(text)),
-          c => ascii(c).cast("long")))
-      .withColumn("__n", size(col("__codes")).cast("long"))
-      // cut strictly before the end, then append the end — ascending and
-      // duplicate-free WITHOUT array_distinct (whose order preservation
-      // DuckDB's list_distinct does not guarantee); the oracle replays
-      // this construction verbatim
-      .withColumn("bounds",
-        concat(
-          filter(sequence(lit(Window.toLong), greatest(col("__n"), lit(Window.toLong))),
-            i => i < col("__n") &&
-              pmod(hashAt(col("__codes"), i), lit(Divisor)) === 0),
-          array(col("__n"))))
+      // ascending, duplicate-free, end-position-terminated by
+      // construction (kernel contract); the DuckDB oracle replays the
+      // same polynomial in SQL
+      .withColumn("bounds", graft.functions.CdcBoundsFunctions.cdc_bounds(text))
       .withColumn("__spans",
         zip_with(
           concat(array(lit(0L)),
@@ -75,6 +53,6 @@ object Chunker {
       .withColumn("chunks",
         transform(col("__spans"),
           sp => text.substr((sp("s") + 1).cast("int"), (sp("e") - sp("s")).cast("int"))))
-      .drop("__codes", "__n", "__spans")
+      .drop("__spans")
   }
 }

@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.Analytics3
+import graft.functions.JaroWinkler
+
+/** Semantic property tests for the r7d analytics batch — in-memory
+  * referees for each query's defining invariant, plus the published
+  * Jaro–Winkler reference values for the native expression kernel.
+  */
+class Analytics3Spec extends AnyFunSuite with SharedSpark {
+
+  test("RFM: segments partition the purchasing users, quintiles balanced") {
+    val rows = Analytics3.qRfmSegments(spark, sfDir).collect()
+    val nUsers = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getLong(3)).sum == nUsers, "segments must partition users")
+    rows.foreach { r =>
+      Seq(r.getLong(0), r.getLong(1), r.getLong(2)).foreach(q =>
+        assert(q >= 1 && q <= 5, s"quintile out of range: $r"))
+    }
+    // marginal quintile sizes differ by at most 1 (exact-rank cut property)
+    Seq(0, 1, 2).foreach { dim =>
+      val marginal = rows.groupBy(_.getLong(dim)).view
+        .mapValues(_.map(_.getLong(3)).sum).values.toSeq
+      assert(marginal.max - marginal.min <= 1, s"unbalanced quintiles in dim $dim: $marginal")
+    }
+  }
+
+  test("Gini/Lorenz matches a brute-force referee on sorted cents") {
+    val xs = Tables.orders(spark, sfDir)
+      .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .collect().map(_.getLong(0)).sorted
+    val n = xs.length.toLong
+    val tot = xs.sum
+    val ix = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+    val gini = (2.0 * ix - (n + 1) * tot) / (n.toDouble * tot)
+    val rows = Analytics3.qGiniLorenz(spark, sfDir).collect()
+    assert(rows.length == 10)
+    assert(math.abs(rows.head.getDouble(4) - gini) < 1e-6, "gini mismatch")
+    val shares = rows.map(_.getLong(3))
+    assert(shares.zip(shares.tail).forall(p => p._1 <= p._2), "Lorenz must be monotone")
+    assert(shares.last == 1000L, "full cumulative share must be 1000 milli")
+    assert(rows.map(_.getLong(1)).sum == n)
+  }
+
+  test("autocorrelation matches the in-memory Pearson over lagged days") {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts"))).agg(count(lit(1)))
+      .collect().map(r => r.getDate(0).toLocalDate.toEpochDay -> r.getLong(1)).toMap
+    val got = Analytics3.qAutocorr(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    (1L to 7L).foreach { k =>
+      val pairs = daily.toSeq.flatMap { case (d, x) =>
+        daily.get(d + k).map(y => (x, y)) }
+      val np = pairs.length.toLong
+      val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      val r = (np * sxy - sx * sy).toDouble /
+        (math.sqrt((np * sxx - sx * sx).toDouble) * math.sqrt((np * syy - sy * sy).toDouble))
+      assert(got(k)._1 == np, s"pair count at lag $k")
+      assert(math.abs(got(k)._2 - r) < 1e-6, s"r at lag $k: ${got(k)._2} vs $r")
+    }
+  }
+
+  test("CUSUM: peak flag sits on the argmax of the exact scaled deviations") {
+    val daily = Analytics3.qCusumChangepoint(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = daily.length.toLong
+    val tot = daily.map(_._2).sum
+    var cum = 0L
+    val referee = daily.sortBy(_._1).zipWithIndex.map { case ((d, x, _, _), t) =>
+      cum += x
+      (d, n * cum - (t + 1) * tot)
+    }
+    assert(daily.map(r => (r._1, r._3)).toSet == referee.toSet, "cusum curve mismatch")
+    val peak = referee.map(r => math.abs(r._2)).max
+    daily.foreach { case (d, _, c, f) =>
+      assert((f == 1L) == (math.abs(c) == peak), s"peak flag wrong at day $d")
+    }
+    assert(daily.map(_._4).sum >= 1, "at least one peak row")
+  }
+
+  test("Jaro-Winkler kernel reproduces the published reference values") {
+    val cases = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111111111),
+      ("DWAYNE", "DUANE", 0.8400000000000001),
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("CRATE", "TRACE", 0.7333333333333334), // boost suppressed: no prefix
+      ("abcdef", "abzzzz", 0.5555555555555555), // jaro <= 0.7: no boost despite prefix
+      ("same", "same", 1.0), ("x", "y", 0.0), ("ab", "ba", 0.0))
+    cases.foreach { case (a, b, exp) =>
+      assert(math.abs(JaroWinkler.similarity(a, b) - exp) < 1e-12, s"$a / $b")
+      assert(JaroWinkler.similarity(a, b) == JaroWinkler.similarity(b, a), "symmetry")
+    }
+  }
+
+  test("record linkage: exactly the same-brand pairs at kernel similarity >= 0.92") {
+    val parts = Tables.part(spark, sfDir).select("p_brand", "p_partkey", "p_name")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val expected = (for {
+      a <- parts; b <- parts
+      if a._1 == b._1 && a._2 < b._2
+      jw = BigDecimal(JaroWinkler.similarity(a._3, b._3))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if jw >= 0.92
+    } yield (a._1, a._2, b._2)).toSet
+    val got = Analytics3.qRecordLinkage(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    assert(got.nonEmpty, "fixture must contain linkable names")
+  }
+
+  test("hard negatives: top-3 other-label cosine neighbors per probe") {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val probes = vecs.filter(_._1 % 50 == 0)
+    val expected = probes.flatMap { case (qid, ql, qv) =>
+      vecs.filter(v => v._1 != qid && v._2 != ql)
+        .map(v => (v._1, round6(cos(qv, v._3)))) // rank on the ROUNDED sim, like the query
+        .sortBy { case (nid, s) => (-s, nid) }
+        .take(3).zipWithIndex
+        .map { case ((nid, _), i) => (qid, i + 1L, nid) }
+    }.toSet
+    val got = Analytics3.qHardNegatives(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    // a hard negative is never the probe's own label
+    val gotLabels = Analytics3.qHardNegatives(spark, sfDir).collect()
+    val labelOf = vecs.map(v => v._1 -> v._2).toMap
+    gotLabels.foreach { r =>
+      assert(labelOf(r.getLong(2)) != labelOf(r.getLong(0)), "own-label negative leaked")
+    }
+  }
+}
