@@ -30,7 +30,8 @@ object SparkEntry {
       graft.queries.Corpus.all ++
       graft.queries.Analytics.all ++
       graft.queries.Analytics2.all ++
-      graft.queries.Analytics3.all
+      graft.queries.Analytics3.all ++
+      graft.queries.Analytics4.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -50,5 +51,6 @@ object SparkEntry {
       graft.queries.Corpus.oracles ++
       graft.queries.Analytics.oracles ++
       graft.queries.Analytics2.oracles ++
-      graft.queries.Analytics3.oracles
+      graft.queries.Analytics3.oracles ++
+      graft.queries.Analytics4.oracles
 }

