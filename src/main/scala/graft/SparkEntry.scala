@@ -31,7 +31,8 @@ object SparkEntry {
       graft.queries.Analytics.all ++
       graft.queries.Analytics2.all ++
       graft.queries.Analytics3.all ++
-      graft.queries.Analytics4.all
+      graft.queries.Analytics4.all ++
+      graft.queries.Analytics5.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -52,5 +53,6 @@ object SparkEntry {
       graft.queries.Analytics.oracles ++
       graft.queries.Analytics2.oracles ++
       graft.queries.Analytics3.oracles ++
-      graft.queries.Analytics4.oracles
+      graft.queries.Analytics4.oracles ++
+      graft.queries.Analytics5.oracles
 }

@@ -148,6 +148,46 @@ object Streaming {
       .select("user_id", "click_id", "err_id", "click_ts", "err_ts")
   }
 
+  /** Streaming distribution-drift monitor — the in-flight form of batch
+    * q_hist_drift: per watermarked 6-hour window, the event-value
+    * histogram (10 fixed $50-wide bins, cents div 5000) is compared
+    * against a FIXED baseline profile (milli-shares from a trailing
+    * batch profile — an online baseline would adapt to the drift it
+    * should flag), emitting one row per window with the per-bin L1 gap
+    * in milli units. The whole check is ONE streaming aggregation: bin
+    * counts land as 10 conditional sums in the SAME groupBy(window) agg
+    * (never a second agg on an agg, which append mode cannot run), and
+    * the share/compare arithmetic is per-row — so state is the
+    * engine-managed window store, evicted past the watermark.
+    * Integer milli arithmetic end to end, matching the batch sibling. */
+  def driftMonitor(events: DataFrame, baselineMilli: Seq[Long]): DataFrame = {
+    require(baselineMilli.length == 10, "baseline must carry 10 bin shares")
+    val bin = expr("CAST(round(value * 100) AS BIGINT) div 5000")
+    val binSums = (0 until 10).map(k =>
+      sum(when(bin === k, 1L).otherwise(0L)).as(s"b$k"))
+    val agged = events
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "6 hours"))
+      .agg(binSums.head, binSums.tail :+ count(lit(1)).as("total"): _*)
+    val drift = (0 until 10).map(k =>
+      abs(expr(s"(b$k * 1000L) div total") - lit(baselineMilli(k))))
+      .reduce(_ + _)
+    agged.select(col("window.start").as("win_start"), col("total"),
+      drift.as("drift_milli"))
+  }
+
+  /** Batch-side baseline profile for [[driftMonitor]]: milli-share per
+    * $50 value bin over a reference frame. Driver-sized (10 rows) by
+    * construction. */
+  def driftBaseline(reference: DataFrame): Seq[Long] = {
+    val counts = reference
+      .groupBy(expr("CAST(round(value * 100) AS BIGINT) div 5000").as("bin"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    (0 until 10).map(k => counts.getOrElse(k.toLong, 0L) * 1000L / total)
+  }
+
   /** Stream-static enrichment join: each micro-batch of the stream joins
     * a static dimension; the static side is broadcast (re-resolved per
     * batch, so slowly-changing dims pick up updates between triggers).

@@ -495,4 +495,39 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(spark.read.parquet(s"$idx/cells").count() == baseCount + newV.count(),
       "checkpoint replay must not re-append committed batches")
   }
+
+  test("streaming drift monitor equals the batch replay of the same windows") {
+    val batchEvents = Tables.events(spark, sfDir)
+    // baseline = first half of the feed by day; the stream replays ALL
+    // of it, so late windows carry whatever drift the tail has
+    val cut = batchEvents.agg(min(to_date(col("ts")))).collect().head.getDate(0)
+      .toLocalDate.plusDays(15)
+    val baseline = Streaming.driftBaseline(
+      batchEvents.filter(to_date(col("ts")) < lit(java.sql.Date.valueOf(cut))))
+    assert(baseline.length == 10 && math.abs(baseline.sum - 1000L) <= 10,
+      s"baseline shares must be ~1000 milli total: $baseline")
+    val stream = Streaming.driftMonitor(Streaming.readEvents(spark, sfDir), baseline)
+    val got = Streaming.runAvailableNow(spark, stream, "stream_drift")
+      .orderBy("win_start").collect()
+    // batch referee: identical arithmetic over the same 6h windows
+    val bin = expr("CAST(round(value * 100) AS BIGINT) div 5000")
+    val binSums = (0 until 10).map(k =>
+      sum(when(bin === k, 1L).otherwise(0L)).as(s"b$k"))
+    val expected = batchEvents
+      .groupBy(window(col("ts"), "6 hours"))
+      .agg(binSums.head, binSums.tail :+ count(lit(1)).as("total"): _*)
+      .select(col("window.start").as("win_start"), col("total"),
+        (0 until 10).map(k =>
+          abs(expr(s"(b$k * 1000L) div total") - lit(baseline(k)))).reduce(_ + _)
+          .as("drift_milli"))
+      .orderBy("win_start").collect()
+    assert(got.length == expected.length && got.length > 10,
+      s"expected many 6h windows, got ${got.length}")
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g.getTimestamp(0) == e.getTimestamp(0))
+      assert(g.getLong(1) == e.getLong(1), s"total at ${g.getTimestamp(0)}")
+      assert(g.getLong(2) == e.getLong(2), s"drift at ${g.getTimestamp(0)}")
+    }
+    assert(got.map(_.getLong(2)).max > 0, "fixture must show some nonzero drift")
+  }
 }
