@@ -32,7 +32,8 @@ object SparkEntry {
       graft.queries.Analytics2.all ++
       graft.queries.Analytics3.all ++
       graft.queries.Analytics4.all ++
-      graft.queries.Analytics5.all
+      graft.queries.Analytics5.all ++
+      graft.queries.Warehouse.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -54,5 +55,6 @@ object SparkEntry {
       graft.queries.Analytics2.oracles ++
       graft.queries.Analytics3.oracles ++
       graft.queries.Analytics4.oracles ++
-      graft.queries.Analytics5.oracles
+      graft.queries.Analytics5.oracles ++
+      graft.queries.Warehouse.oracles
 }

@@ -93,11 +93,43 @@ object Graph {
       graft.dedup.Dedup.jaccardPairs(Tables.documents(s, d), 0.6, maxDf = 16))
       .orderBy("id")
 
+  /** Breadth-first reachability from the smallest node of the trading
+    * graph: per hop 0..3, how many NEW nodes become reachable — the
+    * frontier-expansion profile ("how connected is this network from
+    * one counterparty"). Three rounds of frontier ⋈ edges with a
+    * min-hop visited set, each round's frontier localCheckpointed so
+    * round i never replays rounds 1..i−1 — the iterative idiom
+    * [[qCcBigStar]] and PageRank use.
+    *
+    * 100 TB shape: per round, one equality join of the (small) frontier
+    * against the edge list — broadcast when the frontier is small,
+    * shuffle-join when it explodes; the visited set carries (node, hop)
+    * only. Oracle: the same 3 rounds unrolled as CTEs. */
+  val qBfsHops: Q = (s, d) => {
+    val edges = undirectedEdges(s, d)
+    val source = edges.agg(min("src")).collect().head.getLong(0)
+    var visited = edges.sparkSession.range(1)
+      .select(lit(source).as("node"), lit(0L).as("hop")).localCheckpoint(true)
+    var frontier = visited.select("node")
+    (1 to 3).foreach { h =>
+      val next = edges.join(frontier, edges("src") === frontier("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select(col("node").as("seen")), col("node") === col("seen"),
+          "left_anti")
+        .select(col("node"), lit(h.toLong).as("hop")).localCheckpoint(true)
+      visited = visited.union(next).localCheckpoint(true)
+      frontier = next.select("node")
+    }
+    visited.groupBy("hop").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("hop")
+  }
+
   val all: Map[String, Q] = Map(
     "q_pagerank" -> qPagerank,
     "q_degree_stats" -> qDegreeStats,
     "q_triangles" -> qTriangles,
     "q_cc_bigstar" -> qCcBigStar,
+    "q_bfs_hops" -> qBfsHops,
   )
 
   private val edgeCtes =
@@ -116,6 +148,29 @@ object Graph {
     // same contract as the propagation path — the closure oracle is
     // shared verbatim, so both algorithms are held to one ground truth
     "q_cc_bigstar" -> DedupSim.oracles("q_dedup_clusters"),
+    "q_bfs_hops" ->
+      s"""WITH $edgeCtes,
+         |src0 AS (SELECT min(src) AS s FROM und),
+         |h0 AS (SELECT s AS node FROM src0),
+         |h1 AS (
+         | SELECT DISTINCT dst AS node FROM und JOIN h0 ON und.src = h0.node
+         | WHERE dst NOT IN (SELECT node FROM h0)),
+         |h2 AS (
+         | SELECT DISTINCT dst AS node FROM und JOIN h1 ON und.src = h1.node
+         | WHERE dst NOT IN (SELECT node FROM h0)
+         |   AND dst NOT IN (SELECT node FROM h1)),
+         |h3 AS (
+         | SELECT DISTINCT dst AS node FROM und JOIN h2 ON und.src = h2.node
+         | WHERE dst NOT IN (SELECT node FROM h0)
+         |   AND dst NOT IN (SELECT node FROM h1)
+         |   AND dst NOT IN (SELECT node FROM h2)),
+         |lv AS (
+         | SELECT 0 AS hop, count(*) AS n_nodes FROM h0
+         | UNION ALL SELECT 1, count(*) FROM h1
+         | UNION ALL SELECT 2, count(*) FROM h2
+         | UNION ALL SELECT 3, count(*) FROM h3)
+         |SELECT CAST(hop AS BIGINT) AS hop, CAST(n_nodes AS BIGINT) AS n_nodes
+         |FROM lv WHERE n_nodes > 0 ORDER BY hop""".stripMargin,
     "q_pagerank" ->
       s"""WITH $edgeCtes,
          |deg AS (SELECT src, count(*) AS deg FROM und GROUP BY src),
