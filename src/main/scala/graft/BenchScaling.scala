@@ -55,7 +55,13 @@ object BenchScaling {
     // expression + md5 census), first-occurrence novelty (shingle-keyed
     // global map + join-back), and the PCA sufficient-statistic pass
     // (d² per-row products into a d²-key hash-agg)
-    "q_containment", "q_cdc_chunks", "q_ngram_novelty", "q_pca_project")
+    "q_containment", "q_cdc_chunks", "q_ngram_novelty", "q_pca_project",
+    // r7c-g: the blocked Jaro-Winkler self-join (Σ|block|² kernel
+    // evals), the three-rank RFM pass (denseIds ×3 over the user dim),
+    // the bucketed-write + co-located-join round trip (layout write
+    // amortization), and the Poisson-bootstrap explode (R× lightweight
+    // rows into a partial agg)
+    "q_record_linkage", "q_rfm_segments", "q_bucketed_join", "q_bootstrap_ci")
 
   def main(args: Array[String]): Unit = {
     val smallDir = sys.env.getOrElse("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.01")

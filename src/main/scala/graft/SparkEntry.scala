@@ -20,6 +20,7 @@ object SparkEntry {
       graft.queries.Relational3.all ++
       graft.queries.Relational4.all ++
       graft.queries.Relational5.all ++
+      graft.queries.Relational6.all ++
       graft.queries.Text.all ++
       graft.queries.DedupSim.all ++
       graft.queries.Media.all ++
@@ -43,6 +44,7 @@ object SparkEntry {
       graft.queries.Relational3.oracles ++
       graft.queries.Relational4.oracles ++
       graft.queries.Relational5.oracles ++
+      graft.queries.Relational6.oracles ++
       graft.queries.Text.oracles ++
       graft.queries.DedupSim.oracles ++
       graft.queries.Media.oracles ++

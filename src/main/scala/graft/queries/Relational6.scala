@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+
+/** r7h — the two classic TPC-H ad-hoc shapes most often quoted as
+  * engine acceptance tests, run through the SQL surface
+  * (`spark.sql` over temp views, not the DataFrame API — exercising the
+  * parser/analyzer path the reference's `spark.sql` usage implies), with
+  * revenue in exact integer 10⁻⁴-dollar units so both engines agree
+  * bit-for-bit.
+  */
+object Relational6 {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def withViews(s: SparkSession, d: String): Unit = {
+    Tables.customer(s, d).createOrReplaceTempView("v_customer")
+    Tables.orders(s, d).createOrReplaceTempView("v_orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+  }
+
+  /** TPC-H Q3 (shipping-priority, minus the column the testdata lacks):
+    * top-10 unshipped BUILDING orders by discounted revenue as of the
+    * cutoff. Revenue term = cents × (100 − discount %) — exact BIGINT.
+    *
+    * Plan: two broadcast-joined dims around the fact scan (customer and
+    * orders both prune + filter before the join), one partial-agg'd
+    * groupBy, TakeOrderedAndProject for the top-10 — the fact table is
+    * the only input-sized participant. */
+  val qTpchQ3: Q = (s, d) => {
+    withViews(s, d)
+    s.sql(
+      """SELECT l_orderkey,
+        |  date_format(o_orderdate, 'yyyy-MM-dd') AS o_date,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |      (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_u
+        |FROM v_customer JOIN v_orders ON c_custkey = o_custkey
+        |JOIN v_lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+        |  AND CAST(l_shipdate AS DATE) > DATE '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue_u DESC, l_orderkey
+        |LIMIT 10""".stripMargin)
+  }
+
+  /** TPC-H Q18 (large-volume customers): orders whose total quantity
+    * exceeds 250, with customer and order context. The HAVING subquery
+    * aggregates the fact ONCE; the outer join-back is an equality join
+    * on the (rare) qualifying keys.
+    *
+    * Plan: fact aggregated to per-order quantity (partial agg), the
+    * ~1% surviving keys broadcast back against orders/customer dims —
+    * no second fact-wide shuffle. */
+  val qTpchQ18: Q = (s, d) => {
+    withViews(s, d)
+    s.sql(
+      """WITH big AS (
+        |  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |  FROM v_lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS BIGINT)) > 250)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  date_format(o_orderdate, 'yyyy-MM-dd') AS o_date,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS total_c,
+        |  sum_qty
+        |FROM big JOIN v_orders ON o_orderkey = l_orderkey
+        |JOIN v_customer ON c_custkey = o_custkey
+        |ORDER BY total_c DESC, o_orderkey""".stripMargin)
+  }
+
+  val all: Map[String, Q] = Map(
+    "q_tpch_q3" -> qTpchQ3,
+    "q_tpch_q18" -> qTpchQ18,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_tpch_q3" ->
+      """SELECT l_orderkey,
+        | strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+        | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |     (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_u
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+        |  AND CAST(l_shipdate AS DATE) > DATE '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue_u DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q_tpch_q18" ->
+      """WITH big AS (
+        | SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        | FROM lineitem GROUP BY l_orderkey
+        | HAVING sum(CAST(l_quantity AS BIGINT)) > 250)
+        |SELECT c_custkey, c_name, o_orderkey,
+        | strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+        | CAST(round(o_totalprice * 100) AS BIGINT) AS total_c,
+        | sum_qty
+        |FROM big JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |ORDER BY total_c DESC, o_orderkey""".stripMargin,
+  )
+}

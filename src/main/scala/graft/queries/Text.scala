@@ -64,6 +64,29 @@ object Text {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("lang", "lang_pred")
 
+  /** Mixed-language detection — the intra-document consistency check a
+    * corpus audit runs after [[qLangId]]: language-ID each HALF of the
+    * document independently; disagreement flags spliced/concatenated
+    * documents (the crawl artifact a doc-level language label hides).
+    * Halves are char-exact `substr` splits; each half's langId runs on a
+    * BOUND column (the 25-reference caveat on [[TextFunctions.langId]]).
+    * Per-source report in integer milli rates.
+    *
+    * 100 TB shape: pure per-row expressions + one partial-agg'd source
+    * census — zero extra shuffles over the scan. */
+  val qMixedLang: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("lt", lower(col("text")))
+      .withColumn("h1", expr("substr(lt, 1, length(lt) div 2)"))
+      .withColumn("h2", expr("substr(lt, length(lt) div 2 + 1, length(lt))"))
+      .withColumn("p1", langId(col("h1")))
+      .withColumn("p2", langId(col("h2")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("p1") =!= col("p2"), 1L).otherwise(0L)).as("n_mixed"))
+      .withColumn("mixed_milli", expr("(n_mixed * 1000L) div n_docs"))
+      .orderBy("source")
+
   /** Rolling-hash document fingerprint (order-sensitive content hash).
     * Oracle-paired: DuckDB replays the identical left fold with
     * list_reduce over the character codes, seeded by a prepended 0. */
@@ -941,6 +964,7 @@ object Text {
     "q_token_topk" -> qTokenTopk,
     "q_heavy_hitters" -> qHeavyHitters,
     "q_lang_id" -> qLangId,
+    "q_mixed_lang" -> qMixedLang,
     "q_fingerprint" -> qFingerprint,
     "q_redact" -> qRedact,
     "q_decontam" -> qDecontam,
@@ -983,6 +1007,14 @@ object Text {
       val score = grams.map(g => s"CAST(contains(t, '$g') AS INT)").mkString(" + ")
       s" SELECT doc_id, lang, '$lang' AS cand, $score AS score FROM lt"
   }.mkString("\n UNION ALL\n")
+
+  /** The same generated scorer over a document HALF (for q_mixed_lang). */
+  private def halfScoreSql(halfCol: String): String =
+    langProfiles.toSeq.sortBy(_._1).map { case (lang, grams) =>
+      val score = grams.map(g => s"CAST(contains($halfCol, '$g') AS INT)")
+        .mkString(" + ")
+      s" SELECT doc_id, source, '$lang' AS cand, $score AS score FROM halves"
+    }.mkString("\n UNION ALL\n")
 
   val oracles: Map[String, String] = Map(
     "q_and_search" ->
@@ -1116,6 +1148,30 @@ object Text {
          | FROM scores)
          |SELECT lang, cand AS lang_pred, count(*) AS cnt FROM ranked
          |WHERE rn = 1 GROUP BY lang, cand ORDER BY lang, lang_pred""".stripMargin,
+    "q_mixed_lang" ->
+      s"""WITH halves AS (
+         | SELECT doc_id, source,
+         |  substr(lower(text), 1, length(lower(text)) // 2) AS h1,
+         |  substr(lower(text), length(lower(text)) // 2 + 1, length(lower(text))) AS h2
+         | FROM documents),
+         |s1 AS (
+         |${halfScoreSql("h1")}),
+         |s2 AS (
+         |${halfScoreSql("h2")}),
+         |p1 AS (
+         | SELECT doc_id, source, cand FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand DESC) AS rn
+         |  FROM s1) WHERE rn = 1),
+         |p2 AS (
+         | SELECT doc_id, source, cand FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand DESC) AS rn
+         |  FROM s2) WHERE rn = 1),
+         |j AS (
+         | SELECT p1.source, CAST(p1.cand <> p2.cand AS BIGINT) AS mixed
+         | FROM p1 JOIN p2 USING (doc_id, source))
+         |SELECT source, count(*) AS n_docs, CAST(sum(mixed) AS BIGINT) AS n_mixed,
+         | (CAST(sum(mixed) AS BIGINT) * 1000) // count(*) AS mixed_milli
+         |FROM j GROUP BY source ORDER BY source""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id, list_reduce(
         |  list_prepend(CAST(0 AS BIGINT),
