@@ -124,12 +124,53 @@ object Graph {
       .orderBy("hop")
   }
 
+  /** Modularity of the nation partition over the trading graph — "do
+    * customers trade within their own nation?": for each nation c,
+    * Q_c = m_c/m − (d_c/2m)², summed into the global Newman modularity.
+    * Communities are a DATA attribute (nation keys), so the metric is
+    * one closed-form pass — no community-detection iteration; all
+    * counts (within-edges m_c, endpoint-degrees d_c, total m) are exact
+    * BIGINTs, with the two double divisions at report time (round 6).
+    *
+    * 100 TB shape: the distinct edge list is the only input-sized
+    * shuffle; per-community moments are a 25-row agg. */
+  val qModularity: Q = (s, d) => {
+    val edges = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .distinct()
+      .join(Tables.customer(s, d).select(col("c_custkey").as("cust"),
+        col("c_nationkey").as("cn")), Seq("cust"))
+      .join(Tables.supplier(s, d).select(col("s_suppkey").as("supp"),
+        col("s_nationkey").as("sn")), Seq("supp"))
+    val m = edges.agg(count(lit(1)).as("m"))
+    val perNation = edges
+      .select(explode(array(col("cn"), col("sn"))).as("nation"),
+        (col("cn") === col("sn")).cast("long").as("within"))
+      .groupBy("nation")
+      .agg(count(lit(1)).as("d_c"), expr("sum(within) div 2").as("m_c"))
+    perNation.crossJoin(m)
+      .withColumn("contrib",
+        round(col("m_c").cast("double") / col("m") -
+          pow(col("d_c").cast("double") / (lit(2.0) * col("m")), 2), 6))
+      .crossJoin(
+        perNation.crossJoin(m)
+          .agg(round(sum(col("m_c").cast("double") / col("m") -
+            pow(col("d_c").cast("double") / (lit(2.0) * col("m")), 2)), 6)
+            .as("q_total")))
+      .select(col("nation").cast("long").as("nation"), col("d_c"), col("m_c"),
+        col("contrib"), col("q_total"))
+      .orderBy("nation")
+  }
+
   val all: Map[String, Q] = Map(
     "q_pagerank" -> qPagerank,
     "q_degree_stats" -> qDegreeStats,
     "q_triangles" -> qTriangles,
     "q_cc_bigstar" -> qCcBigStar,
     "q_bfs_hops" -> qBfsHops,
+    "q_modularity" -> qModularity,
   )
 
   private val edgeCtes =
@@ -148,6 +189,32 @@ object Graph {
     // same contract as the propagation path — the closure oracle is
     // shared verbatim, so both algorithms are held to one ground truth
     "q_cc_bigstar" -> DedupSim.oracles("q_dedup_clusters"),
+    "q_modularity" ->
+      """WITH e AS (
+        | SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+        | FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |en AS (
+        | SELECT c.c_nationkey AS cn, s.s_nationkey AS sn
+        | FROM e JOIN customer c ON e.cust = c.c_custkey
+        | JOIN supplier s ON e.supp = s.s_suppkey),
+        |m AS (SELECT count(*) AS m FROM en),
+        |pts AS (
+        | SELECT cn AS nation, CAST(cn = sn AS BIGINT) AS within FROM en
+        | UNION ALL
+        | SELECT sn AS nation, CAST(cn = sn AS BIGINT) AS within FROM en),
+        |pn AS (
+        | SELECT nation, count(*) AS d_c,
+        |  CAST(sum(within) AS BIGINT) // 2 AS m_c
+        | FROM pts GROUP BY nation),
+        |qt AS (
+        | SELECT round(sum(CAST(m_c AS DOUBLE) / m -
+        |   pow(CAST(d_c AS DOUBLE) / (2.0 * m), 2)), 6) AS q_total
+        | FROM pn CROSS JOIN m)
+        |SELECT CAST(nation AS BIGINT) AS nation, d_c, m_c,
+        | round(CAST(m_c AS DOUBLE) / m -
+        |   pow(CAST(d_c AS DOUBLE) / (2.0 * m), 2), 6) AS contrib,
+        | q_total
+        |FROM pn CROSS JOIN m CROSS JOIN qt ORDER BY nation""".stripMargin,
     "q_bfs_hops" ->
       s"""WITH $edgeCtes,
          |src0 AS (SELECT min(src) AS s FROM und),

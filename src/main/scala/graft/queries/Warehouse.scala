@@ -69,9 +69,42 @@ object Warehouse {
       .orderBy("day")
   }
 
+  /** Scan-planning metadata from parquet FOOTERS — row counts and
+    * column min/max straight off `ParquetFileReader`, no data pages
+    * read: the statistics a planner consults to prune row groups before
+    * any executor task launches (what `.explain`'s PushedFilters
+    * ultimately hit). Reported for lineitem's key column; rows-only
+    * (row-group structure isn't SQL-derivable) with WarehouseSpec
+    * pinning the stats against the data.
+    *
+    * 100 TB shape: one footer read per file — at scale the file list
+    * becomes a DataFrame and footers are read in parallel inside
+    * mapPartitions; nothing here touches data pages. */
+  val qFooterStats: Q = (s, d) => {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.hadoop.fs.Path
+    import scala.jdk.CollectionConverters._
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new Path(s"$d/lineitem.parquet"), s.sessionState.newHadoopConf()))
+    val (nGroups, totalRows, minKey, maxKey) =
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        val stats = blocks.flatMap(_.getColumns.asScala
+          .filter(_.getPath.toDotString == "l_orderkey").map(_.getStatistics))
+        (blocks.size.toLong, blocks.map(_.getRowCount).sum,
+          stats.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue).min,
+          stats.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue).max)
+      } finally reader.close()
+    import s.implicits._
+    Seq((nGroups, totalRows, minKey, maxKey))
+      .toDF("n_rowgroups", "total_rows", "min_l_orderkey", "max_l_orderkey")
+  }
+
   val all: Map[String, Q] = Map(
     "q_bucketed_join" -> qBucketedJoin,
     "q_partitioned_sink" -> qPartitionedSink,
+    "q_footer_stats" -> qFooterStats,
   )
 
   val oracles: Map[String, String] = Map(

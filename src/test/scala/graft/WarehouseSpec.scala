@@ -43,6 +43,27 @@ class WarehouseSpec extends AnyFunSuite with SharedSpark {
     assert(got.map(_.toSeq).toSeq == plain.map(_.toSeq).toSeq)
   }
 
+  test("footer stats equal the data they index, without reading data pages") {
+    val r = Warehouse.qFooterStats(spark, sfDir).collect().head
+    val d = Tables.lineitem(spark, sfDir)
+      .agg(count(lit(1)), min("l_orderkey"), max("l_orderkey")).collect().head
+    assert(r.getLong(1) == d.getLong(0), "footer row count vs data")
+    assert(r.getLong(2) == d.getLong(1) && r.getLong(3) == d.getLong(2),
+      "footer min/max vs data")
+    assert(r.getLong(0) >= 1, "at least one row group")
+  }
+
+  test("modularity: nation contributions sum to the reported total") {
+    val rows = graft.queries.Graph.qModularity(spark, sfDir).collect()
+    val total = rows.head.getDouble(4)
+    assert(rows.forall(r => r.getDouble(4) == total))
+    assert(math.abs(rows.map(_.getDouble(3)).sum - total) < 1e-4,
+      "rounded contributions must sum to ~q_total")
+    // sanity: nations trade mostly across borders in TPC-H-ish data,
+    // so the partition is weakly assortative at best
+    assert(total < 0.5 && total > -0.5)
+  }
+
   test("BFS hop counts match a brute in-memory traversal") {
     val edges = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_suppkey")
       .join(Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey"),
