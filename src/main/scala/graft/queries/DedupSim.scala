@@ -237,7 +237,50 @@ object DedupSim {
       .orderBy("vec_id")
   }
 
+  /** MinHash estimator calibration — the error profile that justifies a
+    * dedup threshold choice: over the LSH candidate population (the
+    * pairs the dedup path actually adjudicates), compare the 64-hash
+    * signature-agreement ESTIMATE against the exact shingle Jaccard,
+    * bucketed by exact decile: pair count, mean estimate, mean absolute
+    * error (all integer milli). Expected |err| ≈ √(j(1−j)/64) ≈ 60
+    * milli — the spec pins the global error band and monotonicity.
+    * Rows-only (xxhash64 signatures aren't SQL-portable).
+    *
+    * 100 TB shape: candidates come from the banding equality join (the
+    * minhashPairs shape); the signature join ships 64×8 B per side; the
+    * report is an 11-row bucket agg. */
+  val qMinhashCalibration: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val buckets = Dedup.bandBuckets(docs)
+    val cand = buckets.as("x").join(buckets.as("y"), Seq("band", "bucket"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val sigs = Dedup.minhashSignatures(docs, 64)
+    def side(p: String) = sigs.select(
+      col("doc_id").as(s"${p}_id") +:
+        (0 until 64).map(j => col(s"m$j").as(s"${p}_m$j")): _*)
+    val est = cand.join(side("a"), Seq("a_id")).join(side("b"), Seq("b_id"))
+      .withColumn("n_match", (0 until 64)
+        .map(j => (col(s"a_m$j") === col(s"b_m$j")).cast("long")).reduce(_ + _))
+      .select(col("a_id"), col("b_id"), expr("(n_match * 1000L) div 64").as("est_milli"))
+    val hsets = Dedup.shingleHashSets(docs)
+    est
+      .join(hsets.select(col("doc_id").as("a_id"), col("hs").as("sha")), Seq("a_id"))
+      .join(hsets.select(col("doc_id").as("b_id"), col("hs").as("shb")), Seq("b_id"))
+      .withColumn("common", graft.functions.SortedIntersectCount
+        .sorted_intersect_count(col("sha"), col("shb")))
+      .withColumn("exact_milli",
+        expr("(common * 1000L) div (size(sha) + size(shb) - common)"))
+      .groupBy(expr("exact_milli div 100").as("exact_decile"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(est_milli) div count(1)").as("mean_est_milli"),
+        expr("sum(abs(est_milli - exact_milli)) div count(1)").as("mean_abs_err_milli"))
+      .orderBy("exact_decile")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_minhash_calibration" -> qMinhashCalibration,
     "q_dedup_exact" -> qDedupExact,
     "q_semdedup" -> qSemdedup,
     "q_leakage_split" -> qLeakageSplit,

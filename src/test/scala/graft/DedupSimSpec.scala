@@ -766,4 +766,21 @@ class DedupSimSpec extends AnyFunSuite with SharedSpark {
     assert(byCluster(trainId) == byCluster(testId),
       "cluster-keyed split must keep the near-dup pair together")
   }
+
+  test("minhash calibration: estimator tracks exact jaccard within the 64-hash error band") {
+    val rows = graft.queries.DedupSim.qMinhashCalibration(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // the candidate population must reach the near-dup range (the
+    // sf0.001 corpus carries planted near-dups but no byte-identical text)
+    assert(rows.map(_._1).max >= 8L, "near-dup deciles must be present")
+    // global mean abs error weighted by pairs: inside ~2.5x the binomial std
+    val n = rows.map(_._2).sum
+    val err = rows.map(r => r._2 * r._4).sum.toDouble / n
+    assert(err < 150, s"mean |est-exact| = $err milli; 64-hash band is ~60")
+    // if byte-identical pairs appear (larger SFs), they estimate exactly
+    rows.filter(r => r._1 == 10L && r._3 == 1000L).foreach { r =>
+      assert(r._4 == 0L, s"identical-signature pairs must have zero error: $r")
+    }
+  }
 }
