@@ -129,10 +129,58 @@ object Analytics5 {
     calib.crossJoin(auc).orderBy("bucket")
   }
 
+  /** word2vec-style negative-sampling table: the top-50 corpus tokens
+    * with their count^0.75 sampling weights — the unigram-smoothing
+    * table a skip-gram trainer draws negatives from. The ¾ power is
+    * computed as sqrt(sqrt(count³)): both sqrt and small-integer cubes
+    * are IEEE-exact in every engine (pow()'s libm ulps are NOT — the
+    * repo's float discipline), so the quantized weight is bit-portable.
+    *
+    * 100 TB shape: one token-count agg (partial-agg'd) +
+    * TakeOrderedAndProject; per-row math only. */
+  val qNegativeSampling: Q = (s, d) => {
+    Tables.documents(s, d)
+      .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .withColumn("weight_q",
+        floor(sqrt(sqrt((col("cnt") * col("cnt") * col("cnt")).cast("double"))) *
+          lit(1000.0)).cast("long"))
+      .withColumn("uniform_boost_milli",
+        expr("(weight_q * 1000L) div (cnt * 1000L)"))
+      .orderBy(col("cnt").desc, col("token")).limit(50)
+  }
+
+  /** Wilson-score ranking of event types by high-value rate — ranking
+    * under uncertainty: the lower bound of the 95% Wilson interval for
+    * P(value > 100) demotes small-sample categories a raw rate would
+    * overrank. sqrt-only arithmetic (IEEE-exact cross-engine), one
+    * double division chain per row, round 6.
+    *
+    * 100 TB shape: one conditional-sum agg to |event types| rows;
+    * everything after is per-row on a 5-row frame. */
+  val qWilsonRank: Q = (s, d) => {
+    val z = 1.96
+    val agg = Tables.events(s, d).groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") > 100, 1L).otherwise(0L)).as("pos"))
+    agg
+      .withColumn("p", col("pos").cast("double") / col("n"))
+      .withColumn("wilson_lo", round(
+        (col("p") + lit(z * z) / (col("n") * 2) -
+          lit(z) * sqrt((col("p") * (lit(1.0) - col("p")) +
+            lit(z * z) / (col("n") * 4)) / col("n"))) /
+          (lit(1.0) + lit(z * z) / col("n")), 6))
+      .select(col("event_type"), col("n"), col("pos"),
+        round(col("p"), 6).as("rate"), col("wilson_lo"))
+      .orderBy(col("wilson_lo").desc, col("event_type"))
+  }
+
   val all: Map[String, Q] = Map(
     "q_ks_test" -> qKsTest,
     "q_assortativity" -> qAssortativity,
     "q_classifier_eval" -> qClassifierEval,
+    "q_negative_sampling" -> qNegativeSampling,
+    "q_wilson_rank" -> qWilsonRank,
   )
 
   val oracles: Map[String, String] = Map(
@@ -164,6 +212,29 @@ object Analytics5 {
         |      1.358 * sqrt(CAST(n_a + n_b AS DOUBLE) / (n_a * n_b)) AS BIGINT)
         |   AS significant
         |FROM g""".stripMargin,
+    "q_negative_sampling" ->
+      """WITH tc AS (
+        | SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        | FROM documents),
+        |c AS (SELECT token, count(*) AS cnt FROM tc GROUP BY token)
+        |SELECT token, cnt,
+        | CAST(floor(sqrt(sqrt(CAST(cnt * cnt * cnt AS DOUBLE))) * 1000.0) AS BIGINT)
+        |   AS weight_q,
+        | (CAST(floor(sqrt(sqrt(CAST(cnt * cnt * cnt AS DOUBLE))) * 1000.0) AS BIGINT)
+        |   * 1000) // (cnt * 1000) AS uniform_boost_milli
+        |FROM c ORDER BY cnt DESC, token LIMIT 50""".stripMargin,
+    "q_wilson_rank" ->
+      """WITH a AS (
+        | SELECT event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        | FROM events GROUP BY event_type),
+        |w AS (
+        | SELECT event_type, n, pos, CAST(pos AS DOUBLE) / n AS p FROM a)
+        |SELECT event_type, n, pos, round(p, 6) AS rate,
+        | round((p + (1.96 * 1.96) / (n * 2) -
+        |   1.96 * sqrt((p * (1.0 - p) + (1.96 * 1.96) / (n * 4)) / n)) /
+        |  (1.0 + (1.96 * 1.96) / n), 6) AS wilson_lo
+        |FROM w ORDER BY wilson_lo DESC, event_type""".stripMargin,
     "q_assortativity" ->
       """WITH e AS (SELECT l_orderkey, l_partkey FROM lineitem),
         |dego AS (SELECT l_orderkey, count(*) AS deg_o FROM e GROUP BY 1),
