@@ -44,6 +44,37 @@ object Relational6 {
         |LIMIT 10""".stripMargin)
   }
 
+  /** TPC-H Q1 in full (pricing summary report): all eight aggregates —
+    * q1_agg covers the minimal shape; this is the complete report with
+    * discounted and taxed extensions, averages, and counts. Money terms
+    * in integer cents × integer percent units (exact BIGINT sums);
+    * averages divide the exact sums at report time (round 4).
+    *
+    * Plan: one partial-agg'd groupBy over the filtered fact — the
+    * canonical map-side-combine aggregation. */
+  val qTpchQ1: Q = (s, d) => {
+    withViews(s, d)
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_c,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |      (100 - CAST(round(l_discount * 100) AS BIGINT))) AS sum_disc_u,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |      (100 - CAST(round(l_discount * 100) AS BIGINT)) *
+        |      (100 + CAST(round(l_tax * 100) AS BIGINT))) AS sum_charge_u2,
+        |  round(sum(CAST(l_quantity AS BIGINT)) / CAST(count(*) AS DOUBLE), 4) AS avg_qty,
+        |  round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) /
+        |        (CAST(count(*) AS DOUBLE) * 100.0), 4) AS avg_price,
+        |  round(sum(CAST(round(l_discount * 100) AS BIGINT)) /
+        |        (CAST(count(*) AS DOUBLE) * 100.0), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM v_lineitem
+        |WHERE CAST(l_shipdate AS DATE) <= DATE '2001-06-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
   /** TPC-H Q18 (large-volume customers): orders whose total quantity
     * exceeds 250, with customer and order context. The HAVING subquery
     * aggregates the fact ONCE; the outer join-back is an equality join
@@ -69,11 +100,32 @@ object Relational6 {
   }
 
   val all: Map[String, Q] = Map(
+    "q_tpch_q1" -> qTpchQ1,
     "q_tpch_q3" -> qTpchQ3,
     "q_tpch_q18" -> qTpchQ18,
   )
 
   val oracles: Map[String, String] = Map(
+    "q_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+        | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |     (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_u,
+        | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |     (100 - CAST(round(l_discount * 100) AS BIGINT)) *
+        |     (100 + CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT) AS sum_charge_u2,
+        | round(CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) /
+        |       CAST(count(*) AS DOUBLE), 4) AS avg_qty,
+        | round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) /
+        |       (CAST(count(*) AS DOUBLE) * 100.0), 4) AS avg_price,
+        | round(CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) /
+        |       (CAST(count(*) AS DOUBLE) * 100.0), 4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) <= DATE '2001-06-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_tpch_q3" ->
       """SELECT l_orderkey,
         | strftime(o_orderdate, '%Y-%m-%d') AS o_date,
