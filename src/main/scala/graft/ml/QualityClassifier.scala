@@ -78,11 +78,39 @@ object QualityClassifier {
   /** Fit the linear classifier on the weak labels. L2-regularized,
     * fixed iteration budget, standardized (hashed counts and document
     * stats live on different scales) — deterministic given the data
-    * (LBFGS over tree-aggregated gradients, no RNG). */
-  def fit(featurized: DataFrame): LogisticRegressionModel =
-    new LogisticRegression()
+    * (LBFGS over tree-aggregated gradients, no RNG).
+    *
+    * The fitted model's `trainingSummary` is STRIPPED before returning:
+    * the summary holds the live SparkSession, and `model.transform`'s
+    * prediction UDF captures the whole model — whenever the planner
+    * ships that UDF inside a task closure, serialization dies on
+    * `ObservationManager` (observed intermittently, plan-shape
+    * dependent). Prediction needs only coefficients; the summary is
+    * training-time metadata. */
+  def fit(featurized: DataFrame): LogisticRegressionModel = {
+    val model = new LogisticRegression()
       .setMaxIter(100).setRegParam(1e-4).setStandardization(true)
       .fit(featurized)
+    stripSummary(model)
+  }
+
+  /** Null the (non-transient) trainingSummary var via reflection — the
+    * only way in: the field is private to Spark ML and `copy()`
+    * re-attaches it. Scans the class hierarchy so a field rename fails
+    * loudly here rather than resurfacing as a task-serialization
+    * heisenbug. */
+  private def stripSummary(model: LogisticRegressionModel): LogisticRegressionModel = {
+    val field = Iterator.iterate[Class[_]](model.getClass)(_.getSuperclass)
+      .takeWhile(_ != null)
+      .flatMap(_.getDeclaredFields)
+      .find(_.getName.contains("trainingSummary"))
+      .getOrElse(throw new IllegalStateException(
+        "LogisticRegressionModel no longer has a trainingSummary field - " +
+          "re-check the serialization hazard this strip exists for"))
+    field.setAccessible(true)
+    field.set(model, None)
+    model
+  }
 
   /** Per-document quality score in [0,1] — P(passes the gate). */
   def score(model: LogisticRegressionModel, featurized: DataFrame): DataFrame =
