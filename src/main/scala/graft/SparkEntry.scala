@@ -35,6 +35,7 @@ object SparkEntry {
       graft.queries.Analytics4.all ++
       graft.queries.Analytics5.all ++
       graft.queries.Analytics6.all ++
+      graft.queries.Analytics7.all ++
       graft.queries.Warehouse.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -60,5 +61,6 @@ object SparkEntry {
       graft.queries.Analytics4.oracles ++
       graft.queries.Analytics5.oracles ++
       graft.queries.Analytics6.oracles ++
+      graft.queries.Analytics7.oracles ++
       graft.queries.Warehouse.oracles
 }

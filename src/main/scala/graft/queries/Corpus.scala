@@ -349,7 +349,38 @@ object Corpus {
       .orderBy("lang", "decile")
   }
 
+  /** Distinctive-keyword extraction per source: top-5 terms by
+    * pointwise lift (P(t|source) / P(t) in integer milli — all four
+    * factors are exact BIGINT counts, so the floor-div quotient is
+    * bit-identical cross-engine), tf-desc/term-asc tie-broken. The
+    * label a catalog shows next to each corpus slice.
+    *
+    * 100 TB shape: the fact-sized work is the one (source, term)
+    * count shuffle; lift and ranking run on the |sources|·|vocab|
+    * aggregate with the global term counts joined by term key (they
+    * are vocab-sized, broadcast in practice). Count products stay
+    * under int64 to ~10¹⁸ token-pairs; beyond that, rescale the milli
+    * factor before the multiply. */
+  val qKeywordLift: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("t"))
+    val st = toks.groupBy("source", "t").agg(count(lit(1)).as("c"))
+    val stot = st.groupBy("source").agg(sum("c").as("ns"))
+    val glob = toks.groupBy("t").agg(count(lit(1)).as("g"))
+    val gtot = glob.agg(sum("g").as("n"))
+    val w = Window.partitionBy("source")
+      .orderBy(desc("lift_milli"), desc("c"), asc("t"))
+    st.join(stot, "source").join(glob, "t").crossJoin(gtot)
+      .withColumn("lift_milli", expr("(c * n * 1000) div (ns * g)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("source"), col("t").as("term"), col("c").as("tf"),
+        col("lift_milli"), col("rn"))
+      .orderBy("source", "rn")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_keyword_lift" -> qKeywordLift,
     "q_argmax" -> qArgmax,
     "q_curriculum" -> qCurriculum,
     "q_chi_square" -> qChiSquare,
@@ -366,6 +397,24 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_keyword_lift" ->
+      """WITH toks AS (
+        | SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS t
+        | FROM documents),
+        |st AS (SELECT source, t, count(*) AS c FROM toks GROUP BY 1, 2),
+        |stot AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM st GROUP BY 1),
+        |gc AS (SELECT t, count(*) AS g FROM toks GROUP BY 1),
+        |gtot AS (SELECT CAST(sum(g) AS BIGINT) AS n FROM gc),
+        |lifted AS (
+        | SELECT source, t, c, (c * n * 1000) // (ns * g) AS lift_milli
+        | FROM st JOIN stot USING (source) JOIN gc USING (t), gtot),
+        |ranked AS (
+        | SELECT source, t, c, lift_milli,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |   ORDER BY lift_milli DESC, c DESC, t) AS INTEGER) AS rn
+        | FROM lifted)
+        |SELECT source, t AS term, c AS tf, lift_milli, rn
+        |FROM ranked WHERE rn <= 5 ORDER BY source, rn""".stripMargin,
     "q_argmax" ->
       """WITH mx AS (
         | SELECT CAST(c_nationkey AS BIGINT) AS nationkey,

@@ -164,7 +164,42 @@ object Graph {
       .orderBy("nation")
   }
 
+  /** k-core peeling profile (k = 3, exactly 5 parallel peel rounds):
+    * each round simultaneously removes every node whose CURRENT degree
+    * is below k, then reports (removed, nodes left, half-edges left).
+    * Fixing the round count makes the iterative algorithm fully
+    * SQL-expressible — the oracle unrolls the same 5 rounds as CTEs —
+    * while the membership fixpoint is spec-checked separately against
+    * an in-memory referee that peels to convergence.
+    *
+    * 100 TB shape: per round, one degree hash-agg + two anti-joins
+    * against the (shrinking) low-degree set, localCheckpoint cutting
+    * lineage so round i never replays rounds 1..i−1 — the same
+    * iterative idiom as BFS/PageRank/label propagation. The low set is
+    * frontier-sized (broadcast in practice). */
+  val qKcorePeel: Q = (s, d) => {
+    import s.implicits._
+    val k = 3
+    var edges = undirectedEdges(s, d).localCheckpoint(true)
+    val rounds = (1 to 5).map { r =>
+      val low = edges.groupBy("src").agg(count(lit(1)).as("c"))
+        .filter(col("c") < k).select(col("src").as("n"))
+        .localCheckpoint(true)
+      edges = edges
+        .join(low, edges("src") === low("n"), "left_anti")
+        .join(low, edges("dst") === low("n"), "left_anti")
+        .localCheckpoint(true)
+      val Array(nLeft, heLeft) = edges
+        .agg(countDistinct("src"), count(lit(1))).collect()
+        .flatMap(row => Array(row.getLong(0), row.getLong(1)))
+      (r.toLong, low.count(), nLeft, heLeft)
+    }
+    rounds.toDF("round", "n_removed", "n_nodes_left", "n_halfedges_left")
+      .orderBy("round")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_kcore" -> qKcorePeel,
     "q_pagerank" -> qPagerank,
     "q_degree_stats" -> qDegreeStats,
     "q_triangles" -> qTriangles,
@@ -185,7 +220,41 @@ object Graph {
        | FROM und u JOIN $prev r ON u.src = r.node JOIN deg d ON u.src = d.src
        | GROUP BY u.dst)""".stripMargin
 
+  // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs per
+  // reference, so a 5-deep peel chain re-evaluates the whole prefix
+  // exponentially (~3^5 scans) without it
+  private def peelRound(prev: String, i: Int) =
+    s"""d$i AS MATERIALIZED (SELECT src, count(*) AS c FROM $prev GROUP BY src),
+       |rm$i AS MATERIALIZED (SELECT src AS n FROM d$i WHERE c < 3),
+       |e$i AS MATERIALIZED (SELECT * FROM $prev
+       | WHERE src NOT IN (SELECT n FROM rm$i)
+       |   AND dst NOT IN (SELECT n FROM rm$i))""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_kcore" ->
+      s"""WITH $edgeCtes,
+         |${peelRound("und", 1)},
+         |${peelRound("e1", 2)},
+         |${peelRound("e2", 3)},
+         |${peelRound("e3", 4)},
+         |${peelRound("e4", 5)},
+         |lv AS (
+         | SELECT 1 AS round, (SELECT count(*) FROM rm1) AS n_removed,
+         |  (SELECT count(DISTINCT src) FROM e1) AS n_nodes_left,
+         |  (SELECT count(*) FROM e1) AS n_halfedges_left
+         | UNION ALL SELECT 2, (SELECT count(*) FROM rm2),
+         |  (SELECT count(DISTINCT src) FROM e2), (SELECT count(*) FROM e2)
+         | UNION ALL SELECT 3, (SELECT count(*) FROM rm3),
+         |  (SELECT count(DISTINCT src) FROM e3), (SELECT count(*) FROM e3)
+         | UNION ALL SELECT 4, (SELECT count(*) FROM rm4),
+         |  (SELECT count(DISTINCT src) FROM e4), (SELECT count(*) FROM e4)
+         | UNION ALL SELECT 5, (SELECT count(*) FROM rm5),
+         |  (SELECT count(DISTINCT src) FROM e5), (SELECT count(*) FROM e5))
+         |SELECT CAST(round AS BIGINT) AS round,
+         | CAST(n_removed AS BIGINT) AS n_removed,
+         | CAST(n_nodes_left AS BIGINT) AS n_nodes_left,
+         | CAST(n_halfedges_left AS BIGINT) AS n_halfedges_left
+         |FROM lv ORDER BY round""".stripMargin,
     // same contract as the propagation path — the closure oracle is
     // shared verbatim, so both algorithms are held to one ground truth
     "q_cc_bigstar" -> DedupSim.oracles("q_dedup_clusters"),

@@ -177,7 +177,34 @@ object Relational4 {
     }.reduce(_.unionAll(_)).orderBy("column")
   }
 
+  /** Map-type surface (the one collection family q_array_funcs leaves
+    * out): per order, a linenumber→quantity map built from a SORTED
+    * entry list (collect_list order is nondeterministic under parallel
+    * merge — sort_array before map_from_entries pins it), then probed
+    * and folded back to scalars via element_at / map_filter /
+    * transform_values / map_values. The oracle replays the SEMANTICS
+    * (lookup at line 1, count over 25, doubled total) straight off the
+    * rows — maps are Spark-side plumbing, results are engine-neutral. */
+  val qMapFuncs: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      // linenumbers repeat within an order in this data generation, and
+      // map keys must be unique — pre-aggregate per (order, line) first
+      .groupBy("l_orderkey", "l_linenumber")
+      .agg(sum(col("l_quantity").cast("long")).as("qty"))
+      .groupBy("l_orderkey")
+      .agg(map_from_entries(sort_array(collect_list(struct(
+        col("l_linenumber"), col("qty"))))).as("m"))
+      .select(
+        col("l_orderkey"),
+        element_at(col("m"), 1).as("first_qty"),
+        size(map_keys(col("m"))).cast("long").as("n_items"),
+        size(map_filter(col("m"), (_, v) => v > 25)).cast("long").as("n_big"),
+        aggregate(map_values(transform_values(col("m"), (_, v) => v * 2)),
+          lit(0L), (acc, x) => acc + x).as("doubled_total"))
+      .orderBy("l_orderkey")
+
   val all: Map[String, Q] = Map(
+    "q_map_funcs" -> qMapFuncs,
     "q_weighted_mean" -> qWeightedMean,
     "q_window_percent_rank" -> qWindowPercentRank,
     "q_array_funcs" -> qArrayFuncs,
@@ -190,6 +217,17 @@ object Relational4 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_map_funcs" ->
+      """WITH pl AS (
+        | SELECT l_orderkey, l_linenumber,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        | FROM lineitem GROUP BY 1, 2)
+        |SELECT l_orderkey,
+        | max(CASE WHEN l_linenumber = 1 THEN qty END) AS first_qty,
+        | count(*) AS n_items,
+        | CAST(sum(CASE WHEN qty > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+        | CAST(sum(qty * 2) AS BIGINT) AS doubled_total
+        |FROM pl GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
     "q_jsonl_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,
         | CAST(sum(length(text)) AS BIGINT) AS total_chars,

@@ -17,6 +17,9 @@ object Relational6 {
     Tables.customer(s, d).createOrReplaceTempView("v_customer")
     Tables.orders(s, d).createOrReplaceTempView("v_orders")
     Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+    Tables.supplier(s, d).createOrReplaceTempView("v_supplier")
+    Tables.nation(s, d).createOrReplaceTempView("v_nation")
+    Tables.region(s, d).createOrReplaceTempView("v_region")
   }
 
   /** TPC-H Q3 (shipping-priority, minus the column the testdata lacks):
@@ -99,9 +102,66 @@ object Relational6 {
         |ORDER BY total_c DESC, o_orderkey""".stripMargin)
   }
 
+  /** TPC-H Q5 (local-supplier volume): revenue by nation for one region
+    * and one order year, counting only lineitems whose supplier sits in
+    * the CUSTOMER's nation. Revenue term = cents × (100 − discount %) —
+    * exact BIGINT, as everywhere on this surface.
+    *
+    * Plan: customer/supplier/nation/region are all broadcast dims (the
+    * biggest, customer, is ~1.5% of the fact); the only fact-sized
+    * exchange is the orders⋈lineitem equi-join, and AQE usually folds
+    * the filtered orders side to a broadcast too. The co-nation
+    * condition rides the supplier broadcast as a post-join filter —
+    * never a second fact shuffle. */
+  val qTpchQ5: Q = (s, d) => {
+    withViews(s, d)
+    s.sql(
+      """SELECT n_name,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |      (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_u
+        |FROM v_customer JOIN v_orders ON c_custkey = o_custkey
+        |JOIN v_lineitem ON l_orderkey = o_orderkey
+        |JOIN v_supplier ON l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |JOIN v_nation ON s_nationkey = n_nationkey
+        |JOIN v_region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue_u DESC, n_name""".stripMargin)
+  }
+
+  /** TPC-H Q10 (returned-item reporting): top-20 customers by revenue
+    * lost to returns in one quarter, with nation context.
+    *
+    * Plan: the R-flagged lineitem slice joins date-filtered orders
+    * (both filters reach their scans), customer + nation broadcast, one
+    * partial-agg'd groupBy on the customer key, TakeOrderedAndProject
+    * for the top-20. */
+  val qTpchQ10: Q = (s, d) => {
+    withViews(s, d)
+    s.sql(
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_c,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |      (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_u
+        |FROM v_customer JOIN v_orders ON c_custkey = o_custkey
+        |JOIN v_lineitem ON l_orderkey = o_orderkey
+        |JOIN v_nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1996-04-01'
+        |GROUP BY c_custkey, c_name, n_name, c_acctbal
+        |ORDER BY revenue_u DESC, c_custkey
+        |LIMIT 20""".stripMargin)
+  }
+
   val all: Map[String, Q] = Map(
     "q_tpch_q1" -> qTpchQ1,
     "q_tpch_q3" -> qTpchQ3,
+    "q_tpch_q5" -> qTpchQ5,
+    "q_tpch_q10" -> qTpchQ10,
     "q_tpch_q18" -> qTpchQ18,
   )
 
@@ -139,6 +199,34 @@ object Relational6 {
         |GROUP BY l_orderkey, o_orderdate
         |ORDER BY revenue_u DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |     (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_u
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue_u DESC, n_name""".stripMargin,
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name, n_name,
+        | CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_c,
+        | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |     (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_u
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1996-04-01'
+        |GROUP BY c_custkey, c_name, n_name, c_acctbal
+        |ORDER BY revenue_u DESC, c_custkey
+        |LIMIT 20""".stripMargin,
     "q_tpch_q18" ->
       """WITH big AS (
         | SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty

@@ -101,10 +101,53 @@ object Warehouse {
       .toDF("n_rowgroups", "total_rows", "min_l_orderkey", "max_l_orderkey")
   }
 
+  /** MERGE-INTO upsert (the Delta/Iceberg headline op, expressed on a
+    * plain parquet store): target = per-customer spend snapshot from
+    * orders before 1997; change batch = the 1997 orders aggregated the
+    * same way. Matched keys UPDATE (sums add), unmatched-by-target keys
+    * INSERT, unmatched-by-source rows are KEPT — each row labeled with
+    * its `merge_action`. The target round-trips through parquet so the
+    * store path (write → catalog-less scan → merge) is the real one.
+    *
+    * 100 TB shape: one equi-shuffle (full-outer on the snapshot key) —
+    * the same bill as q_table_diff; at scale the rewrite narrows to
+    * changed partitions via the partition-pruned sink layout, and the
+    * change batch is usually broadcast-sized. */
+  val qMergeUpsert: Q = (s, d) => {
+    val dir = java.nio.file.Files.createTempDirectory("graft_merge").toString +
+      s"/run_${run.incrementAndGet()}"
+    def spend(df: DataFrame) = df
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("spend_c"))
+    val orders = Tables.orders(s, d)
+      .withColumn("o_date", to_date(col("o_orderdate")))
+    spend(orders.filter(col("o_date") < lit("1997-01-01")))
+      .write.mode("overwrite").parquet(dir)
+    val target = s.read.parquet(dir)
+    val changes = spend(orders
+        .filter(col("o_date") >= lit("1997-01-01") &&
+          col("o_date") < lit("1998-01-01")))
+      .select(col("o_custkey").as("c_key"), col("n_orders").as("c_n"),
+        col("spend_c").as("c_spend"))
+    target.join(changes, col("o_custkey") === col("c_key"), "full_outer")
+      .select(
+        coalesce(col("o_custkey"), col("c_key")).as("custkey"),
+        (coalesce(col("n_orders"), lit(0L)) + coalesce(col("c_n"), lit(0L)))
+          .as("n_orders"),
+        (coalesce(col("spend_c"), lit(0L)) + coalesce(col("c_spend"), lit(0L)))
+          .as("spend_c"),
+        when(col("o_custkey").isNull, "insert")
+          .when(col("c_key").isNull, "keep")
+          .otherwise("update").as("merge_action"))
+      .orderBy("custkey")
+  }
+
   val all: Map[String, Q] = Map(
     "q_bucketed_join" -> qBucketedJoin,
     "q_partitioned_sink" -> qPartitionedSink,
     "q_footer_stats" -> qFooterStats,
+    "q_merge_upsert" -> qMergeUpsert,
   )
 
   val oracles: Map[String, String] = Map(
@@ -120,5 +163,27 @@ object Warehouse {
         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY day""".stripMargin,
+    "q_merge_upsert" ->
+      """WITH spend AS (
+        | SELECT o_custkey, CAST(o_orderdate AS DATE) AS o_date,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        | FROM orders),
+        |t AS (
+        | SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(sum(price_c) AS BIGINT) AS spend_c
+        | FROM spend WHERE o_date < DATE '1997-01-01' GROUP BY 1),
+        |c AS (
+        | SELECT o_custkey AS c_key, count(*) AS c_n,
+        |  CAST(sum(price_c) AS BIGINT) AS c_spend
+        | FROM spend WHERE o_date >= DATE '1997-01-01'
+        |  AND o_date < DATE '1998-01-01' GROUP BY 1)
+        |SELECT coalesce(o_custkey, c_key) AS custkey,
+        | coalesce(n_orders, 0) + coalesce(c_n, 0) AS n_orders,
+        | coalesce(spend_c, 0) + coalesce(c_spend, 0) AS spend_c,
+        | CASE WHEN o_custkey IS NULL THEN 'insert'
+        |      WHEN c_key IS NULL THEN 'keep'
+        |      ELSE 'update' END AS merge_action
+        |FROM t FULL OUTER JOIN c ON o_custkey = c_key
+        |ORDER BY custkey""".stripMargin,
   )
 }

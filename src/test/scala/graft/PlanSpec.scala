@@ -108,6 +108,22 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
   }
 
+  test("q_tpch_q5: all four dims broadcast, at most one fact-sized shuffle join") {
+    // customer/supplier/nation/region must all arrive via broadcast; the
+    // only join allowed to exchange fact-sized data is orders⋈lineitem
+    val p = planString("q_tpch_q5")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    val shuffleJoins = "SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).size
+    assert(shuffleJoins <= 1, s"expected ≤1 shuffle join, got $shuffleJoins\n$p")
+  }
+
+  test("q_tpch_q10: top-20 plans as TakeOrderedAndProject, return-flag filter pushed") {
+    val p = planString("q_tpch_q10")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      "returnflag filter not pushed to the lineitem scan:\n" + p)
+  }
+
   test("q_semi_join / q_anti_join plan as semi/anti, not inner+dedup") {
     assert(planString("q_semi_join").contains("LeftSemi"))
     assert(planString("q_anti_join").contains("LeftAnti"))
