@@ -21,6 +21,7 @@ object SparkEntry {
       graft.queries.Relational4.all ++
       graft.queries.Relational5.all ++
       graft.queries.Relational6.all ++
+      graft.queries.Relational7.all ++
       graft.queries.Text.all ++
       graft.queries.DedupSim.all ++
       graft.queries.Media.all ++
@@ -47,6 +48,7 @@ object SparkEntry {
       graft.queries.Relational4.oracles ++
       graft.queries.Relational5.oracles ++
       graft.queries.Relational6.oracles ++
+      graft.queries.Relational7.oracles ++
       graft.queries.Text.oracles ++
       graft.queries.DedupSim.oracles ++
       graft.queries.Media.oracles ++
