@@ -37,6 +37,7 @@ object SparkEntry {
       graft.queries.Analytics5.all ++
       graft.queries.Analytics6.all ++
       graft.queries.Analytics7.all ++
+      graft.queries.Analytics8.all ++
       graft.queries.Warehouse.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -64,5 +65,6 @@ object SparkEntry {
       graft.queries.Analytics5.oracles ++
       graft.queries.Analytics6.oracles ++
       graft.queries.Analytics7.oracles ++
+      graft.queries.Analytics8.oracles ++
       graft.queries.Warehouse.oracles
 }
