@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
-/** r7m batch — the statistical-testing and curation-policy operators a
+/** r7o batch — the statistical-testing and curation-policy operators a
   * large corpus pipeline runs between ingestion and training: a second
   * rank-based two-sample test (Mann–Whitney U, complementing the KS test
   * in [[Analytics5]]), multiple-testing control (Benjamini–Hochberg),

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.Tables
 
-/** r7l — completing the TPC-H surface: every remaining query expressible
+/** r7n — completing the TPC-H surface: every remaining query expressible
   * over the testdata's column subset (no partsupp table; lineitem lacks
   * commitdate/receiptdate/shipmode; part lacks container; customer lacks
   * phone), run through the SQL parser/analyzer path like [[Relational6]].

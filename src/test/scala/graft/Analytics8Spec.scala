@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import graft.queries.Analytics8
 
-/** Semantic referees for the r7m batch — in-memory recomputation of the
+/** Semantic referees for the r7o batch — in-memory recomputation of the
   * Mann–Whitney doubled-U algebra, the BH step-up cutoff, the span-mask
   * gaps-and-islands accounting, t-closeness EMD, the Theil–Sen median
   * slope, and neighborhood Jaccard.
