@@ -38,6 +38,7 @@ object SparkEntry {
       graft.queries.Analytics6.all ++
       graft.queries.Analytics7.all ++
       graft.queries.Analytics8.all ++
+      graft.queries.Analytics9.all ++
       graft.queries.Warehouse.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -66,5 +67,6 @@ object SparkEntry {
       graft.queries.Analytics6.oracles ++
       graft.queries.Analytics7.oracles ++
       graft.queries.Analytics8.oracles ++
+      graft.queries.Analytics9.oracles ++
       graft.queries.Warehouse.oracles
 }
