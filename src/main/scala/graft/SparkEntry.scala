@@ -30,6 +30,7 @@ object SparkEntry {
       graft.queries.Events.all ++
       graft.queries.Quality.all ++
       graft.queries.Corpus.all ++
+      graft.queries.Corpus2.all ++
       graft.queries.Analytics.all ++
       graft.queries.Analytics2.all ++
       graft.queries.Analytics3.all ++
@@ -59,6 +60,7 @@ object SparkEntry {
       graft.queries.Events.oracles ++
       graft.queries.Quality.oracles ++
       graft.queries.Corpus.oracles ++
+      graft.queries.Corpus2.oracles ++
       graft.queries.Analytics.oracles ++
       graft.queries.Analytics2.oracles ++
       graft.queries.Analytics3.oracles ++
