@@ -44,7 +44,11 @@ object GraftExtensions {
       (args: Seq[Expression]) => NfcNormalize(args(0))),
     ("zorder2",
       new ExpressionInfo(classOf[ZOrder2].getName, "zorder2"),
-      (args: Seq[Expression]) => ZOrder2(args(0), args(1))))
+      (args: Seq[Expression]) => ZOrder2(args(0), args(1))),
+    ("cms_estimate",
+      new ExpressionInfo(classOf[CountMinEstimate].getName, "cms_estimate"),
+      (args: Seq[Expression]) =>
+        CountMinEstimate(args(0), args(1), args(2), args(3))))
 
   /** Runtime registration on an existing session (functions + the
     * sorted-intersect optimizer rule via experimental.extraOptimizations,

@@ -103,10 +103,36 @@ object Analytics9 {
       .orderBy("event_type", "hour")
   }
 
+  /** Count–min sketch frequency estimates (r7r): per returnflag group,
+    * the sketch's estimate for five probe part keys — the constant-
+    * memory frequency oracle for key spaces too large to groupBy
+    * exactly. Backed by the [[graft.functions.CountMinEstimate]]
+    * TypedImperativeAggregate: local d×w grids, elementwise partial
+    * merge (d·w·8 bytes of shuffle per task — input-size-free), probe
+    * answering at eval. Deterministic (fixed splitmix64 hashing, exact
+    * integer counters, commutative merge) but not SQL-replayable
+    * (DuckDB BIGINT multiply traps on the wrapping hash arithmetic) →
+    * rows-only; CmsSpec proves the never-underestimate guarantee,
+    * partition-invariance, and the error bound against exact counts. */
+  val qCmsFreq: Q = (s, d) => {
+    val probes = Seq(1L, 2L, 3L, 4L, 5L)
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(graft.functions.CountMinEstimate
+        .cmsEstimate(col("l_partkey"), probes, 4, 1024).as("est"))
+      .select(col("l_returnflag"),
+        posexplode(col("est")).as(Seq("probe_idx", "est_count")))
+      .withColumn("probe_key", col("probe_idx").cast("long") + 1)
+      .select("l_returnflag", "probe_key", "est_count")
+      .orderBy("l_returnflag", "probe_key")
+  }
+
   val all: Map[String, Q] = Map(
     "q_phrase_search" -> qPhraseSearch,
     "q_hits" -> qHits,
     "q_burst_detect" -> qBurstDetect,
+    "q_cms_freq" -> qCmsFreq,
+    "q_isotonic_calibration" -> ((s, d) => graft.ml.Isotonic.calibrateReturns(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
