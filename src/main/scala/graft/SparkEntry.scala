@@ -40,6 +40,7 @@ object SparkEntry {
       graft.queries.Analytics7.all ++
       graft.queries.Analytics8.all ++
       graft.queries.Analytics9.all ++
+      graft.queries.StreamingQ.all ++
       graft.queries.Warehouse.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -70,5 +71,6 @@ object SparkEntry {
       graft.queries.Analytics7.oracles ++
       graft.queries.Analytics8.oracles ++
       graft.queries.Analytics9.oracles ++
+      graft.queries.StreamingQ.oracles ++
       graft.queries.Warehouse.oracles
 }

@@ -230,6 +230,27 @@ object Relational3 {
       .saltedSumCount(Tables.lineitem(s, d), "l_returnflag", "l_quantity", 8)
       .orderBy("l_returnflag")
 
+  /** Salted broadcast join (r7s): the skew-mitigation JOIN pattern as a
+    * certified query — the big side gets a per-row salt, the 100-row
+    * supplier dim is replicated ×8 and broadcast, and the join runs on
+    * (key, salt) so one hot supplier's rows spread across 8 tasks
+    * instead of one straggler. Semantics are provably identical to the
+    * plain join: the oracle replays it unsalted. AQE's skew splitting
+    * handles sort-merge skew at runtime; explicit salting is the tool
+    * when the hot key is known and the build side broadcastable —
+    * [[graft.operators.Scale.saltedBroadcastJoin]]. */
+  val qSaltedJoin: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_suppkey").as("suppkey"), col("l_quantity"))
+    val sup = Tables.supplier(s, d)
+      .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+    graft.operators.Scale.saltedBroadcastJoin(li, sup, "suppkey", 8)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("long")).as("total_qty"))
+      .orderBy("s_nationkey")
+  }
+
   /** first_value / last_value over a full-partition frame: each order row
     * carries its customer's first and latest order price. last_value needs
     * the explicit unbounded-following frame (the default frame stops at
@@ -280,6 +301,7 @@ object Relational3 {
     "q_conditional_agg" -> qConditionalAgg,
     "q_window_first_last" -> qWindowFirstLast,
     "q_salted_agg" -> qSaltedAgg,
+    "q_salted_join" -> qSaltedJoin,
     "q_melt" -> qMelt,
     "q_exists_correlated" -> qExistsCorrelated,
     "q_multi_join" -> qMultiJoin,
@@ -343,6 +365,11 @@ object Relational3 {
       """SELECT l_returnflag, sum(l_quantity) AS total,
         | count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_salted_join" ->
+      """SELECT s_nationkey, count(*) AS n_items,
+        | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "q_melt" ->
       """SELECT l_orderkey, l_linenumber, metric, val FROM (
         | UNPIVOT (SELECT l_orderkey, l_linenumber,

@@ -49,7 +49,8 @@ object Relational7 {
   }
 
   /** TPC-H Q7 (volume shipping) — exact: bilateral trade volume between
-    * two nations by shipment year.
+    * two nations by shipment year (pair chosen to have trade at every
+    * testdata sf, incl. the 10-supplier sf0.001).
     *
     * Plan: supplier+nation (100 rows) and customer+nation broadcast; the
     * only fact-sized exchange is orders⋈lineitem; the nation-pair
@@ -68,8 +69,8 @@ object Relational7 {
         |  JOIN v_customer ON c_custkey = o_custkey
         |  JOIN v_nation n1 ON s_nationkey = n1.n_nationkey
         |  JOIN v_nation n2 ON c_nationkey = n2.n_nationkey
-        |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') OR
-        |         (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |  WHERE ((n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_12') OR
+        |         (n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_11'))
         |    AND CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
         |) shipping
         |GROUP BY supp_nation, cust_nation, l_year
@@ -349,8 +350,8 @@ object Relational7 {
         | JOIN customer ON c_custkey = o_custkey
         | JOIN nation n1 ON s_nationkey = n1.n_nationkey
         | JOIN nation n2 ON c_nationkey = n2.n_nationkey
-        | WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') OR
-        |        (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        | WHERE ((n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_12') OR
+        |        (n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_11'))
         |   AND CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
         |) shipping
         |GROUP BY supp_nation, cust_nation, l_year

@@ -1,0 +1,89 @@
+package graft.queries
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.streaming.Streaming
+
+/** r7s — the Structured Streaming execution path ON the oracle surface:
+  * these registry entries run real `readStream` → watermarked agg →
+  * `Trigger.AvailableNow` → memory-sink pipelines to completion and
+  * return the materialized table, so the driver's DuckDB compare
+  * certifies the STREAMING engine's results (state store, watermark
+  * bookkeeping, window merge) against independent batch SQL — not just
+  * the batch planner's.
+  */
+object StreamingQ {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val run = new AtomicLong()
+
+  /** Watermarked tumbling 1-hour (window × type) counts and exact
+    * integer-cent sums through the streaming engine, Complete mode so
+    * every window is emitted. Money in cents BEFORE the agg — the
+    * streaming state carries BIGINTs, so merge order cannot perturb a
+    * float sum.
+    *
+    * 100 TB shape: the streaming agg is the same partial/final
+    * hash-agg pair as the batch plan, plus a watermark-evicted window
+    * state store — memory bounded by live windows, not input. */
+  val qStreamWindow: Q = (s, d) => {
+    val ev = Streaming.readEvents(s, d)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+    val agg = ev
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum("cents").as("value_c"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("cnt"), col("value_c"))
+    val name = s"graft_stream_win_${run.incrementAndGet()}"
+    Streaming.runAvailableNow(s, agg, name)
+      .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("cnt"), col("value_c"))
+      .orderBy("hour", "event_type")
+  }
+
+  /** Streaming exact dedup-by-key through the state store: first event
+    * per (user, type) in event-time order is NOT expressible with
+    * dropDuplicates (arrival order ≠ event order under parallel file
+    * splits), so this keeps min(event_id) per key via the agg state —
+    * the streaming form of the batch argmax pattern. Complete mode
+    * emits the final state.
+    *
+    * 100 TB shape: state is one row per live key; the memory-sink
+    * materialization here is test-scale plumbing, a production run
+    * writes to a keyed upsert sink. */
+  val qStreamFirstTouch: Q = (s, d) => {
+    val ev = Streaming.readEvents(s, d)
+    val agg = ev
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min("event_id").as("first_event_id"), count(lit(1)).as("n_events"))
+    val name = s"graft_stream_first_${run.incrementAndGet()}"
+    Streaming.runAvailableNow(s, agg, name)
+      .select(col("user_id"), col("event_type"),
+        col("first_event_id"), col("n_events"))
+      .orderBy("user_id", "event_type")
+  }
+
+  val all: Map[String, Q] = Map(
+    "q_stream_window" -> qStreamWindow,
+    "q_stream_first_touch" -> qStreamFirstTouch,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_stream_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        | event_type, count(*) AS cnt,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+        |FROM events
+        |GROUP BY date_trunc('hour', ts), event_type
+        |ORDER BY hour, event_type""".stripMargin,
+    "q_stream_first_touch" ->
+      """SELECT user_id, event_type,
+        | min(event_id) AS first_event_id, count(*) AS n_events
+        |FROM events
+        |GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
+  )
+}
