@@ -314,7 +314,44 @@ object Relational7 {
         |ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** Recursive CTE (r7s) — `WITH RECURSIVE` through Spark 4's parser
+    * (new surface in Spark 4.x; [[Graph.qBfsHops]] computes the same
+    * reachability via unrolled joins — this registers the RECURSIVE SQL
+    * form itself, and the DuckDB oracle recurses identically): min-hop
+    * distance from NATION_0 over the nation-level trade graph (edges =
+    * distinct supplier-nation → customer-nation pairs), depth-bounded
+    * at 2 so the UNION ALL path expansion stays polynomial on the dense
+    * 25-node graph (dedup happens in the final min/GROUP BY).
+    *
+    * 100 TB shape: the edge list is a doubly-aggregated frame
+    * (|nations|² max) — recursion runs on aggregate-sized data; the
+    * only input-scale work is the edge derivation. */
+  val qRecursiveCte: Q = (s, d) => {
+    withViews(s, d)
+    s.sql(
+      """WITH RECURSIVE reach(n_name, hops) AS (
+        |  SELECT 'NATION_0', 0
+        |  UNION ALL
+        |  SELECT e.dst, r.hops + 1
+        |  FROM reach r
+        |  JOIN (
+        |    SELECT DISTINCT n1.n_name AS src, n2.n_name AS dst
+        |    FROM v_supplier JOIN v_lineitem ON s_suppkey = l_suppkey
+        |    JOIN v_orders ON o_orderkey = l_orderkey
+        |    JOIN v_customer ON c_custkey = o_custkey
+        |    JOIN v_nation n1 ON s_nationkey = n1.n_nationkey
+        |    JOIN v_nation n2 ON c_nationkey = n2.n_nationkey
+        |    WHERE n1.n_nationkey <> n2.n_nationkey
+        |  ) e ON e.src = r.n_name
+        |  WHERE r.hops < 2)
+        |SELECT n_name, min(hops) AS hops
+        |FROM reach
+        |GROUP BY n_name
+        |ORDER BY hops, n_name""".stripMargin)
+  }
+
   val all: Map[String, Q] = Map(
+    "q_recursive_cte" -> qRecursiveCte,
     "q_tpch_q4" -> qTpchQ4,
     "q_tpch_q6" -> qTpchQ6,
     "q_tpch_q7" -> qTpchQ7,
@@ -330,6 +367,26 @@ object Relational7 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_recursive_cte" ->
+      """WITH RECURSIVE reach(n_name, hops) AS (
+        | SELECT 'NATION_0', 0
+        | UNION ALL
+        | SELECT e.dst, r.hops + 1
+        | FROM reach r
+        | JOIN (
+        |   SELECT DISTINCT n1.n_name AS src, n2.n_name AS dst
+        |   FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+        |   JOIN orders ON o_orderkey = l_orderkey
+        |   JOIN customer ON c_custkey = o_custkey
+        |   JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |   JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |   WHERE n1.n_nationkey <> n2.n_nationkey
+        | ) e ON e.src = r.n_name
+        | WHERE r.hops < 2)
+        |SELECT n_name, CAST(min(hops) AS INTEGER) AS hops
+        |FROM reach
+        |GROUP BY n_name
+        |ORDER BY hops, n_name""".stripMargin,
     "q_tpch_q6" ->
       """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
         |     CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_u
