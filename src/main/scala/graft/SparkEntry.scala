@@ -28,6 +28,7 @@ object SparkEntry {
       graft.queries.Ml.all ++
       graft.queries.Graph.all ++
       graft.queries.Events.all ++
+      graft.queries.Events2.all ++
       graft.queries.Quality.all ++
       graft.queries.Corpus.all ++
       graft.queries.Corpus2.all ++
@@ -59,6 +60,7 @@ object SparkEntry {
       graft.queries.Ml.oracles ++
       graft.queries.Graph.oracles ++
       graft.queries.Events.oracles ++
+      graft.queries.Events2.oracles ++
       graft.queries.Quality.oracles ++
       graft.queries.Corpus.oracles ++
       graft.queries.Corpus2.oracles ++
