@@ -41,6 +41,7 @@ object SparkEntry {
       graft.queries.Analytics7.all ++
       graft.queries.Analytics8.all ++
       graft.queries.Analytics9.all ++
+      graft.queries.Analytics10.all ++
       graft.queries.StreamingQ.all ++
       graft.queries.Warehouse.all
 
@@ -73,6 +74,7 @@ object SparkEntry {
       graft.queries.Analytics7.oracles ++
       graft.queries.Analytics8.oracles ++
       graft.queries.Analytics9.oracles ++
+      graft.queries.Analytics10.oracles ++
       graft.queries.StreamingQ.oracles ++
       graft.queries.Warehouse.oracles
 }

@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.text.TextFunctions.tokens
+
+/** r7u batch — cohort lifetime value (the revenue-accumulation
+  * complement to q_retention_cohorts' headcounts) and pairwise source
+  * vocabulary overlap (the domain-similarity signal behind corpus
+  * mixing weights).
+  */
+object Analytics10 {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Daily-cohort LTV: users grouped by their FIRST signup day; per
+    * (cohort day, day offset) the purchasing-user count, that day's
+    * exact-cent revenue, and the cohort's cumulative revenue by offset —
+    * the curve a growth report plots. Daily cohorts because the events
+    * table spans one month; the shape is cadence-agnostic.
+    *
+    * 100 TB shape: first-signup is one user-keyed min-agg (no window);
+    * purchases join the (user → cohort) map on user_id; the cumulative
+    * window runs on the |cohorts|×|offsets| aggregate. */
+  val qCohortLtv: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val cohort = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(to_date(col("ts"))).as("cohort_day"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val daily = purchases.join(cohort, "user_id")
+      .filter(col("day") >= col("cohort_day"))
+      .groupBy(col("cohort_day"), datediff(col("day"), col("cohort_day")).as("offset_days"))
+      .agg(countDistinct("user_id").as("n_buyers"), sum("cents").as("revenue_c"))
+    val w = Window.partitionBy("cohort_day").orderBy("offset_days")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("cum_revenue_c", sum("revenue_c").over(w))
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("offset_days"), col("n_buyers"), col("revenue_c"), col("cum_revenue_c"))
+      .orderBy("cohort_day", "offset_days")
+  }
+
+  /** Pairwise source vocabulary overlap: distinct-token Jaccard for the
+    * top source pairs — near-duplicate FEEDS (mirrors, scrapes of the
+    * same upstream) show up here before any document-level dedup runs.
+    * Built from the (token, source) inverted index: the intersection is
+    * an equality self-join on token, never a vocabulary cross-product.
+    *
+    * 100 TB shape: vocab per source is a distinct-agg; the token-keyed
+    * self-join's fan-out is bounded by per-token source counts (≤
+    * |sources|); the report is |sources|² max. */
+  val qSourceVocabOverlap: Q = (s, d) => {
+    val ts = Tables.documents(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .distinct()
+    val vocab = ts.groupBy("source").agg(count(lit(1)).as("v"))
+    val inter = ts.select(col("token"), col("source").as("s1"))
+      .join(ts.select(col("token"), col("source").as("s2")), Seq("token"))
+      .filter(col("s1") < col("s2"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(vocab.select(col("source").as("s1"), col("v").as("v1")), Seq("s1"))
+      .join(vocab.select(col("source").as("s2"), col("v").as("v2")), Seq("s2"))
+      .select(col("s1"), col("s2"), col("n_inter"), col("v1"), col("v2"),
+        round(col("n_inter").cast("double") /
+          (col("v1") + col("v2") - col("n_inter")), 6).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("s1"), col("s2"))
+      .limit(20)
+  }
+
+  val all: Map[String, Q] = Map(
+    "q_cohort_ltv" -> qCohortLtv,
+    "q_source_vocab_overlap" -> qSourceVocabOverlap,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_cohort_ltv" ->
+      """WITH cohort AS (
+        | SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        | FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |purchases AS (
+        | SELECT user_id, CAST(ts AS DATE) AS day,
+        |   CAST(round(value * 100) AS BIGINT) AS cents
+        | FROM events WHERE event_type = 'purchase'),
+        |daily AS (
+        | SELECT cohort_day, date_diff('day', cohort_day, day) AS offset_days,
+        |   count(DISTINCT p.user_id) AS n_buyers,
+        |   CAST(sum(cents) AS BIGINT) AS revenue_c
+        | FROM purchases p JOIN cohort c ON p.user_id = c.user_id
+        | WHERE day >= cohort_day
+        | GROUP BY cohort_day, offset_days)
+        |SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+        | CAST(offset_days AS INTEGER) AS offset_days, n_buyers, revenue_c,
+        | CAST(sum(revenue_c) OVER (PARTITION BY cohort_day ORDER BY offset_days)
+        |      AS BIGINT) AS cum_revenue_c
+        |FROM daily
+        |ORDER BY cohort_day, offset_days""".stripMargin,
+    "q_source_vocab_overlap" ->
+      """WITH ts AS (
+        | SELECT DISTINCT source, unnest(string_split(trim(text), ' ')) AS token
+        | FROM documents),
+        |vocab AS (SELECT source, count(*) AS v FROM ts GROUP BY source),
+        |inter AS (
+        | SELECT a.source AS s1, b.source AS s2, count(*) AS n_inter
+        | FROM ts a JOIN ts b ON a.token = b.token AND a.source < b.source
+        | GROUP BY s1, s2)
+        |SELECT s1, s2, n_inter, v1.v AS v1, v2.v AS v2,
+        | round(CAST(n_inter AS DOUBLE) / (v1.v + v2.v - n_inter), 6) AS jaccard
+        |FROM inter
+        |JOIN vocab v1 ON s1 = v1.source
+        |JOIN vocab v2 ON s2 = v2.source
+        |ORDER BY jaccard DESC, s1, s2
+        |LIMIT 20""".stripMargin,
+  )
+}
