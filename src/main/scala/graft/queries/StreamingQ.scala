@@ -66,9 +66,37 @@ object StreamingQ {
       .orderBy("user_id", "event_type")
   }
 
+  /** Native session windows through the streaming engine: gap-based
+    * `session_window(ts, 30 min)` per user with engine-managed merge
+    * state, run to completion — the oracle replays the merge rule
+    * (break at gap ≥ 30 min; session end = last event + gap) as
+    * window SQL, certifying the state-store session merging against an
+    * independent formulation. Money in cents so session state is
+    * integer. */
+  val qStreamSessions: Q = (s, d) => {
+    val ev = Streaming.readEvents(s, d)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+    val agg = ev
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), sum("cents").as("session_c"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("session_c"))
+    val name = s"graft_stream_sess_${run.incrementAndGet()}"
+    Streaming.runAvailableNow(s, agg, name)
+      .select(col("user_id"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"), col("session_c"))
+      .orderBy("user_id", "session_start")
+  }
+
   val all: Map[String, Q] = Map(
     "q_stream_window" -> qStreamWindow,
     "q_stream_first_touch" -> qStreamFirstTouch,
+    "q_stream_sessions" -> qStreamSessions,
   )
 
   val oracles: Map[String, String] = Map(
@@ -79,6 +107,27 @@ object StreamingQ {
         |FROM events
         |GROUP BY date_trunc('hour', ts), event_type
         |ORDER BY hour, event_type""".stripMargin,
+    "q_stream_sessions" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT) AS cents,
+        |  epoch_us(ts) AS tus,
+        |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_tus
+        | FROM events),
+        |b AS (
+        | SELECT user_id, event_id, cents, tus, CASE WHEN prev_tus IS NULL
+        |   OR tus - prev_tus >= 1800000000 THEN 1 ELSE 0 END AS brk
+        | FROM e),
+        |sess AS (
+        | SELECT user_id, cents, tus,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        | FROM b)
+        |SELECT user_id,
+        | strftime(make_timestamp(min(tus)), '%Y-%m-%d %H:%M:%S') AS session_start,
+        | strftime(make_timestamp(max(tus) + 1800000000), '%Y-%m-%d %H:%M:%S') AS session_end,
+        | count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS session_c
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "q_stream_first_touch" ->
       """SELECT user_id, event_type,
         | min(event_id) AS first_event_id, count(*) AS n_events

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Measured shuffle-volume guards — "measure, don't guess" turned into
+  * assertions: for plans whose scale story is "the shuffle carries an
+  * aggregate, not the input", read the ACTUAL shuffle records from the
+  * executed plan's SQLMetrics and pin them. A regression that silently
+  * moves full rows through an exchange (lost partial agg, dropped
+  * broadcast) fails here even if the answer stays correct.
+  */
+class MetricsSpec extends AnyFunSuite with SharedSpark {
+
+  /** Sum of `shuffle records written` across every shuffle exchange in
+    * the executed (post-AQE) plan. */
+  private def shuffleRecords(root: SparkPlan): Long = {
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    var total = 0L
+    def walk(p: SparkPlan): Unit = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case s: ShuffleExchangeLike =>
+        total += s.metrics.get("shuffleRecordsWritten")
+          .orElse(s.metrics.get("numOutputRows")).map(_.value).getOrElse(0L)
+        s.children.foreach(walk)
+      case other =>
+        other.children.foreach(walk)
+        other.subqueries.foreach(walk)
+    }
+    walk(root)
+    total
+  }
+  private def walkTotal(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    shuffleRecords(df.queryExecution.executedPlan)
+  }
+
+  test("q1_agg's shuffles carry combiner rows, not the input") {
+    val inputRows = Tables.lineitem(spark, sfDir).count()
+    val df = SparkEntry.queries("q1_agg")(spark, sfDir)
+    val shuffled = walkTotal(df)
+    // partial agg → per-task group rows; 4 tasks × 6 groups plus the
+    // final sort exchange — orders of magnitude under the input
+    assert(shuffled < inputRows / 10,
+      s"q1_agg shuffled $shuffled records against $inputRows input rows")
+  }
+
+  test("q_star_join never shuffles the fact table") {
+    val inputRows = Tables.lineitem(spark, sfDir).count()
+    val df = SparkEntry.queries("q_star_join")(spark, sfDir)
+    val shuffled = walkTotal(df)
+    assert(shuffled < inputRows / 10,
+      s"q_star_join shuffled $shuffled records against $inputRows fact rows")
+  }
+
+  test("q_topk_count's TakeOrdered ships only per-partition heads") {
+    val df = SparkEntry.queries("q_topk_count")(spark, sfDir)
+    val shuffled = walkTotal(df)
+    // group-by-key agg shuffles distinct keys; the top-k itself ships
+    // ≤ k rows per partition
+    val distinctKeys = 3000 // l_partkey domain at sf0.001 (2000 parts) + slack
+    assert(shuffled < distinctKeys * 2,
+      s"q_topk_count shuffled $shuffled records")
+  }
+}
