@@ -412,4 +412,65 @@ object Multimodal {
     * Seq(mp3Decoder, JvmAudioDecoder), audioStubFallback _)`. */
   def decodeAudio(spark: SparkSession, media: DataFrame): DataFrame =
     decodeWith(spark, media, Seq(JvmAudioDecoder), audioStubFallback)
+
+  /** Row-level result of dominant-tone detection. */
+  case class DetectedTone(media_id: Long, sample_rate: Long, n_frames: Long,
+                          detected_freq_hz: Double, rel_power_milli: Long)
+
+  /** Dominant-tone detection over real decoded PCM: Goertzel power at a
+    * fixed candidate-frequency grid (the fixture tone domain, 200–1150
+    * Hz step 50), argmax wins — the signal-level audio FEATURE stage
+    * (language/music/silence classifiers start exactly here), beyond
+    * [[decodeAudio]]'s container metadata + RMS. Per-row O(frames ×
+    * candidates) arithmetic in one mapPartitions pass; deterministic
+    * (fixed evaluation order, no library FFT), so MediaSpec can assert
+    * detected == planted for every synthetic WAV.
+    *
+    * 100 TB shape: embarrassingly parallel per-payload CPU — the same
+    * contract as the decoders; no shuffle until the (tiny) result agg. */
+  def detectTone(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    val candidates = (0 until 20).map(i => 200.0 + i * 50.0).toArray
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val ais =
+            try javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+          if (ais == null) DetectedTone(id, 0L, 0L, 0.0, 0L)
+          else {
+            val fmt = ais.getFormat
+            val raw = ais.readAllBytes()
+            val n = raw.length / 2
+            val samples = new Array[Double](n)
+            var i = 0
+            while (i < n) {
+              samples(i) = ((raw(2 * i + 1) << 8) | (raw(2 * i) & 0xff)).toShort.toDouble
+              i += 1
+            }
+            val rate = fmt.getSampleRate.toDouble
+            var bestF = 0.0; var bestP = -1.0; var totP = 0.0
+            candidates.foreach { f =>
+              // Goertzel at frequency f
+              val w = 2.0 * math.Pi * f / rate
+              val coeff = 2.0 * math.cos(w)
+              var s0 = 0.0; var s1 = 0.0; var s2 = 0.0
+              var j = 0
+              while (j < n) {
+                s0 = samples(j) + coeff * s1 - s2
+                s2 = s1; s1 = s0
+                j += 1
+              }
+              val p = s1 * s1 + s2 * s2 - coeff * s1 * s2
+              totP += p
+              if (p > bestP) { bestP = p; bestF = f }
+            }
+            DetectedTone(id, rate.toLong, n.toLong, bestF,
+              if (totP <= 0) 0L else math.round(bestP / totP * 1000.0))
+          }
+        }
+      }.toDF()
+  }
 }

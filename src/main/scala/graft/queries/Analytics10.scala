@@ -71,12 +71,72 @@ object Analytics10 {
       .limit(20)
   }
 
+  /** Matryoshka truncation recall (r7u): overlap@10 between the
+    * full-64-dim and truncated-32-dim cosine rankings per query — the
+    * measurement that justifies (or vetoes) storing half-precision
+    * prefixes of an embedding column at 100 TB (half the bytes scanned
+    * per ANN probe if recall holds). Both rankings run the certified
+    * brute-force path; the oracle replays both in DuckDB and counts the
+    * same intersections. */
+  val qMatryoshka: Q = (s, d) => {
+    import graft.similarity.Similarity
+    val vecs = Tables.embeddings(s, d)
+    val qs = vecs.filter(col("vec_id") < 5)
+    val vecsHalf = vecs.withColumn("embedding", slice(col("embedding"), 1, 32))
+    val qsHalf = vecsHalf.filter(col("vec_id") < 5)
+    val full = Similarity.bruteTopK(vecs, qs, 10).select(col("q_id"), col("n_id"))
+    val half = Similarity.bruteTopK(vecsHalf, qsHalf, 10)
+      .select(col("q_id"), col("n_id"))
+    val overlap = full.join(half, Seq("q_id", "n_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("overlap_at_10"))
+    qs.select(col("vec_id").as("q_id"))
+      .join(overlap, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("overlap_at_10"), lit(0L)).as("overlap_at_10"))
+      .orderBy("q_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q_cohort_ltv" -> qCohortLtv,
     "q_source_vocab_overlap" -> qSourceVocabOverlap,
+    "q_matryoshka" -> qMatryoshka,
   )
 
   val oracles: Map[String, String] = Map(
+    "q_matryoshka" ->
+      """WITH vf AS (
+        | SELECT vec_id, embedding,
+        |  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+        | FROM embeddings),
+        |vh AS (
+        | SELECT vec_id, embedding[1:32] AS emb,
+        |  sqrt(list_sum(list_transform(embedding[1:32], x -> x::DOUBLE * x::DOUBLE))) AS nrm
+        | FROM embeddings),
+        |ff AS (
+        | SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |   round(list_sum(list_transform(range(1, len(q.embedding) + 1),
+        |     i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) / (q.nrm * c.nrm), 6)
+        |   DESC, c.vec_id) AS rnk
+        | FROM vf q JOIN vf c ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
+        |hh AS (
+        | SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |   round(list_sum(list_transform(range(1, len(q.emb) + 1),
+        |     i -> q.emb[i]::DOUBLE * c.emb[i]::DOUBLE)) / (q.nrm * c.nrm), 6)
+        |   DESC, c.vec_id) AS rnk
+        | FROM vh q JOIN vh c ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
+        |ov AS (
+        | SELECT f.q_id, count(*) AS overlap_at_10
+        | FROM (SELECT q_id, n_id FROM ff WHERE rnk <= 10) f
+        | JOIN (SELECT q_id, n_id FROM hh WHERE rnk <= 10) h
+        |   ON f.q_id = h.q_id AND f.n_id = h.n_id
+        | GROUP BY f.q_id)
+        |SELECT q.vec_id AS q_id,
+        | CAST(coalesce(ov.overlap_at_10, 0) AS BIGINT) AS overlap_at_10
+        |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 5) q
+        |LEFT JOIN ov ON q.vec_id = ov.q_id
+        |ORDER BY q_id""".stripMargin,
     "q_cohort_ltv" ->
       """WITH cohort AS (
         | SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day

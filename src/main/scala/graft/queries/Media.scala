@@ -103,7 +103,19 @@ object Media {
         graft.multimodal.Phash.patternPngs(s, Tables.documents(s, d)))
       .orderBy("a_id", "b_id")
 
+  /** Dominant-tone detection (r7u) over the real WAV payloads: Goertzel
+    * argmax over the candidate grid — the fixture plants freq =
+    * 200 + (id mod 20)·50, so the oracle replays that arithmetic in
+    * SQL and the comparison certifies the whole decode→DSP chain. */
+  val qAudioSpectrum: Q = (s, d) =>
+    Multimodal.detectTone(s,
+        Multimodal.syntheticWavs(s, Tables.documents(s, d)))
+      .select(col("media_id"), col("sample_rate"), col("n_frames"),
+        col("detected_freq_hz"))
+      .orderBy("media_id")
+
   val all: Map[String, Q] = Map(
+    "q_audio_spectrum" -> qAudioSpectrum,
     "q_image_phash" -> qImagePhash,
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_media_features" -> qMediaFeatures,
@@ -114,6 +126,13 @@ object Media {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_audio_spectrum" ->
+      """SELECT doc_id AS media_id,
+        | CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS sample_rate,
+        | CAST(((8000 + (doc_id % 4) * 4000) // 100) * (1 + doc_id % 5) AS BIGINT) AS n_frames,
+        | CAST(200 + (doc_id % 20) * 50 AS DOUBLE) AS detected_freq_hz
+        |FROM documents
+        |ORDER BY media_id""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id AS media_id,
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
