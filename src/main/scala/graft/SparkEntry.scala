@@ -22,6 +22,7 @@ object SparkEntry {
       graft.queries.Relational5.all ++
       graft.queries.Relational6.all ++
       graft.queries.Relational7.all ++
+      graft.queries.Relational8.all ++
       graft.queries.Text.all ++
       graft.queries.DedupSim.all ++
       graft.queries.Media.all ++
@@ -55,6 +56,7 @@ object SparkEntry {
       graft.queries.Relational5.oracles ++
       graft.queries.Relational6.oracles ++
       graft.queries.Relational7.oracles ++
+      graft.queries.Relational8.oracles ++
       graft.queries.Text.oracles ++
       graft.queries.DedupSim.oracles ++
       graft.queries.Media.oracles ++
