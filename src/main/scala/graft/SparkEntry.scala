@@ -23,6 +23,7 @@ object SparkEntry {
       graft.queries.Relational6.all ++
       graft.queries.Relational7.all ++
       graft.queries.Relational8.all ++
+      graft.queries.Relational9.all ++
       graft.queries.Text.all ++
       graft.queries.DedupSim.all ++
       graft.queries.Media.all ++
@@ -57,6 +58,7 @@ object SparkEntry {
       graft.queries.Relational6.oracles ++
       graft.queries.Relational7.oracles ++
       graft.queries.Relational8.oracles ++
+      graft.queries.Relational9.oracles ++
       graft.queries.Text.oracles ++
       graft.queries.DedupSim.oracles ++
       graft.queries.Media.oracles ++

@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** r7w batch — format-function breadth and failure-mode arithmetic:
+  * `from_xml` and `from_csv` embedded-record parsing (the last two
+  * text formats a feed-ingestion layer meets after JSON), and the
+  * `try_*` arithmetic family whose NULL-on-failure contract replaces
+  * job-killing exceptions at 100 TB (one malformed row must not fail a
+  * million-task stage).
+  */
+object Relational9 {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** XML record extraction: each event's payload re-serialized as an
+    * XML fragment (deterministic arithmetic on the JSON value — the
+    * fixture has no native XML, so the query PLANTS it, the planting
+    * replayed by the oracle), then parsed back with `from_xml` and a
+    * typed schema. Certifies the parse round trip, not just the
+    * planting: sums over the EXTRACTED field must match sums the
+    * oracle computes from the source values. */
+  val qXmlExtract: Q = (s, d) => {
+    val planted = Tables.events(s, d)
+      .withColumn("k", expr("CAST(get_json_object(props, '$.k') AS BIGINT)"))
+      .withColumn("xml",
+        concat(lit("<rec><k>"), col("k"), lit("</k><t>"),
+          col("event_type"), lit("</t></rec>")))
+    planted
+      .withColumn("parsed", expr("from_xml(xml, 'k BIGINT, t STRING')"))
+      .groupBy(col("parsed.t").as("event_type"))
+      .agg(count(lit(1)).as("n"), sum("parsed.k").as("sum_k"),
+        sum(when(col("parsed.k") =!= col("k"), 1L).otherwise(0L))
+          .as("roundtrip_errors"))
+      .orderBy("event_type")
+  }
+
+  /** CSV record extraction: the same round-trip contract through
+    * `from_csv` with an explicit schema — the embedded-delimited-record
+    * case (log lines carrying CSV fields inside a column). */
+  val qFromCsv: Q = (s, d) => {
+    val planted = Tables.orders(s, d)
+      .withColumn("line",
+        concat_ws(",", col("o_orderkey"), col("o_orderstatus"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)")))
+    planted
+      .withColumn("parsed",
+        expr("from_csv(line, 'okey BIGINT, status STRING, cents BIGINT')"))
+      .groupBy(col("parsed.status").as("status"))
+      .agg(count(lit(1)).as("n"), sum("parsed.cents").as("total_c"),
+        sum(when(col("parsed.okey") =!= col("o_orderkey"), 1L).otherwise(0L))
+          .as("roundtrip_errors"))
+      .orderBy("status")
+  }
+
+  /** try_* failure-mode arithmetic: planted overflow (BIGINT max ×2),
+    * division by planted zeros, and malformed casts all yield NULL
+    * instead of killing the stage — the per-row error-tolerance
+    * contract, reported as exact null/success counts per class. The
+    * oracle replays each case with guards (the classical CASE WHEN
+    * armor try_* replaces). */
+  val qTryArithmetic: Q = (s, d) => {
+    Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+    s.sql(
+      """SELECT
+        |  count(*) AS n,
+        |  sum(CASE WHEN try_add(9223372036854775807L,
+        |        CAST(l_quantity AS BIGINT)) IS NULL THEN 1 ELSE 0 END) AS add_overflows,
+        |  sum(CASE WHEN try_divide(l_extendedprice,
+        |        CAST(round(l_discount * 100) AS BIGINT) - 5) IS NULL
+        |      THEN 1 ELSE 0 END) AS div_nulls,
+        |  sum(CASE WHEN try_cast(l_returnflag AS BIGINT) IS NULL
+        |      THEN 1 ELSE 0 END) AS bad_casts,
+        |  CAST(sum(try_multiply(CAST(round(l_extendedprice * 100) AS BIGINT),
+        |        CAST(1 AS BIGINT))) AS BIGINT) AS safe_sum_c
+        |FROM v_lineitem""".stripMargin)
+  }
+
+  val all: Map[String, Q] = Map(
+    "q_xml_extract" -> qXmlExtract,
+    "q_from_csv" -> qFromCsv,
+    "q_try_arithmetic" -> qTryArithmetic,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_xml_extract" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | CAST(0 AS BIGINT) AS roundtrip_errors
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q_from_csv" ->
+      """SELECT o_orderstatus AS status, count(*) AS n,
+        | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c,
+        | CAST(0 AS BIGINT) AS roundtrip_errors
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY status""".stripMargin,
+    "q_try_arithmetic" ->
+      """SELECT count(*) AS n,
+        | count(*) AS add_overflows,
+        | CAST(sum(CASE WHEN CAST(round(l_discount * 100) AS BIGINT) = 5
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS div_nulls,
+        | count(*) AS bad_casts,
+        | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS safe_sum_c
+        |FROM lineitem""".stripMargin,
+  )
+}
