@@ -96,13 +96,86 @@ object Analytics10 {
       .orderBy("q_id")
   }
 
+  /** Pairwise audience overlap (r7w): exact user-set Jaccard between
+    * event types — which behaviors share an audience (the product-
+    * analytics sibling of source vocabulary overlap, same inverted-
+    * index shape on (user, type) with |types|-bounded fan-out). */
+  val qAudienceOverlap: Q = (s, d) => {
+    val ut = Tables.events(s, d).select("user_id", "event_type").distinct()
+    val sizes = ut.groupBy("event_type").agg(count(lit(1)).as("n_users"))
+    val inter = ut.select(col("user_id"), col("event_type").as("t1"))
+      .join(ut.select(col("user_id"), col("event_type").as("t2")), Seq("user_id"))
+      .filter(col("t1") < col("t2"))
+      .groupBy("t1", "t2").agg(count(lit(1)).as("n_both"))
+    inter
+      .join(sizes.select(col("event_type").as("t1"), col("n_users").as("n1")), Seq("t1"))
+      .join(sizes.select(col("event_type").as("t2"), col("n_users").as("n2")), Seq("t2"))
+      .select(col("t1"), col("t2"), col("n_both"), col("n1"), col("n2"),
+        round(col("n_both").cast("double") /
+          (col("n1") + col("n2") - col("n_both")), 6).as("jaccard"))
+      .orderBy("t1", "t2")
+  }
+
+  /** Sample-ratio-mismatch guard (r7w): the experimentation sanity
+    * check run BEFORE reading any A/B metric — assignment here is the
+    * deterministic user-parity split, expected 50/50; the statistic is
+    * the exact chi-square numerator (n_a − n_b)² over n cross-
+    * multiplied to integers, with the α=0.05 1-dof decision
+    * ((n_a−n_b)² > 3.8415·n) evaluated on exact integers scaled by
+    * 10⁴. An SRM flag means the assignment plumbing is broken and
+    * every downstream metric is garbage. */
+  val qAbSrm: Q = (s, d) => {
+    Tables.events(s, d)
+      .select(col("user_id")).distinct()
+      .select(pmod(col("user_id"), lit(2L)).as("arm"))
+      .groupBy("arm").agg(count(lit(1)).as("n"))
+      .agg(sum("n").as("n_total"),
+        sum(when(col("arm") === 0, col("n")).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1, col("n")).otherwise(0L)).as("n_b"))
+      .select(col("n_total"), col("n_a"), col("n_b"),
+        round((col("n_a") - col("n_b")).cast("double") *
+          (col("n_a") - col("n_b")) / col("n_total"), 6).as("chi2_1dof"),
+        ((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")) * 10000L >
+          col("n_total") * 38415L).cast("long").as("srm_flag"))
+  }
+
   val all: Map[String, Q] = Map(
     "q_cohort_ltv" -> qCohortLtv,
     "q_source_vocab_overlap" -> qSourceVocabOverlap,
     "q_matryoshka" -> qMatryoshka,
+    "q_audience_overlap" -> qAudienceOverlap,
+    "q_ab_srm" -> qAbSrm,
   )
 
   val oracles: Map[String, String] = Map(
+    "q_audience_overlap" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |sizes AS (SELECT event_type, count(*) AS n_users FROM ut GROUP BY event_type),
+        |inter AS (
+        | SELECT a.event_type AS t1, b.event_type AS t2, count(*) AS n_both
+        | FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        | GROUP BY t1, t2)
+        |SELECT t1, t2, n_both, s1.n_users AS n1, s2.n_users AS n2,
+        | round(CAST(n_both AS DOUBLE) / (s1.n_users + s2.n_users - n_both), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes s1 ON t1 = s1.event_type
+        |JOIN sizes s2 ON t2 = s2.event_type
+        |ORDER BY t1, t2""".stripMargin,
+    "q_ab_srm" ->
+      """WITH arms AS (
+        | SELECT user_id % 2 AS arm FROM (SELECT DISTINCT user_id FROM events)),
+        |counts AS (SELECT arm, count(*) AS n FROM arms GROUP BY arm),
+        |agg AS (
+        | SELECT sum(n) AS n_total,
+        |  sum(CASE WHEN arm = 0 THEN n ELSE 0 END) AS n_a,
+        |  sum(CASE WHEN arm = 1 THEN n ELSE 0 END) AS n_b
+        | FROM counts)
+        |SELECT CAST(n_total AS BIGINT) AS n_total, CAST(n_a AS BIGINT) AS n_a,
+        | CAST(n_b AS BIGINT) AS n_b,
+        | round(CAST(n_a - n_b AS DOUBLE) * (n_a - n_b) / n_total, 6) AS chi2_1dof,
+        | CASE WHEN (n_a - n_b) * (n_a - n_b) * 10000 > n_total * 38415
+        |      THEN 1 ELSE 0 END AS srm_flag
+        |FROM agg""".stripMargin,
     "q_matryoshka" ->
       """WITH vf AS (
         | SELECT vec_id, embedding,
