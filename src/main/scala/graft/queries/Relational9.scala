@@ -77,13 +77,61 @@ object Relational9 {
         |FROM v_lineitem""".stripMargin)
   }
 
+  /** Exact DECIMAL money path (r7x): the library's integer-cent
+    * convention exists because doubles drift — this query certifies the
+    * ALTERNATIVE a migrating user may already have: DECIMAL(20,2)
+    * arithmetic end to end (construction from exact cents, sum,
+    * report rendered as canonical digit strings so the compare is
+    * textual-exact). Decimal ops are exact in both engines. */
+  val qDecimalMoney: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("v_orders")
+    s.sql(
+      """SELECT o_orderstatus AS status,
+        |  CAST(CAST(sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DECIMAL(20, 2))
+        |      / 100) AS DECIMAL(20, 2)) AS STRING) AS total_dec,
+        |  count(*) AS n
+        |FROM v_orders
+        |GROUP BY o_orderstatus
+        |ORDER BY status""".stripMargin)
+  }
+
+  /** Explicit null-ordering semantics (r7x): engines DISAGREE by
+    * default (Spark ascends NULLS FIRST, DuckDB NULLS LAST), so any
+    * cross-engine sort contract must pin the placement — this query
+    * plants nulls deterministically (`nullif` on a key predicate) and
+    * orders with explicit NULLS LAST on both sides, certifying that
+    * the pinned form agrees. */
+  val qNullOrdering: Q = (s, d) => {
+    Tables.supplier(s, d).createOrReplaceTempView("v_supplier")
+    s.sql(
+      """SELECT s_suppkey,
+        |  nullif(s_nationkey, s_suppkey % 25) AS nk_nullable
+        |FROM v_supplier
+        |ORDER BY nk_nullable ASC NULLS LAST, s_suppkey""".stripMargin)
+  }
+
   val all: Map[String, Q] = Map(
     "q_xml_extract" -> qXmlExtract,
     "q_from_csv" -> qFromCsv,
     "q_try_arithmetic" -> qTryArithmetic,
+    "q_decimal_money" -> qDecimalMoney,
+    "q_null_ordering" -> qNullOrdering,
   )
 
   val oracles: Map[String, String] = Map(
+    "q_decimal_money" ->
+      """SELECT o_orderstatus AS status,
+        | CAST(CAST(sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DECIMAL(20, 2))
+        |     / 100) AS DECIMAL(20, 2)) AS VARCHAR) AS total_dec,
+        | count(*) AS n
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY status""".stripMargin,
+    "q_null_ordering" ->
+      """SELECT s_suppkey,
+        | nullif(s_nationkey, s_suppkey % 25) AS nk_nullable
+        |FROM supplier
+        |ORDER BY nk_nullable ASC NULLS LAST, s_suppkey""".stripMargin,
     "q_xml_extract" ->
       """SELECT event_type, count(*) AS n,
         | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
