@@ -44,6 +44,8 @@ object SparkEntry {
       graft.queries.Analytics8.all ++
       graft.queries.Analytics9.all ++
       graft.queries.Analytics10.all ++
+      graft.queries.Analytics11.all ++
+      graft.queries.Analytics12.all ++
       graft.queries.StreamingQ.all ++
       graft.queries.Warehouse.all
 
@@ -79,6 +81,8 @@ object SparkEntry {
       graft.queries.Analytics8.oracles ++
       graft.queries.Analytics9.oracles ++
       graft.queries.Analytics10.oracles ++
+      graft.queries.Analytics11.oracles ++
+      graft.queries.Analytics12.oracles ++
       graft.queries.StreamingQ.oracles ++
       graft.queries.Warehouse.oracles
 }
