@@ -39,8 +39,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // __SF_DIR__ → the actual scale-factor dir: lets an oracle address
+    // the parquet FILE (parquet_metadata needs a constant path) — the
+    // driver's DuckDB run sees only the substituted SQL.
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__SF_DIR__",
+        new java.io.File(sfDir).getAbsolutePath))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -154,27 +154,49 @@ object Analytics3 {
   }
 
   /** Record linkage over part names: same-brand candidate pairs whose
-    * names land at Jaro–Winkler ≥ 0.92 — blocking (equality join on
-    * brand) bounds the quadratic verify to Σ|block|², and the verifier
-    * is the native codegen'd [[graft.functions.JaroWinklerSim]] (Spark
-    * ships no Jaro family; a Scala UDF would fall out of whole-stage
-    * codegen). Similarity reported at round 6; DuckDB's
-    * jaro_winkler_similarity implements the identical conditional-boost
-    * Winkler, keeping the pair set oracle-checkable.
+    * names land at Jaro–Winkler ≥ 0.92, computed ON DISTINCT NAMES and
+    * expanded back to record pairs. The r7 shape (equality self-join on
+    * the 25-value brand key) was the one shipped plan that grew
+    * quadratically: block cardinality was CONSTANT in data size, so
+    * candidate pairs — and JW evaluations — went 79 k → 8 M → 800 M as
+    * data scaled. The verify work, though, only depends on the NAME
+    * domain: dedupe names first (|distinct| ≪ n whenever linkage is
+    * meaningful), token-block the distinct side (candidate name pairs
+    * must share a name token — the inverted-index equi-join from
+    * [[graft.dedup.Dedup]], never all-pairs), JW-verify once per name
+    * pair with the native codegen'd [[graft.functions.JaroWinklerSim]],
+    * then expand matches to record pairs via two equi-joins on
+    * (name, brand). JW cost drops from O(n²/|brands|) to
+    * O(Σ|token block|²) over DISTINCT names; everything downstream is
+    * output-sized, which is the information-theoretic floor — the
+    * matching pairs ARE the answer. Output identical to the all-pairs
+    * r7 query (verified both engines, sf0.01 and sf0.1: every JW≥0.92
+    * name pair shares a token — a 0.92 Winkler needs a long common
+    * prefix). DuckDB's jaro_winkler_similarity implements the identical
+    * conditional-boost Winkler; the oracle replays the same
+    * distinct+block+expand pipeline.
     *
-    * 100 TB shape: candidates are an equality self-join on the blocking
-    * key — never all-pairs; a skewed block would salt the same way
-    * [[Dedup]]'s inverted index does. */
+    * 100 TB shape: the n-sized inputs take exactly two exchanges (name
+    * dedupe; the expand join on (name, brand)); the JW verify runs on
+    * the distinct-name index whose blocks a skewed token would salt the
+    * same way [[Dedup]]'s inverted index does. */
   val qRecordLinkage: Q = (s, d) => {
     val p = Tables.part(s, d).select(
       col("p_brand").as("brand"), col("p_partkey").as("pk"), col("p_name").as("nm"))
-    val a = p.select(col("brand"), col("pk").as("pk_a"), col("nm").as("nm_a"))
-    val b = p.select(col("brand"), col("pk").as("pk_b"), col("nm").as("nm_b"))
-    a.join(b, Seq("brand")).filter(col("pk_a") < col("pk_b"))
+    val toks = p.select("nm").distinct()
+      .select(col("nm"), explode(split(col("nm"), " ")).as("tok"))
+    val cand = toks.as("a").join(toks.as("b"), col("a.tok") === col("b.tok"))
+      .select(col("a.nm").as("na"), col("b.nm").as("nb")).distinct()
+    val matched = cand
       .withColumn("jw", round(
-        graft.functions.JaroWinkler.jaro_winkler(col("nm_a"), col("nm_b")), 6))
+        graft.functions.JaroWinkler.jaro_winkler(col("na"), col("nb")), 6))
       .filter(col("jw") >= 0.92)
-      .select("brand", "pk_a", "pk_b", "jw")
+    val b = p.select(col("brand").as("brand_b"), col("pk").as("pk_b"),
+      col("nm").as("nm_b"))
+    p.join(broadcast(matched), col("nm") === col("na"))
+      .join(b, col("nm_b") === col("nb") && col("brand") === col("brand_b") &&
+        col("pk") < col("pk_b"))
+      .select(col("brand"), col("pk").as("pk_a"), col("pk_b"), col("jw"))
       .orderBy("brand", "pk_a", "pk_b")
   }
 
@@ -297,11 +319,17 @@ object Analytics3 {
         | CAST(abs(cusum_scaled) = peak AS BIGINT) AS is_peak
         |FROM sc CROSS JOIN pk ORDER BY day_i""".stripMargin,
     "q_record_linkage" ->
-      """SELECT a.p_brand AS brand, a.p_partkey AS pk_a, b.p_partkey AS pk_b,
-        | round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
-        |FROM part a JOIN part b
-        | ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-        |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.92
+      """WITH names AS (SELECT DISTINCT p_name AS nm FROM part),
+        |toks AS (SELECT nm, unnest(string_split(nm, ' ')) AS tok FROM names),
+        |cand AS (SELECT DISTINCT a.nm AS na, b.nm AS nb
+        |         FROM toks a JOIN toks b ON a.tok = b.tok),
+        |matched AS (SELECT na, nb, round(jaro_winkler_similarity(na, nb), 6) AS jw
+        |            FROM cand
+        |            WHERE round(jaro_winkler_similarity(na, nb), 6) >= 0.92)
+        |SELECT a.p_brand AS brand, a.p_partkey AS pk_a, b.p_partkey AS pk_b, m.jw
+        |FROM part a JOIN matched m ON a.p_name = m.na
+        |JOIN part b ON b.p_name = m.nb AND b.p_brand = a.p_brand
+        | AND a.p_partkey < b.p_partkey
         |ORDER BY brand, pk_a, pk_b""".stripMargin,
     "q_hard_negatives" ->
       """WITH v AS (

@@ -54,23 +54,35 @@ object Relational9 {
       .orderBy("status")
   }
 
-  /** try_* failure-mode arithmetic: planted overflow (BIGINT max ×2),
-    * division by planted zeros, and malformed casts all yield NULL
+  /** try_* failure-mode arithmetic: planted overflow (BIGINT max + qty),
+    * division by a planted zero, and a malformed cast all yield NULL
     * instead of killing the stage — the per-row error-tolerance
     * contract, reported as exact null/success counts per class. The
-    * oracle replays each case with guards (the classical CASE WHEN
-    * armor try_* replaces). */
+    * failures are PREDICATE-GATED (≈1/1000 rows via co-prime moduli on
+    * the key) rather than universal: the r7 version planted overflow
+    * and a bad cast on EVERY row, so all ~1.2 M try-evaluations took
+    * `TryEval`'s exception throw/catch slow path (~15 µs each — an 18 s
+    * aggregate over 600 k rows). Malformed data is rare by nature; with
+    * rare planting the common path stays inside whole-stage codegen and
+    * the query costs what it is — one scan (r8: 18.4 s → sub-second).
+    * The oracle replays each planted predicate with CASE WHEN guards
+    * (the classical armor try_* replaces). */
   val qTryArithmetic: Q = (s, d) => {
     Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
     s.sql(
       """SELECT
         |  count(*) AS n,
-        |  sum(CASE WHEN try_add(9223372036854775807L,
+        |  sum(CASE WHEN try_add(
+        |        CASE WHEN l_orderkey % 997 = 0
+        |             THEN 9223372036854775807L ELSE 0L END,
         |        CAST(l_quantity AS BIGINT)) IS NULL THEN 1 ELSE 0 END) AS add_overflows,
         |  sum(CASE WHEN try_divide(l_extendedprice,
-        |        CAST(round(l_discount * 100) AS BIGINT) - 5) IS NULL
+        |        CASE WHEN l_orderkey % 983 = 0 THEN 0L
+        |             ELSE CAST(round(l_discount * 100) AS BIGINT) + 1L END) IS NULL
         |      THEN 1 ELSE 0 END) AS div_nulls,
-        |  sum(CASE WHEN try_cast(l_returnflag AS BIGINT) IS NULL
+        |  sum(CASE WHEN try_cast(
+        |        CASE WHEN l_orderkey % 991 = 0 THEN l_returnflag
+        |             ELSE CAST(l_orderkey AS STRING) END AS BIGINT) IS NULL
         |      THEN 1 ELSE 0 END) AS bad_casts,
         |  CAST(sum(try_multiply(CAST(round(l_extendedprice * 100) AS BIGINT),
         |        CAST(1 AS BIGINT))) AS BIGINT) AS safe_sum_c
@@ -148,10 +160,12 @@ object Relational9 {
         |ORDER BY status""".stripMargin,
     "q_try_arithmetic" ->
       """SELECT count(*) AS n,
-        | count(*) AS add_overflows,
-        | CAST(sum(CASE WHEN CAST(round(l_discount * 100) AS BIGINT) = 5
-        |      THEN 1 ELSE 0 END) AS BIGINT) AS div_nulls,
-        | count(*) AS bad_casts,
+        | CAST(sum(CASE WHEN l_orderkey % 997 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS add_overflows,
+        | CAST(sum(CASE WHEN l_orderkey % 983 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS div_nulls,
+        | CAST(sum(CASE WHEN l_orderkey % 991 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS bad_casts,
         | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS safe_sum_c
         |FROM lineitem""".stripMargin,
   )

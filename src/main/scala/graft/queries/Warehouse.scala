@@ -73,9 +73,10 @@ object Warehouse {
     * column min/max straight off `ParquetFileReader`, no data pages
     * read: the statistics a planner consults to prune row groups before
     * any executor task launches (what `.explain`'s PushedFilters
-    * ultimately hit). Reported for lineitem's key column; rows-only
-    * (row-group structure isn't SQL-derivable) with WarehouseSpec
-    * pinning the stats against the data.
+    * ultimately hit). Reported for lineitem's key column;
+    * oracle-checked since r8 via DuckDB's `parquet_metadata()` over the
+    * same file (path injected by Verify's `__SF_DIR__` substitution),
+    * with WarehouseSpec additionally pinning the stats against the data.
     *
     * 100 TB shape: one footer read per file — at scale the file list
     * becomes a DataFrame and footers are read in parallel inside
@@ -185,5 +186,20 @@ object Warehouse {
         |      ELSE 'update' END AS merge_action
         |FROM t FULL OUTER JOIN c ON o_custkey = c_key
         |ORDER BY custkey""".stripMargin,
+    // __SF_DIR__ is substituted by Verify at dump time (the only query
+    // whose oracle reads FOOTERS, not rows — parquet_metadata() needs a
+    // constant file path, and only Verify knows the scale-factor dir).
+    "q_footer_stats" ->
+      """WITH m AS (
+        | SELECT * FROM parquet_metadata('__SF_DIR__/lineitem.parquet'))
+        |SELECT CAST(count(DISTINCT row_group_id) AS BIGINT) AS n_rowgroups,
+        | (SELECT CAST(sum(row_group_num_rows) AS BIGINT)
+        |    FROM (SELECT DISTINCT row_group_id, row_group_num_rows FROM m))
+        |   AS total_rows,
+        | min(CASE WHEN path_in_schema = 'l_orderkey'
+        |          THEN CAST(stats_min AS BIGINT) END) AS min_l_orderkey,
+        | max(CASE WHEN path_in_schema = 'l_orderkey'
+        |          THEN CAST(stats_max AS BIGINT) END) AS max_l_orderkey
+        |FROM m""".stripMargin,
   )
 }

@@ -31,7 +31,7 @@ class Analytics11Spec extends AnyFunSuite with SharedSpark {
 
     val got = graft.queries.Analytics11.qGridRadiusJoin(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    assert(got.filter(_._1 > 0L) == brute.filter(_._2 > 0),
+    assert(got.filter(_._1 > 0L) == brute.filter(_._1 > 0L),
       s"nonzero buckets differ: grid=$got brute=$brute")
     assert(got.getOrElse(0L, 0L) == math.max(0L, total - brute.values.sum),
       s"zero bucket differs: grid=$got total=$total matched=${brute.values.sum}; " +
