@@ -61,7 +61,18 @@ object BenchScaling {
     // the bucketed-write + co-located-join round trip (layout write
     // amortization), and the Poisson-bootstrap explode (R× lightweight
     // rows into a partial agg)
-    "q_record_linkage", "q_rfm_segments", "q_bucketed_join", "q_bootstrap_ci")
+    "q_record_linkage", "q_rfm_segments", "q_bucketed_join", "q_bootstrap_ci",
+    // r7n-r7x: star-contraction connected components and k-core peeling
+    // (per-round |V|/|E| shuffles, O(log) rounds), the recursive-CTE BOM
+    // walk (per-level join against the once-read edge table), VARIANT
+    // parse+extract (per-row semi-structured decode into a hash-agg),
+    // the grid-bucketed spatial radius join (3×3-cell equi-join fan-out),
+    // and the four Structured Streaming paths (fixed micro-batch
+    // machinery + watermark-bounded state — the ratio certifies state
+    // eviction, not throughput)
+    "q_cc_bigstar", "q_kcore", "q_recursive_cte", "q_variant_extract",
+    "q_grid_radius_join", "q_stream_window", "q_stream_sessions",
+    "q_stream_join", "q_stream_first_touch")
 
   def main(args: Array[String]): Unit = {
     val smallDir = sys.env.getOrElse("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.01")

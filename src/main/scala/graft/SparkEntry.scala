@@ -46,6 +46,7 @@ object SparkEntry {
       graft.queries.Analytics10.all ++
       graft.queries.Analytics11.all ++
       graft.queries.Analytics12.all ++
+      graft.queries.Analytics13.all ++
       graft.queries.StreamingQ.all ++
       graft.queries.Warehouse.all
 
@@ -83,6 +84,7 @@ object SparkEntry {
       graft.queries.Analytics10.oracles ++
       graft.queries.Analytics11.oracles ++
       graft.queries.Analytics12.oracles ++
+      graft.queries.Analytics13.oracles ++
       graft.queries.StreamingQ.oracles ++
       graft.queries.Warehouse.oracles
 }

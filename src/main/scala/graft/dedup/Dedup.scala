@@ -270,7 +270,11 @@ object Dedup {
     * / AQE stage reuse) instead of each re-deriving the index from the
     * source. A/B re-measured r7 on an idle box (sf0.1, 3 runs each):
     * with 3.6-4.0 s, without 4.9-5.7 s — the r6 bench's apparent
-    * regression was machine contention; the repartition stays. */
+    * regression was machine contention; the repartition stays. r8
+    * idle-box re-check: min 2.84 s / median 3.34 s — under the r5
+    * 3.5 s anchor; every bench reading above it (r6 4.33, r7 4.22) was
+    * contention from the concurrently-running test suite, not a plan
+    * regression. */
   def jaccardPairs(docs: DataFrame, threshold: Double,
                    maxDf: Int = Int.MaxValue): DataFrame = {
     val inv = shingled(docs)

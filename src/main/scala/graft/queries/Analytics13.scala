@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** r8 batch — web-ingest URL canonicalization (the Common-Crawl-style
+  * dedup key an LLM-corpus pipeline computes before any content dedup)
+  * and a differentially-private count release with deterministic
+  * seeded noise. Both fully oracle-checked: every step is portable
+  * string/float arithmetic.
+  */
+object Analytics13 {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** URL canonicalization + URL-keyed dedup: raw crawl URLs differ in
+    * scheme/host case, default ports, tracking parameters, parameter
+    * order, and fragments while naming the same resource; the canonical
+    * form (lowercased base, `:80` stripped, `utm_*` dropped, remaining
+    * query params sorted, fragment removed) is the dedup key a web
+    * corpus computes FIRST — it collapses re-crawls before any content
+    * hashing runs. URLs are planted deterministically from events (the
+    * testdata carries no URL column) with case/order/tracking variants
+    * split across rows, so the report's `n_raw_variants > 1` proves the
+    * unification; the oracle replays the identical canonicalization.
+    * Lowercasing the whole base (not just scheme+host) is exact here —
+    * planted paths are lowercase; a strict RFC canonicalizer would
+    * split host from path first.
+    *
+    * 100 TB shape: all per-row work (split/filter/sort/join over a
+    * handful of params) is codegen'd string arithmetic in the scan; the
+    * only exchange is the hash-agg on the canonical key. The
+    * count(DISTINCT url) runs as a standard two-phase partial-distinct
+    * agg under the same key — no second shuffle of raw rows. */
+  val qUrlCanonical: Q = (s, d) => {
+    val planted = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .withColumn("url", concat(
+        when(col("event_id") % 2 === 0, lit("HTTP://Example.COM:80/"))
+          .otherwise(lit("http://example.com/")),
+        col("event_type"), lit("/page"),
+        when(col("event_id") % 2 === 0,
+          concat(lit("?utm_source=x&id="), col("user_id") % 50,
+            lit("&b=2&a="), col("event_id") % 3))
+          .otherwise(concat(lit("?a="), col("event_id") % 3,
+            lit("&utm_campaign=y&b=2&id="), col("user_id") % 50)),
+        when(col("event_id") % 5 === 0, lit("#frag")).otherwise(lit(""))))
+    val nofrag = element_at(split(col("url"), "#"), 1)
+    val base = lower(expr("replace(element_at(split(nofrag, '\\\\?'), 1), ':80/', '/')"))
+    val q = coalesce(element_at(split(nofrag, "\\?"), 2), lit(""))
+    val sortedQ = array_join(
+      array_sort(filter(split(q, "&"), (p: Column) => !p.startsWith("utm_"))),
+      "&")
+    planted
+      .withColumn("nofrag", nofrag)
+      .withColumn("canonical_url", concat(base,
+        when(sortedQ === "", lit("")).otherwise(concat(lit("?"), sortedQ))))
+      .groupBy("canonical_url")
+      .agg(count(lit(1)).as("n_hits"), countDistinct(col("url")).as("n_raw_variants"))
+      .orderBy("canonical_url")
+  }
+
+  /** Differentially-private count release: per-event-type counts plus
+    * Laplace(1/ε) noise via the inverse CDF, with the uniform drawn
+    * DETERMINISTICALLY from md5(seed ‖ group key) — no RNG state, so an
+    * auditor (here: DuckDB) reproduces the released figures bit-for-bit
+    * from the seed, and re-running the release never re-randomizes
+    * (re-randomization would let averaging cancel the noise — the
+    * classic DP deployment mistake). ε = 0.5, sensitivity 1 (counts),
+    * scale b = 2. The noise column is reported alongside for the test
+    * surface; a production release would publish `released` only.
+    *
+    * 100 TB shape: one partial-agg'd count shuffle; the noise is O(1)
+    * arithmetic per released GROUP, applied after aggregation — the
+    * data-sized pass never sees it. */
+  val qDpRelease: Q = (s, d) => {
+    val u = (conv(substring(md5(concat(lit("dp-seed-1"), col("event_type"))), 1, 8),
+      16, 10).cast("double") / 4294967296.0).as("u")
+    val noiseRaw = lit(-2.0) * signum(col("u") - 0.5) *
+      log(lit(1.0) - lit(2.0) * abs(col("u") - 0.5))
+    Tables.events(s, d)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .withColumn("u", u)
+      .select(col("event_type"), lit(0.5).as("epsilon"),
+        round(noiseRaw, 6).as("noise"),
+        round(col("n") + noiseRaw, 4).as("released"))
+      .orderBy("event_type")
+  }
+
+  val all: Map[String, Q] = Map(
+    "q_url_canonical" -> qUrlCanonical,
+    "q_dp_release" -> qDpRelease,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_url_canonical" ->
+      """WITH planted AS (
+        | SELECT event_id,
+        |  (CASE WHEN event_id % 2 = 0 THEN 'HTTP://Example.COM:80/'
+        |        ELSE 'http://example.com/' END)
+        |   || event_type || '/page'
+        |   || (CASE WHEN event_id % 2 = 0
+        |        THEN '?utm_source=x&id=' || (user_id % 50) || '&b=2&a=' || (event_id % 3)
+        |        ELSE '?a=' || (event_id % 3) || '&utm_campaign=y&b=2&id=' || (user_id % 50) END)
+        |   || (CASE WHEN event_id % 5 = 0 THEN '#frag' ELSE '' END) AS url
+        | FROM events),
+        |split1 AS (
+        | SELECT url, string_split(url, '#')[1] AS nofrag FROM planted),
+        |parts AS (
+        | SELECT url,
+        |  lower(replace(string_split(nofrag, '?')[1], ':80/', '/')) AS base,
+        |  coalesce(list_aggregate(list_sort(list_filter(
+        |    string_split(coalesce(string_split(nofrag, '?')[2], ''), '&'),
+        |    p -> NOT starts_with(p, 'utm_'))), 'string_agg', '&'), '') AS q
+        | FROM split1)
+        |SELECT base || CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical_url,
+        | count(*) AS n_hits, count(DISTINCT url) AS n_raw_variants
+        |FROM parts GROUP BY 1 ORDER BY canonical_url""".stripMargin,
+    "q_dp_release" ->
+      """WITH counts AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+        |noised AS (
+        | SELECT event_type, n,
+        |  CAST('0x' || substr(md5('dp-seed-1' || event_type), 1, 8) AS BIGINT)
+        |    / 4294967296.0 AS u
+        | FROM counts)
+        |SELECT event_type, 0.5 AS epsilon,
+        | round(-2.0 * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)), 6) AS noise,
+        | round(n + -2.0 * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)), 4) AS released
+        |FROM noised ORDER BY event_type""".stripMargin,
+  )
+}

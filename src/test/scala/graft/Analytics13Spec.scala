@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** r8 batch: the URL-canonicalization dedup key's unification claim and
+  * the DP release's determinism — the properties the oracle compare
+  * can't see (it certifies values, not WHY the op is safe to rely on).
+  */
+class Analytics13Spec extends AnyFunSuite with SharedSpark {
+
+  test("url canonicalization unifies case/order/tracking variants losslessly") {
+    val rows = graft.queries.Analytics13.qUrlCanonical(spark, sfDir).collect()
+    val total = Tables.events(spark, sfDir).count()
+    // lossless: every event lands under exactly one canonical key
+    assert(rows.map(_.getLong(1)).sum == total)
+    // unifying: at least one canonical key collapses >1 raw spelling
+    // (the planted case/order variants), and none explodes
+    assert(rows.exists(_.getLong(2) > 1L))
+    // canonical form is self-normal: no utm_ params, no fragments, no
+    // uppercase, no default port survive
+    rows.map(_.getString(0)).foreach { u =>
+      assert(!u.contains("utm_") && !u.contains("#") && !u.contains(":80/"))
+      assert(u == u.toLowerCase)
+    }
+  }
+
+  test("dp release is deterministic across runs and noise is real") {
+    val a = graft.queries.Analytics13.qDpRelease(spark, sfDir).collect()
+    val b = graft.queries.Analytics13.qDpRelease(spark, sfDir).collect()
+    assert(a.toSeq == b.toSeq) // seeded noise: re-release never re-randomizes
+    val noises = a.map(_.getDouble(2))
+    assert(noises.forall(n => !n.isNaN && !n.isInfinite))
+    assert(noises.exists(_ != 0.0)) // the release is actually perturbed
+  }
+}
