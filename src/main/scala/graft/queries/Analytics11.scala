@@ -119,7 +119,10 @@ object Analytics11 {
     val joined = Streaming.clickErrorJoin(Streaming.readEvents(s, d))
     val name = s"graft_stream_join_${run.incrementAndGet()}"
     Streaming.runAvailableNow(s, joined, name,
-        org.apache.spark.sql.streaming.OutputMode.Append())
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        // 4 join stores × partitions committed per micro-batch: state
+        // width sized to this stream's throughput, not the batch default
+        statePartitions = Some(8))
       .select(col("user_id"), col("click_id"), col("err_id"),
         date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
         date_format(col("err_ts"), "yyyy-MM-dd HH:mm:ss").as("err_ts"))

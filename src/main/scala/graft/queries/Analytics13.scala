@@ -87,9 +87,54 @@ object Analytics13 {
       .orderBy("event_type")
   }
 
+  /** HTML → text extraction (the WET step of a web-corpus pipeline):
+    * strip script blocks (dotall non-greedy — their CONTENT must go,
+    * not just the tags), then all remaining tags, decode the minimal
+    * entity set, collapse whitespace; extract the <title> separately
+    * via one anchored regexp_extract. HTML is planted deterministically
+    * around each document's text (the testdata carries no HTML column)
+    * with a script block and entities in every row, so the report's
+    * length deltas prove the stripping; the oracle replays the same
+    * regex pipeline (patterns kept in the Java∩RE2 common dialect;
+    * DuckDB's regexp_replace needs the explicit 'g' flag Spark
+    * defaults to). Reported per source: doc count, extracted-title
+    * match count, total raw vs extracted length.
+    *
+    * 100 TB shape: pure per-row regex arithmetic in the scan (all
+    * codegen'd string expressions — no UDF, no parser object), one
+    * partial-agg'd shuffle on source. Real boilerplate removal
+    * (readability-style DOM scoring) would be a mapPartitions library
+    * call; the regex WET path is the one that runs at crawl scale. */
+  val qHtmlExtract: Q = (s, d) => {
+    val planted = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"))
+      .withColumn("html", concat(
+        lit("<html><head><title>"), col("source"), lit(" #"), col("doc_id"),
+        lit("</title></head><body><p class=\"main\">"), col("text"),
+        lit(" &amp; more &lt;tags&gt;</p><script>var x = 1;</script></body></html>")))
+    val noScript = regexp_replace(col("html"),
+      "(?s)<script[^>]*>.*?</script>", " ")
+    val noTags = regexp_replace(noScript, "<[^>]*>", " ")
+    val decoded = expr(
+      "replace(replace(replace(no_tags, '&lt;', '<'), '&gt;', '>'), '&amp;', '&')")
+    val clean = trim(regexp_replace(decoded, "\\s+", " "))
+    val title = regexp_extract(col("html"), "<title>([^<]*)</title>", 1)
+    planted
+      .withColumn("no_tags", noTags)
+      .withColumn("extracted", clean)
+      .withColumn("title", title)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("title") =!= "", 1L).otherwise(0L)).as("n_titled"),
+        sum(length(col("html"))).as("raw_chars"),
+        sum(length(col("extracted"))).as("text_chars"))
+      .orderBy("source")
+  }
+
   val all: Map[String, Q] = Map(
     "q_url_canonical" -> qUrlCanonical,
     "q_dp_release" -> qDpRelease,
+    "q_html_extract" -> qHtmlExtract,
   )
 
   val oracles: Map[String, String] = Map(
@@ -127,5 +172,29 @@ object Analytics13 {
         | round(-2.0 * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)), 6) AS noise,
         | round(n + -2.0 * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)), 4) AS released
         |FROM noised ORDER BY event_type""".stripMargin,
+    "q_html_extract" ->
+      """WITH planted AS (
+        | SELECT doc_id, source,
+        |  '<html><head><title>' || source || ' #' || doc_id
+        |   || '</title></head><body><p class="main">' || text
+        |   || ' &amp; more &lt;tags&gt;</p><script>var x = 1;</script></body></html>'
+        |   AS html
+        | FROM documents),
+        |stripped AS (
+        | SELECT source, html,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(
+        |      regexp_replace(
+        |        regexp_replace(html, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+        |        '<[^>]*>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS extracted,
+        |  regexp_extract(html, '<title>([^<]*)</title>', 1) AS title
+        | FROM planted)
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(CASE WHEN title <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_titled,
+        | CAST(sum(length(html)) AS BIGINT) AS raw_chars,
+        | CAST(sum(length(extracted)) AS BIGINT) AS text_chars
+        |FROM stripped GROUP BY source ORDER BY source""".stripMargin,
   )
 }

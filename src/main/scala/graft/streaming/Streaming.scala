@@ -87,16 +87,34 @@ object Streaming {
 
   /** Runs a streaming query to completion with Trigger.AvailableNow into
     * an in-memory table; returns the result. AvailableNow = process all
-    * available input then stop — the cron-batch replacement. */
+    * available input then stop — the cron-batch replacement.
+    *
+    * `statePartitions`: stateful operators create one state-store
+    * instance PER shuffle partition PER store (a stream-stream join
+    * keeps four stores per partition), and every micro-batch commits
+    * every instance to the checkpoint — so the state partition count is
+    * a per-query throughput knob, not something to inherit from the
+    * batch session default. It is pinned into the offset log at first
+    * start, exactly as a production deployment sizes it per checkpoint.
+    * The override is scoped to query START (the value is read at
+    * planning) and restored immediately; results are partition-count
+    * invariant (oracle-checked). Measured on the interval join: 32 → 8
+    * partitions cuts 128 store commits/batch to 32. */
   def runAvailableNow(spark: SparkSession, out: DataFrame, tableName: String,
-                      outputMode: OutputMode = OutputMode.Complete()): DataFrame = {
-    val q = out.writeStream
-      .format("memory")
-      .queryName(tableName)
-      .outputMode(outputMode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+                      outputMode: OutputMode = OutputMode.Complete(),
+                      statePartitions: Option[Int] = None): DataFrame = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    statePartitions.foreach(n => spark.conf.set(key, n.toString))
+    try {
+      val q = out.writeStream
+        .format("memory")
+        .queryName(tableName)
+        .outputMode(outputMode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set(key, prev)
     spark.table(tableName)
   }
 

@@ -24,6 +24,15 @@ class Analytics13Spec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("html extraction strips markup everywhere and keeps every title") {
+    val rows = graft.queries.Analytics13.qHtmlExtract(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) == r.getLong(1), "every planted doc has a title")
+      assert(r.getLong(4) < r.getLong(3), "extraction must shed markup chars")
+    }
+  }
+
   test("dp release is deterministic across runs and noise is real") {
     val a = graft.queries.Analytics13.qDpRelease(spark, sfDir).collect()
     val b = graft.queries.Analytics13.qDpRelease(spark, sfDir).collect()

@@ -166,6 +166,23 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("q_record_linkage: JW verify on the distinct-name domain, matches broadcast") {
+    // the r8 compute-on-distinct contract: the Jaro-Winkler expression
+    // must sit ABOVE the name-distinct aggregate (verify cost = name
+    // domain, not record count), and the matched name pairs — a
+    // domain-sized frame — must reach the record expansion as a
+    // broadcast, so the only record-sized work is scan + equi-join.
+    val p = planString("q_record_linkage")
+    val jwPos = p.indexOf("jaro_winkler")
+    assert(jwPos >= 0, "codegen'd JW expression missing:\n" + p)
+    // the plan prints top-down: everything BELOW the JW filter feeds it;
+    // a HashAggregate (the name distinct) must appear among its inputs
+    assert(p.indexOf("HashAggregate", jwPos) >= 0,
+      "JW not evaluated over the distinct-name aggregate:\n" + p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "matched name pairs should broadcast into the expansion:\n" + p)
+  }
+
   test("PageRank iteration: checkpointed edge partitioning reused, ranks-only shuffle") {
     // the scale claim in graph/PageRank.scala: after the one-time
     // repartition(src) + localCheckpoint, each iteration's join must NOT
