@@ -131,10 +131,110 @@ object Analytics13 {
       .orderBy("source")
   }
 
+  /** License/boilerplate detection: the per-source census of documents
+    * carrying copyright or license markers — the filter every
+    * code/text-corpus pipeline runs before training (and the report a
+    * dataset card cites). Markers are PLANTED on deterministic co-prime
+    * key subsets (÷7 copyright headers, ÷11 license footers) so
+    * overlap, per-class and any-class counts are all exercised; the
+    * detectors are plain lowercase substring containment — portable,
+    * codegen'd, no regex needed at this tier (a production run adds a
+    * pattern pack; the plan shape is identical).
+    *
+    * 100 TB shape: per-row string scans in the read stage, one
+    * source-keyed partial-agg'd exchange. */
+  val qLicenseFilter: Q = (s, d) => {
+    val planted = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        concat(
+          when(col("doc_id") % 7 === 0,
+            lit("Copyright (c) 2020 Example Corp. All rights reserved. "))
+            .otherwise(lit("")),
+          col("text"),
+          when(col("doc_id") % 11 === 0,
+            lit(" Licensed under the Apache License, Version 2.0"))
+            .otherwise(lit(""))).as("text"))
+    val lower_ = lower(col("text"))
+    planted
+      .withColumn("has_copy", lower_.contains("copyright").cast("long"))
+      .withColumn("has_rights", lower_.contains("all rights reserved").cast("long"))
+      .withColumn("has_lic", lower_.contains("licensed under").cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("has_copy").as("n_copyright"),
+        sum("has_rights").as("n_rights"),
+        sum("has_lic").as("n_licensed"),
+        sum(when(col("has_copy") + col("has_rights") + col("has_lic") > 0, 1L)
+          .otherwise(0L)).as("n_flagged"))
+      .orderBy("source")
+  }
+
+  /** Code-vs-prose detection by character-class density: the fraction
+    * of code-signal characters ({}();=_*: — braces, terminators,
+    * assignment, snake_case) per document, thresholded at 2% — how a
+    * corpus pipeline estimates its code fraction without a tokenizer.
+    * Code-like text is PLANTED on the ÷3 key subset (co-prime with the
+    * 20-way source assignment so every source sees both classes); the
+    * integer cross-multiplied threshold (code·1000 ≥ len·20) is exact
+    * in both engines.
+    *
+    * 100 TB shape: two length() evaluations per row in the scan stage,
+    * one source-keyed partial-agg'd exchange. */
+  val qCodeDetect: Q = (s, d) => {
+    val planted = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("def f_"), col("doc_id"), lit("(x): { return (x * 2); };  "),
+            expr("replace(text, ' ', '_')")))
+          .otherwise(col("text")).as("text"))
+    planted
+      .withColumn("n", length(col("text")).cast("long"))
+      .withColumn("code_chars", (length(col("text")) -
+        length(regexp_replace(col("text"), "[{}();=_*:]", ""))).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("code_chars") * 1000 >= col("n") * 20, 1L).otherwise(0L))
+          .as("n_code"),
+        sum("code_chars").as("total_code_chars"))
+      .orderBy("source")
+  }
+
+  /** Anchor/link extraction — the link-graph source operator: pull
+    * every href from planted HTML (`regexp_extract_all` → explode),
+    * reduce to target host, and report per-host in-link and
+    * linking-document counts (the in-degree table PageRank and spam
+    * scoring consume). Two anchors per document, hosts derived
+    * co-prime so every host collects links from across the corpus.
+    *
+    * 100 TB shape: extraction is a Generate (explode) over a codegen'd
+    * regex — rows fan out by links-per-doc, bounded by content size;
+    * one host-keyed partial-agg'd exchange with the distinct-doc count
+    * as a standard two-phase partial distinct. */
+  val qAnchorLinks: Q = (s, d) => {
+    val planted = Tables.documents(s, d)
+      .select(col("doc_id"), concat(
+        lit("<p>"), col("text"),
+        lit("</p><a href=\"http://site"), col("doc_id") % 7,
+        lit(".example/p/"), col("doc_id"),
+        lit("\">first</a> <a href=\"http://site"), (col("doc_id") + 3) % 7,
+        lit(".example/q/"), col("doc_id"), lit("\">second</a>")).as("html"))
+    planted
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(html, 'href=\"([^\"]+)\"', 1)")).as("url"))
+      .withColumn("host", element_at(split(col("url"), "/"), 3))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_inlinks"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy("host")
+  }
+
   val all: Map[String, Q] = Map(
     "q_url_canonical" -> qUrlCanonical,
     "q_dp_release" -> qDpRelease,
     "q_html_extract" -> qHtmlExtract,
+    "q_license_filter" -> qLicenseFilter,
+    "q_code_detect" -> qCodeDetect,
+    "q_anchor_links" -> qAnchorLinks,
   )
 
   val oracles: Map[String, String] = Map(
@@ -196,5 +296,63 @@ object Analytics13 {
         | CAST(sum(length(html)) AS BIGINT) AS raw_chars,
         | CAST(sum(length(extracted)) AS BIGINT) AS text_chars
         |FROM stripped GROUP BY source ORDER BY source""".stripMargin,
+    "q_license_filter" ->
+      """WITH planted AS (
+        | SELECT doc_id, source,
+        |  (CASE WHEN doc_id % 7 = 0
+        |    THEN 'Copyright (c) 2020 Example Corp. All rights reserved. '
+        |    ELSE '' END)
+        |  || text
+        |  || (CASE WHEN doc_id % 11 = 0
+        |    THEN ' Licensed under the Apache License, Version 2.0' ELSE '' END)
+        |  AS text
+        | FROM documents),
+        |sig AS (
+        | SELECT source,
+        |  CASE WHEN contains(lower(text), 'copyright') THEN 1 ELSE 0 END AS has_copy,
+        |  CASE WHEN contains(lower(text), 'all rights reserved') THEN 1 ELSE 0 END AS has_rights,
+        |  CASE WHEN contains(lower(text), 'licensed under') THEN 1 ELSE 0 END AS has_lic
+        | FROM planted)
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(has_copy) AS BIGINT) AS n_copyright,
+        | CAST(sum(has_rights) AS BIGINT) AS n_rights,
+        | CAST(sum(has_lic) AS BIGINT) AS n_licensed,
+        | CAST(sum(CASE WHEN has_copy + has_rights + has_lic > 0 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_flagged
+        |FROM sig GROUP BY source ORDER BY source""".stripMargin,
+    "q_code_detect" ->
+      """WITH planted AS (
+        | SELECT doc_id, source,
+        |  CASE WHEN doc_id % 3 = 0
+        |   THEN 'def f_' || doc_id || '(x): { return (x * 2); };  '
+        |     || replace(text, ' ', '_')
+        |   ELSE text END AS text
+        | FROM documents),
+        |m AS (
+        | SELECT source, length(text) AS n,
+        |  length(text) - length(regexp_replace(text, '[{}();=_*:]', '', 'g'))
+        |    AS code_chars
+        | FROM planted)
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(CASE WHEN code_chars * 1000 >= n * 20 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_code,
+        | CAST(sum(code_chars) AS BIGINT) AS total_code_chars
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
+    "q_anchor_links" ->
+      """WITH planted AS (
+        | SELECT doc_id,
+        |  '<p>' || text || '</p><a href="http://site' || (doc_id % 7)
+        |  || '.example/p/' || doc_id
+        |  || '">first</a> <a href="http://site' || ((doc_id + 3) % 7)
+        |  || '.example/q/' || doc_id || '">second</a>' AS html
+        | FROM documents),
+        |links AS (
+        | SELECT doc_id,
+        |  unnest(regexp_extract_all(html, 'href="([^"]+)"', 1)) AS url
+        | FROM planted),
+        |hosts AS (
+        | SELECT doc_id, string_split(url, '/')[3] AS host FROM links)
+        |SELECT host, count(*) AS n_inlinks, count(DISTINCT doc_id) AS n_docs
+        |FROM hosts GROUP BY host ORDER BY host""".stripMargin,
   )
 }

@@ -33,6 +33,31 @@ class Analytics13Spec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("license filter: class counts bracket the any-class count") {
+    val rows = graft.queries.Analytics13.qLicenseFilter(spark, sfDir).collect()
+    rows.foreach { r =>
+      val (n, c, rr, l, f) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(f <= c + rr + l && f >= Seq(c, rr, l).max, r.toString)
+      assert(f <= n)
+    }
+    // the planted markers actually fire somewhere
+    assert(rows.map(_.getLong(5)).sum > 0)
+  }
+
+  test("code detect: planted docs flagged, prose docs clean") {
+    val rows = graft.queries.Analytics13.qCodeDetect(spark, sfDir).collect()
+    val (docs, code) = (rows.map(_.getLong(1)).sum, rows.map(_.getLong(2)).sum)
+    assert(code > 0 && code < docs, s"expected a mixed corpus, got $code/$docs")
+  }
+
+  test("anchor links: every planted link lands under exactly one host") {
+    val rows = graft.queries.Analytics13.qAnchorLinks(spark, sfDir).collect()
+    val total = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum == 2 * total) // 2 anchors per doc
+    assert(rows.forall(_.getString(0).endsWith(".example")))
+  }
+
   test("dp release is deterministic across runs and noise is real") {
     val a = graft.queries.Analytics13.qDpRelease(spark, sfDir).collect()
     val b = graft.queries.Analytics13.qDpRelease(spark, sfDir).collect()
