@@ -228,6 +228,47 @@ object Analytics13 {
       .orderBy("host")
   }
 
+  /** Mirror & re-crawl-drift detection: cross-referencing URL identity
+    * against CONTENT identity catches the two crawl pathologies URL
+    * dedup alone cannot — the same content served from many hosts
+    * (mirrors: group by content key, count distinct hosts) and the
+    * same URL yielding different content across crawls (drift: group
+    * by URL, count distinct content keys). Content is keyed by md5
+    * (portable — unlike xxhash64 this census is oracle-checkable);
+    * both phenomena are PLANTED deterministically (÷11 docs collapse
+    * onto 3 boilerplate variants spread across all 10 hosts; the ÷100
+    * path modulus folds multiple crawls onto each URL). Two summary
+    * rows: groups affected, docs involved, max fan-out per kind.
+    *
+    * 100 TB shape: two independent hash-agg shuffles (content key,
+    * URL), each carrying 16-byte keys + counts after partial agg; the
+    * distinct-host/variant counts are standard two-phase partial
+    * distincts. No joins, no pair explosion — fan-out lives in the
+    * counts. */
+  val qMirrorDetect: Q = (s, d) => {
+    val keyed = Tables.documents(s, d).select(
+      col("doc_id"),
+      concat(lit("http://site"), col("doc_id") % 10, lit(".example/d/"),
+        col("doc_id") % 100).as("url"),
+      concat(lit("site"), col("doc_id") % 10, lit(".example")).as("host"),
+      md5(when(col("doc_id") % 11 === 0,
+        concat(lit("Mirrored boilerplate page variant "), col("doc_id") % 3))
+        .otherwise(col("text"))).as("content_key"))
+    val mirror = keyed.groupBy("content_key")
+      .agg(countDistinct(col("host")).as("fanout"), count(lit(1)).as("nd"))
+    val drift = keyed.groupBy("url")
+      .agg(countDistinct(col("content_key")).as("fanout"), count(lit(1)).as("nd"))
+    def summarize(df: DataFrame, kind: String) = df.agg(
+      sum(when(col("fanout") > 1, 1L).otherwise(0L)).as("n_groups"),
+      coalesce(sum(when(col("fanout") > 1, col("nd"))), lit(0L)).as("n_docs"),
+      coalesce(max(col("fanout")), lit(0L)).as("max_fanout"))
+      .select(lit(kind).as("kind"), col("n_groups"), col("n_docs"),
+        col("max_fanout"))
+    summarize(mirror, "mirror")
+      .unionByName(summarize(drift, "recrawl_drift"))
+      .orderBy("kind")
+  }
+
   val all: Map[String, Q] = Map(
     "q_url_canonical" -> qUrlCanonical,
     "q_dp_release" -> qDpRelease,
@@ -235,6 +276,7 @@ object Analytics13 {
     "q_license_filter" -> qLicenseFilter,
     "q_code_detect" -> qCodeDetect,
     "q_anchor_links" -> qAnchorLinks,
+    "q_mirror_detect" -> qMirrorDetect,
   )
 
   val oracles: Map[String, String] = Map(
@@ -354,5 +396,33 @@ object Analytics13 {
         | SELECT doc_id, string_split(url, '/')[3] AS host FROM links)
         |SELECT host, count(*) AS n_inlinks, count(DISTINCT doc_id) AS n_docs
         |FROM hosts GROUP BY host ORDER BY host""".stripMargin,
+    "q_mirror_detect" ->
+      """WITH keyed AS (
+        | SELECT doc_id,
+        |  'http://site' || (doc_id % 10) || '.example/d/' || (doc_id % 100) AS url,
+        |  'site' || (doc_id % 10) || '.example' AS host,
+        |  md5(CASE WHEN doc_id % 11 = 0
+        |    THEN 'Mirrored boilerplate page variant ' || (doc_id % 3)
+        |    ELSE text END) AS content_key
+        | FROM documents),
+        |drift AS (
+        | SELECT url, count(DISTINCT content_key) AS fanout, count(*) AS nd
+        | FROM keyed GROUP BY url),
+        |mirror AS (
+        | SELECT content_key, count(DISTINCT host) AS fanout, count(*) AS nd
+        | FROM keyed GROUP BY content_key)
+        |SELECT 'mirror' AS kind,
+        | CAST(sum(CASE WHEN fanout > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_groups,
+        | CAST(coalesce(sum(CASE WHEN fanout > 1 THEN nd END), 0) AS BIGINT)
+        |   AS n_docs,
+        | CAST(coalesce(max(fanout), 0) AS BIGINT) AS max_fanout
+        |FROM mirror
+        |UNION ALL
+        |SELECT 'recrawl_drift',
+        | CAST(sum(CASE WHEN fanout > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        | CAST(coalesce(sum(CASE WHEN fanout > 1 THEN nd END), 0) AS BIGINT),
+        | CAST(coalesce(max(fanout), 0) AS BIGINT)
+        |FROM drift
+        |ORDER BY kind""".stripMargin,
   )
 }

@@ -58,6 +58,15 @@ class Analytics13Spec extends AnyFunSuite with SharedSpark {
     assert(rows.forall(_.getString(0).endsWith(".example")))
   }
 
+  test("mirror detect: planted mirrors span hosts, planted drift spans crawls") {
+    val rows = graft.queries.Analytics13.qMirrorDetect(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (mg, md, mf) = rows("mirror")
+    assert(mg > 0 && mf > 1 && md >= mg * 2, s"mirror: $rows")
+    val (dg, dd, df) = rows("recrawl_drift")
+    assert(dg > 0 && df > 1 && dd >= dg * 2, s"drift: $rows")
+  }
+
   test("dp release is deterministic across runs and noise is real") {
     val a = graft.queries.Analytics13.qDpRelease(spark, sfDir).collect()
     val b = graft.queries.Analytics13.qDpRelease(spark, sfDir).collect()
