@@ -124,17 +124,39 @@ object Relational2 {
     val li = Tables.lineitem(s, d)
     val qty = graft.operators.Percentiles.groupedQuantiles(
       li, "l_returnflag", "l_quantity", Seq(0.5 -> "med_qty_raw"))
+    // Interpolate the price percentiles over exact integer CENTS: the
+    // stored 2-decimal price as a double is inexact, so lo+frac·(hi−lo)
+    // is order/ulp-sensitive and at sf0.001 the p75 landed exactly on a
+    // 2-decimal rounding midpoint (81364.255 — engines rounded opposite
+    // ways). Integer-cent doubles make every interpolation intermediate
+    // exactly representable (frac ∈ {0,.25,.5,.75}), so the quarter-cent
+    // result is bit-identical in any engine; rounding at 4 decimals is
+    // then the identity (quarter-cents are exact 4-decimal values, never
+    // midpoints of a 4-decimal round).
+    val priceCents = li.withColumn("price_cents",
+      round(col("l_extendedprice") * 100).cast("long").cast("double"))
     val price = graft.operators.Percentiles.groupedQuantiles(
-      li, "l_returnflag", "l_extendedprice",
+      priceCents, "l_returnflag", "price_cents",
       Seq(0.25 -> "p25_price_raw", 0.75 -> "p75_price_raw"))
+    // stddev from exact integer moments (n, Σq, Σq² — quantities are
+    // integer-valued), divided in the same order the oracle uses:
+    // stddev_samp(double) accumulates in engine-specific order, a
+    // cross-engine hazard of the same class as the interpolated
+    // percentile below. Identical integers → identical doubles.
+    val q_ = col("l_quantity").cast("long")
     val spread = li.groupBy("l_returnflag")
-      .agg(round(stddev_samp(col("l_quantity")), 4).as("sd_qty"))
+      .agg(count(lit(1)).as("__sn"), sum(q_).as("__s1"),
+        sum(q_ * q_).as("__s2"))
+      .select(col("l_returnflag"),
+        round(sqrt(
+          (col("__sn") * col("__s2") - col("__s1") * col("__s1")).cast("double")
+            / (col("__sn") * (col("__sn") - 1)).cast("double")), 4).as("sd_qty"))
     qty.join(price, "l_returnflag").join(spread, "l_returnflag")
       .select(
         col("l_returnflag"),
         round(col("med_qty_raw"), 4).as("med_qty"),
-        round(col("p25_price_raw"), 2).as("p25_price"),
-        round(col("p75_price_raw"), 2).as("p75_price"),
+        round(col("p25_price_raw") / 100, 4).as("p25_price"),
+        round(col("p75_price_raw") / 100, 4).as("p75_price"),
         col("sd_qty"))
       .orderBy("l_returnflag")
   }
@@ -287,9 +309,11 @@ object Relational2 {
     "q_percentiles" ->
       """SELECT l_returnflag,
         | round(median(l_quantity), 4) AS med_qty,
-        | round(quantile_cont(l_extendedprice, 0.25), 2) AS p25_price,
-        | round(quantile_cont(l_extendedprice, 0.75), 2) AS p75_price,
-        | round(stddev_samp(l_quantity), 4) AS sd_qty
+        | round(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.25) / 100, 4) AS p25_price,
+        | round(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.75) / 100, 4) AS p75_price,
+        | round(sqrt(CAST(count(*) * sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+        |            - sum(CAST(l_quantity AS BIGINT)) * sum(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+        |        / CAST(count(*) * (count(*) - 1) AS DOUBLE)), 4) AS sd_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_asof_join" ->
       """SELECT l.user_id, l.event_id, l.value, r.event_id AS signup_event_id

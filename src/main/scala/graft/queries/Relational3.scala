@@ -17,11 +17,20 @@ object Relational3 {
   /** from_json with an explicit schema (vs the path-based
     * get_json_object in q_json_extract). */
   val qFromJson: Q = (s, d) =>
+    // avg from integer cents, divided in the SAME order both engines
+    // use: a raw avg(double) accumulates in engine-specific order, and a
+    // group mean of 2-decimal money lands EXACTLY on a round-4 halfway
+    // rational whenever cents·100/k terminates in …5 (common for small
+    // groups — bit sf0.001 in r8: 60.13125 rounded opposite ways).
+    // Identical integer inputs + identical op order → byte-identical
+    // doubles → identical rounding at any scale.
     Tables.events(s, d)
       .withColumn("parsed", from_json(col("props"), propsSchema))
       .select(col("parsed.k").as("k"), col("value"))
       .groupBy("k")
-      .agg(count(lit(1)).as("cnt"), round(avg("value"), 4).as("avg_value"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(expr("CAST(round(value * 100) AS BIGINT)")).cast("double")
+          / 100.0 / count(lit(1)), 4).as("avg_value"))
       .orderBy("k")
 
   /** Null-handling scalars: nullif, coalesce, conditional defaults. */
@@ -428,7 +437,8 @@ object Relational3 {
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q_from_json" ->
       """SELECT CAST(props->>'$.k' AS INT) AS k, count(*) AS cnt,
-        | round(avg(value), 4) AS avg_value
+        | round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+        |   / 100.0 / count(*), 4) AS avg_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_null_funcs" ->
       """SELECT c_custkey,
