@@ -47,6 +47,7 @@ object SparkEntry {
       graft.queries.Analytics11.all ++
       graft.queries.Analytics12.all ++
       graft.queries.Analytics13.all ++
+      graft.queries.Analytics14.all ++
       graft.queries.StreamingQ.all ++
       graft.queries.Warehouse.all
 
@@ -85,6 +86,7 @@ object SparkEntry {
       graft.queries.Analytics11.oracles ++
       graft.queries.Analytics12.oracles ++
       graft.queries.Analytics13.oracles ++
+      graft.queries.Analytics14.oracles ++
       graft.queries.StreamingQ.oracles ++
       graft.queries.Warehouse.oracles
 }
