@@ -72,9 +72,16 @@ object BenchScaling {
     // eviction, not throughput)
     "q_cc_bigstar", "q_kcore", "q_recursive_cte", "q_variant_extract",
     "q_grid_radius_join", "q_stream_window", "q_stream_sessions",
-    "q_stream_join", "q_stream_first_touch")
+    "q_stream_join", "q_stream_first_touch",
+    // r8 tail: the oriented triangle chain + corner explode (wedge
+    // volume is the scale claim) and the double rank-window pass over
+    // the full fact table (two external sorts + a moment reduce)
+    "q_clustering_coeff", "q_spearman")
 
   def main(args: Array[String]): Unit = {
+    // trailing names restrict the run (same contract as Verify/Bench)
+    val only: Set[String] = args.toSet
+    val measured = if (only.isEmpty) heavy else heavy.filter(only)
     val smallDir = sys.env.getOrElse("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.01")
     val bigDir = sys.env.getOrElse("SPARK_GRAFT_SF_BIG", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_SF_WARM", "/root/testdata/sf0.001")
@@ -87,7 +94,7 @@ object BenchScaling {
     spark.sparkContext.setLogLevel("WARN")
 
     def pass(dir: String): Map[String, Either[String, Double]] =
-      heavy.map { name =>
+      measured.map { name =>
         // same measurement hygiene as Bench: collect the previous query's
         // garbage OUTSIDE this query's timing window
         System.gc()
@@ -104,7 +111,7 @@ object BenchScaling {
     pass(warmDir): Unit // warm-up: JIT + codegen + class loading
     val small = pass(smallDir)
     val big = pass(bigDir)
-    val entries = heavy.map { name =>
+    val entries = measured.map { name =>
       (small(name), big(name)) match {
         case (Right(s), Right(b)) =>
           // ratio only when finite: a 0-second small_sec would emit a
@@ -121,9 +128,13 @@ object BenchScaling {
     val json =
       s"""{"metric":"scaling","small":"$smallDir","big":"$bigDir","data_step":10.0,"queries":$entries,"materialization":"noop-write"}"""
     println(json)
-    val out = java.nio.file.Paths.get("target/bench_scaling.json")
-    java.nio.file.Files.createDirectories(out.getParent)
-    java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8")): Unit
+    // restricted runs are for iteration — don't clobber the full-run
+    // artifact with a partial query map
+    if (only.isEmpty) {
+      val out = java.nio.file.Paths.get("target/bench_scaling.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8")): Unit
+    }
     spark.stop()
   }
 }
