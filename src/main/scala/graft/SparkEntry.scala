@@ -48,6 +48,7 @@ object SparkEntry {
       graft.queries.Analytics12.all ++
       graft.queries.Analytics13.all ++
       graft.queries.Analytics14.all ++
+      graft.queries.Analytics15.all ++
       graft.queries.StreamingQ.all ++
       graft.queries.Warehouse.all
 
@@ -87,6 +88,7 @@ object SparkEntry {
       graft.queries.Analytics12.oracles ++
       graft.queries.Analytics13.oracles ++
       graft.queries.Analytics14.oracles ++
+      graft.queries.Analytics15.oracles ++
       graft.queries.StreamingQ.oracles ++
       graft.queries.Warehouse.oracles
 }

@@ -89,6 +89,32 @@ object Percentiles {
       .select(col(grpCol), col(valCol).as(alias))
   }
 
+  /** Exact DISCRETE percentiles per group: the datum at 1-based rank
+    * max(1, ⌈p·n⌉) of the sorted non-null values — DuckDB's
+    * `quantile_disc` rule, pinned empirically (n=4: p=.25→1st,
+    * p=.26→2nd; n=5: p=.5→3rd). Like [[groupedMedianLow]] the result
+    * is an ACTUAL DATUM read from the source, bit-identical across
+    * engines with no interpolation arithmetic at all; `⌈p·n⌉` is
+    * deterministic for binary-exact p (.25/.5/.75) since p·n is then
+    * an exact product. Same spillable two-pass shape: tiny count
+    * aggregate, one external-sort window, conditional-agg pick. */
+  def groupedQuantilesDisc(df: DataFrame, grpCol: String, valCol: String,
+      ps: Seq[(Double, String)]): DataFrame = {
+    val nonNull = df.select(col(grpCol), col(valCol))
+      .filter(col(valCol).isNotNull)
+    val counts = nonNull.groupBy(grpCol).agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(grpCol).orderBy(valCol)
+    val ranked = nonNull
+      .withColumn("__rn", row_number().over(w))
+      // one row per group — always broadcast-sized
+      .join(broadcast(counts), grpCol)
+    val picks = ps.map { case (p, alias) =>
+      val idx = greatest(lit(1L), ceil(lit(p) * col("__n")).cast("long"))
+      max(when(col("__rn") === idx, col(valCol))).as(alias)
+    }
+    ranked.groupBy(grpCol).agg(picks.head, picks.tail: _*)
+  }
+
   /** WEIGHTED lower median: the smallest value whose cumulative INTEGER
     * weight (in value order) reaches half the group total — the
     * importance-weighted center an up/down-weighted corpus needs, where
