@@ -49,6 +49,7 @@ object SparkEntry {
       graft.queries.Analytics13.all ++
       graft.queries.Analytics14.all ++
       graft.queries.Analytics15.all ++
+      graft.queries.Analytics16.all ++
       graft.queries.StreamingQ.all ++
       graft.queries.Warehouse.all
 
@@ -89,6 +90,7 @@ object SparkEntry {
       graft.queries.Analytics13.oracles ++
       graft.queries.Analytics14.oracles ++
       graft.queries.Analytics15.oracles ++
+      graft.queries.Analytics16.oracles ++
       graft.queries.StreamingQ.oracles ++
       graft.queries.Warehouse.oracles
 }
