@@ -50,6 +50,7 @@ object SparkEntry {
       graft.queries.Analytics14.all ++
       graft.queries.Analytics15.all ++
       graft.queries.Analytics16.all ++
+      graft.queries.Analytics17.all ++
       graft.queries.StreamingQ.all ++
       graft.queries.Warehouse.all
 
@@ -91,6 +92,7 @@ object SparkEntry {
       graft.queries.Analytics14.oracles ++
       graft.queries.Analytics15.oracles ++
       graft.queries.Analytics16.oracles ++
+      graft.queries.Analytics17.oracles ++
       graft.queries.StreamingQ.oracles ++
       graft.queries.Warehouse.oracles
 }
