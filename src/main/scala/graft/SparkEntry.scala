@@ -51,6 +51,7 @@ object SparkEntry {
       graft.queries.Analytics15.all ++
       graft.queries.Analytics16.all ++
       graft.queries.Analytics17.all ++
+      graft.queries.Analytics18.all ++
       graft.queries.StreamingQ.all ++
       graft.queries.Warehouse.all
 
@@ -93,6 +94,7 @@ object SparkEntry {
       graft.queries.Analytics15.oracles ++
       graft.queries.Analytics16.oracles ++
       graft.queries.Analytics17.oracles ++
+      graft.queries.Analytics18.oracles ++
       graft.queries.StreamingQ.oracles ++
       graft.queries.Warehouse.oracles
 }
