@@ -176,7 +176,7 @@ object Analytics14 {
     val cap = 8
     val docs = Tables.documents(s, d).select("doc_id", "source")
       .withColumn("domain", concat(col("source"), lit("/d"),
-        ((col("doc_id") * col("doc_id")) % 37).cast("string")))
+        (((col("doc_id") % 37) * (col("doc_id") % 37)) % 37).cast("string")))
     val w = Window.partitionBy("domain").orderBy("doc_id")
     docs.withColumn("rn", row_number().over(w))
       .groupBy("domain")
@@ -276,9 +276,11 @@ object Analytics14 {
     "q_domain_cap" ->
       """WITH ranked AS (
         | SELECT doc_id,
-        |  source || '/d' || CAST((doc_id * doc_id) % 37 AS VARCHAR) AS domain,
+        |  source || '/d'
+        |    || CAST(((doc_id % 37) * (doc_id % 37)) % 37 AS VARCHAR) AS domain,
         |  row_number() OVER (
-        |    PARTITION BY source || '/d' || CAST((doc_id * doc_id) % 37 AS VARCHAR)
+        |    PARTITION BY source || '/d'
+        |      || CAST(((doc_id % 37) * (doc_id % 37)) % 37 AS VARCHAR)
         |    ORDER BY doc_id) AS rn
         | FROM documents)
         |SELECT domain, count(*) AS n_docs,

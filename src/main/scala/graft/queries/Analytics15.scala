@@ -37,8 +37,15 @@ object Analytics15 {
     * the share window runs over that 25-row aggregate (the
     * boundary-window pattern — never a window over the fact). Integer
     * cents → floor-div ppm: exact in both engines (operands positive,
-    * so Spark `div` ≡ DuckDB `//`; the ×10⁶ product fits int64 while a
-    * region's revenue stays under ~$92T — comfortably real-world). */
+    * so Spark `div` ≡ DuckDB `//`). The ×10⁶ product is taken in
+    * DECIMAL(38,0), not int64: a region's revenue-in-cents overflows
+    * the int64 product past ~$92B, which TPC-H reaches around sf≈2 —
+    * and Spark (non-ANSI) would wrap silently while DuckDB raises,
+    * the exact divergence class [[Analytics12.qGridRadiusJoin]]
+    * eliminated. Decimal keeps the product exact to 10³⁸; the oracle
+    * widens to HUGEINT, not DECIMAL — DuckDB routes DECIMAL division
+    * through DOUBLE, which rounds at the floor boundary (measured:
+    * 177602 vs 177603 at sf0.01), while HUGEINT `//` is exact. */
   val qRatioToReport: Q = (s, d) => {
     val rev = Tables.orders(s, d)
       .join(Tables.customer(s, d),
@@ -53,7 +60,8 @@ object Analytics15 {
     val w = Window.partitionBy("r_name")
     rev.withColumn("region_total_c", sum("revenue_c").over(w))
       .withColumn("share_ppm",
-        expr("(revenue_c * 1000000) div region_total_c"))
+        expr("CAST((CAST(revenue_c AS DECIMAL(38,0)) * 1000000)" +
+          " div region_total_c AS BIGINT)"))
       .orderBy("r_name", "n_name")
   }
 
@@ -125,7 +133,7 @@ object Analytics15 {
         |SELECT r_name, n_name, revenue_c,
         | CAST(sum(revenue_c) OVER (PARTITION BY r_name) AS BIGINT)
         |   AS region_total_c,
-        | CAST((revenue_c * 1000000)
+        | CAST((CAST(revenue_c AS HUGEINT) * 1000000)
         |   // sum(revenue_c) OVER (PARTITION BY r_name) AS BIGINT)
         |   AS share_ppm
         |FROM rev ORDER BY r_name, n_name""".stripMargin,

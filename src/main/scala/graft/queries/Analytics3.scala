@@ -169,10 +169,15 @@ object Analytics3 {
     * (name, brand). JW cost drops from O(n²/|brands|) to
     * O(Σ|token block|²) over DISTINCT names; everything downstream is
     * output-sized, which is the information-theoretic floor — the
-    * matching pairs ARE the answer. Output identical to the all-pairs
-    * r7 query (verified both engines, sf0.01 and sf0.1: every JW≥0.92
-    * name pair shares a token — a 0.92 Winkler needs a long common
-    * prefix). DuckDB's jaro_winkler_similarity implements the identical
+    * matching pairs ARE the answer. RECALL BOUND: JW ≥ 0.92 does NOT
+    * formally guarantee a shared whitespace token (a leading
+    * transposition inside one long token scores ≥ 0.92 with disjoint
+    * token sets), so token blocking is a heuristic whose zero-loss
+    * property on this name domain is PINNED BY TEST — Analytics3Spec
+    * brute-forces all pairs and asserts set equality with this blocked
+    * pipeline at sf0.001 AND sf0.01; the DuckDB oracle replays the same
+    * blocking, so the spec (not the oracle) is the recall guard.
+    * DuckDB's jaro_winkler_similarity implements the identical
     * conditional-boost Winkler; the oracle replays the same
     * distinct+block+expand pipeline.
     *

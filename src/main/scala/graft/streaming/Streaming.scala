@@ -96,26 +96,33 @@ object Streaming {
     * a per-query throughput knob, not something to inherit from the
     * batch session default. It is pinned into the offset log at first
     * start, exactly as a production deployment sizes it per checkpoint.
-    * The override is scoped to query START (the value is read at
-    * planning) and restored immediately; results are partition-count
-    * invariant (oracle-checked). Measured on the interval join: 32 → 8
-    * partitions cuts 128 store commits/batch to 32. */
+    * The override is scoped to a CLONED session (`newSession` shares the
+    * SparkContext but conf is session-local), so batch queries planned
+    * concurrently in the caller's session — e.g. parallel test suites
+    * on a shared SparkSession — never observe the streaming value; the
+    * query plan is rebound into the clone via the logical plan. Results
+    * are partition-count invariant (oracle-checked). Measured on the
+    * interval join: 32 → 8 partitions cuts 128 store commits/batch
+    * to 32. */
   def runAvailableNow(spark: SparkSession, out: DataFrame, tableName: String,
                       outputMode: OutputMode = OutputMode.Complete(),
                       statePartitions: Option[Int] = None): DataFrame = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    statePartitions.foreach(n => spark.conf.set(key, n.toString))
-    try {
-      val q = out.writeStream
-        .format("memory")
-        .queryName(tableName)
-        .outputMode(outputMode)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally spark.conf.set(key, prev)
-    spark.table(tableName)
+    import org.apache.spark.sql.graftshim
+    val (sess, df) = statePartitions match {
+      case Some(n) =>
+        val s2 = spark.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions", n.toString)
+        (s2, graftshim.ofRows(s2, graftshim.analyzed(out)))
+      case None => (spark, out)
+    }
+    val q = df.writeStream
+      .format("memory")
+      .queryName(tableName)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    sess.table(tableName)
   }
 
   /** Watermarked stream-stream interval join: errors within 10 minutes

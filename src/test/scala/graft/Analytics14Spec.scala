@@ -66,7 +66,7 @@ class Analytics14Spec extends AnyFunSuite with SharedSpark {
     // deterministic policy: checksum of the 8 smallest doc_ids per domain
     val docs = Tables.documents(spark, sfDir).select("doc_id", "source")
       .withColumn("domain", concat(col("source"), lit("/d"),
-        ((col("doc_id") * col("doc_id")) % 37).cast("string")))
+        (((col("doc_id") % 37) * (col("doc_id") % 37)) % 37).cast("string")))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("domain").orderBy("doc_id")
     val expected = docs.withColumn("rn", row_number().over(w))

@@ -99,21 +99,36 @@ class Analytics3Spec extends AnyFunSuite with SharedSpark {
     }
   }
 
-  test("record linkage: exactly the same-brand pairs at kernel similarity >= 0.92") {
-    val parts = Tables.part(spark, sfDir).select("p_brand", "p_partkey", "p_name")
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
-    val expected = (for {
-      a <- parts; b <- parts
-      if a._1 == b._1 && a._2 < b._2
-      jw = BigDecimal(JaroWinkler.similarity(a._3, b._3))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      if jw >= 0.92
-    } yield (a._1, a._2, b._2)).toSet
-    val got = Analytics3.qRecordLinkage(spark, sfDir).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
-    assert(got == expected,
-      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
-    assert(got.nonEmpty, "fixture must contain linkable names")
+  /** Blocked-vs-all-pairs regression guard for the token-blocked
+    * candidate generation: JW ≥ 0.92 does NOT formally imply a shared
+    * whitespace token (a leading transposition inside a single long
+    * token — "marthalively"/"amrthalively" — scores ≥ 0.92 with zero
+    * shared tokens), so the blocking is a recall heuristic whose
+    * zero-loss property on THIS name domain must be pinned by test, not
+    * assumed. Brute-force all pairs driver-side at BOTH sf0.001 and
+    * sf0.01 and assert set equality with the production blocked query —
+    * any domain drift that introduces a dropped match fails here
+    * instead of silently shrinking the output (the DuckDB oracle
+    * replays the same blocking and cannot catch it). */
+  test("record linkage: blocked output == all-pairs output (sf0.001 + sf0.01)") {
+    Seq(sfDir, "/root/testdata/sf0.01").foreach { dir =>
+      val parts = Tables.part(spark, dir).select("p_brand", "p_partkey", "p_name")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      val byBrand = parts.groupBy(_._1)
+      val expected = (for {
+        (_, grp) <- byBrand.toSeq
+        a <- grp.toSeq; b <- grp.toSeq
+        if a._2 < b._2
+        jw = BigDecimal(JaroWinkler.similarity(a._3, b._3))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if jw >= 0.92
+      } yield (a._1, a._2, b._2)).toSet
+      val got = Analytics3.qRecordLinkage(spark, dir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expected, s"$dir: missing=${(expected -- got).take(3)} " +
+        s"extra=${(got -- expected).take(3)}")
+      assert(got.nonEmpty, s"$dir must contain linkable names")
+    }
   }
 
   test("hard negatives: top-3 other-label cosine neighbors per probe") {
