@@ -25,12 +25,23 @@ import org.apache.spark.sql.types._
   * matter). At 100 TB the sketch replaces a key-cardinality-sized exact
   * groupBy with constant memory per task: d·w·8 bytes (default 4×1024 =
   * 32 KB) against billions of distinct keys.
+  *
+  * `portable = true` switches the slot function to an md5 bucket —
+  * `first8hex(md5(row ‖ ':' ‖ key)) mod width` — the r8 seeded-md5
+  * discipline ([[graft.queries.Analytics13]] qDpRelease): every engine
+  * with md5 replays the identical grid, making the sketch's estimates
+  * DuckDB-oracle-certifiable. Splitmix64 stays the production default
+  * (one multiply-xor chain vs a digest per (row, key)); md5 is the
+  * audit/interop mode. Same guarantees (never underestimates, linear
+  * merge) — only the bucket permutation differs.
   */
 case class CountMinEstimate(
     child: Expression,
     probesExpr: Expression,
     depthExpr: Expression,
     widthExpr: Expression,
+    portableExpr: Expression =
+      org.apache.spark.sql.catalyst.expressions.Literal(false),
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] {
@@ -42,10 +53,15 @@ case class CountMinEstimate(
     (0 until arr.numElements()).map(i => arr.getLong(i)).toArray
   }
 
-  require(depthExpr.foldable && widthExpr.foldable && probesExpr.foldable,
-    "cms_estimate(probes, depth, width) must be literals")
+  private lazy val portable: Boolean =
+    portableExpr.eval().asInstanceOf[Boolean]
 
-  override def children: Seq[Expression] = Seq(child, probesExpr, depthExpr, widthExpr)
+  require(depthExpr.foldable && widthExpr.foldable && probesExpr.foldable &&
+    portableExpr.foldable,
+    "cms_estimate(probes, depth, width[, portable]) must be literals")
+
+  override def children: Seq[Expression] =
+    Seq(child, probesExpr, depthExpr, widthExpr, portableExpr)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -57,8 +73,31 @@ case class CountMinEstimate(
     z ^ (z >>> 31)
   }
 
+  // MessageDigest is stateful and not thread-safe; local-mode tasks share
+  // the expression instance across threads, so the digest is thread-local.
+  @transient private lazy val md5Local =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  /** First 8 hex chars of md5("row:key") as an unsigned 32-bit value —
+    * byte-identical to DuckDB's
+    * `CAST('0x' || substr(md5(row || ':' || key), 1, 8) AS BIGINT)`. */
+  private def md5Bucket(key: Long, row: Int): Long = {
+    val d = md5Local.get()
+    d.reset()
+    val bytes = d.digest(
+      (row.toString + ":" + key.toString).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((bytes(0) & 0xffL) << 24) | ((bytes(1) & 0xffL) << 16) |
+      ((bytes(2) & 0xffL) << 8) | (bytes(3) & 0xffL)
+  }
+
   private def slot(key: Long, row: Int): Int =
-    row * width + java.lang.Math.floorMod(mix(key, row), width.toLong).toInt
+    if (portable)
+      row * width + (md5Bucket(key, row) % width.toLong).toInt
+    else
+      row * width + java.lang.Math.floorMod(mix(key, row), width.toLong).toInt
 
   override def createAggregationBuffer(): Array[Long] = new Array[Long](depth * width)
 
@@ -110,7 +149,8 @@ case class CountMinEstimate(
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): CountMinEstimate =
     copy(child = newChildren(0), probesExpr = newChildren(1),
-      depthExpr = newChildren(2), widthExpr = newChildren(3))
+      depthExpr = newChildren(2), widthExpr = newChildren(3),
+      portableExpr = newChildren(4))
   override def prettyName: String = "cms_estimate"
 }
 
@@ -119,10 +159,12 @@ object CountMinEstimate {
   import org.apache.spark.sql.catalyst.expressions.Literal
 
   /** DataFrame-side entry: `cmsEstimate(col, probes, 4, 1024)` as an
-    * aggregate Column. */
-  def cmsEstimate(key: Column, probes: Seq[Long], depth: Int, width: Int): Column =
+    * aggregate Column; `portable = true` selects the md5 slot function
+    * (engine-replayable, slower). */
+  def cmsEstimate(key: Column, probes: Seq[Long], depth: Int, width: Int,
+      portable: Boolean = false): Column =
     graftshim.column(CountMinEstimate(
       graftshim.expression(key),
       Literal.create(probes.toArray, ArrayType(LongType, containsNull = false)),
-      Literal(depth), Literal(width)).toAggregateExpression())
+      Literal(depth), Literal(width), Literal(portable)).toAggregateExpression())
 }

@@ -48,7 +48,9 @@ object GraftExtensions {
     ("cms_estimate",
       new ExpressionInfo(classOf[CountMinEstimate].getName, "cms_estimate"),
       (args: Seq[Expression]) =>
-        CountMinEstimate(args(0), args(1), args(2), args(3))))
+        if (args.length >= 5)
+          CountMinEstimate(args(0), args(1), args(2), args(3), args(4))
+        else CountMinEstimate(args(0), args(1), args(2), args(3))))
 
   /** Runtime registration on an existing session (functions + the
     * sorted-intersect optimizer rule via experimental.extraOptimizations,

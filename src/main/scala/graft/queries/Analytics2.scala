@@ -194,11 +194,16 @@ object Analytics2 {
   /** Poisson-bootstrap confidence interval for mean order value by
     * priority — the resampling stderr that needs NO data duplication and
     * no shared RNG state: replicate r weights each row by a Poisson(1)
-    * draw inverted from the uniform xxhash64(o_orderkey, r) — exactly
+    * draw inverted from the uniform md5(seed ‖ o_orderkey ‖ r) — exactly
     * the per-(row, replicate) determinism a 1000-executor rerun needs
-    * for reproducibility (no seed coordination, no row numbering).
-    * Oracle-unpairable (xxhash64 is Spark-specific) → deterministic
-    * rows-only + BootstrapSpec.
+    * for reproducibility (no seed coordination, no row numbering). The
+    * r8 DP-release discipline (seeded-md5 uniforms,
+    * [[Analytics13.qDpRelease]]) makes the draw engine-portable: DuckDB
+    * replays the identical weights bit-for-bit, so the full CI pipeline
+    * is oracle-certified (was rows-only under xxhash64). Per-replicate
+    * means are exact-integer ratios (one IEEE division), so the only
+    * cross-engine float surface is the 64-value avg/stddev collapse,
+    * rounded at 2 dp.
     *
     * 100 TB shape: the explode is R=64 lightweight (key, replicate)
     * rows per input row feeding a partial-aggregable sum — shuffle
@@ -211,8 +216,8 @@ object Analytics2 {
       expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_c"))
       .withColumn("r", explode(sequence(lit(0), lit(reps - 1))))
       .withColumn("u",
-        (shiftrightunsigned(xxhash64(col("o_orderkey"), col("r")), 11)).cast("double") /
-          lit((1L << 53).toDouble))
+        conv(substring(md5(concat(lit("boot-1:"), col("o_orderkey"),
+          lit(":"), col("r"))), 1, 8), 16, 10).cast("double") / 4294967296.0)
       // inverse-CDF Poisson(1): thresholds at the cumulative pmf
       .withColumn("w",
         when(col("u") < 0.36787944117144233, 0L)
@@ -352,5 +357,33 @@ object Analytics2 {
         |SELECT CAST(t_hour AS BIGINT) AS t_hour, CAST(n_risk AS BIGINT) AS n_risk,
         | d_conv, c_censored, s_hat
         |FROM km WHERE d_conv > 0 ORDER BY t_hour""".stripMargin,
+    "q_bootstrap_ci" ->
+      """WITH reps AS (SELECT unnest(range(0, 64)) AS r),
+        |ex AS (
+        | SELECT o.o_orderpriority AS priority,
+        |  CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_c, reps.r,
+        |  CAST('0x' || substr(md5('boot-1:' || o.o_orderkey || ':' || reps.r), 1, 8)
+        |    AS BIGINT) / 4294967296.0 AS u
+        | FROM orders o CROSS JOIN reps),
+        |wt AS (
+        | SELECT priority, r, price_c,
+        |  CASE WHEN u < 0.36787944117144233 THEN 0
+        |       WHEN u < 0.7357588823428847 THEN 1
+        |       WHEN u < 0.9196986029286058 THEN 2
+        |       WHEN u < 0.9810118431238462 THEN 3
+        |       WHEN u < 0.9963401531726563 THEN 4
+        |       WHEN u < 0.9994058151824183 THEN 5
+        |       ELSE 6 END AS w
+        | FROM ex),
+        |per_rep AS (
+        | SELECT priority, r,
+        |  CAST(sum(w * price_c) AS DOUBLE) / CAST(sum(w) AS BIGINT) / 100.0
+        |    AS mean_r
+        | FROM wt GROUP BY priority, r)
+        |SELECT priority, round(avg(mean_r), 2) AS boot_mean,
+        | round(stddev_samp(mean_r), 2) AS boot_se,
+        | round(avg(mean_r) - 1.96 * stddev_samp(mean_r), 2) AS ci_lo,
+        | round(avg(mean_r) + 1.96 * stddev_samp(mean_r), 2) AS ci_hi
+        |FROM per_rep GROUP BY priority ORDER BY priority""".stripMargin,
   )
 }

@@ -79,53 +79,98 @@ object Analytics5 {
           .as("assortativity"))
   }
 
-  /** Evaluation report for the learned quality gate
-    * ([[graft.ml.QualityClassifier]]): exact tie-corrected AUC (the
-    * Mann–Whitney rank form — average ranks over score ties, so equal
-    * scores contribute 1/2) plus a 10-bucket calibration table
-    * (predicted-probability decile → observed rule-label rate, integer
-    * milli units). Rows-only (LBFGS weights aren't SQL-portable);
-    * Analytics5Spec replays AUC and calibration from the scored frame.
+  /** Classifier evaluation report — exact tie-corrected AUC (the
+    * Mann–Whitney rank form: average ranks over score ties, so equal
+    * scores contribute 1/2) plus a 10-bucket score-decile calibration
+    * table (mean score vs observed label rate, integer milli units).
     *
-    * AUC ranks on the probability QUANTIZED to 4 decimals — that bounds
-    * the ordered rank scan to ≤10⁴+1 distinct values at ANY input size
-    * (raw LR scores are all-distinct, which would make the scan frame
-    * data-sized); ties introduced by quantization get the standard 1/2
-    * credit, so the reported AUC is exactly "AUC at 10⁻⁴ score
-    * resolution" — the deterministic contract the spec replays.
+    * The scorer under evaluation is a closed-form learned model fitted
+    * IN the query: a smoothed class-rate-difference naive-Bayes over
+    * binned Gopher-gate features (token count, mean word length,
+    * stopword count, distinct ratio — the same statistics
+    * [[graft.ml.QualityClassifier]] feeds its LR; that model's LBFGS
+    * weights stay spec-verified under `q_quality_classifier`). Every
+    * step here — Laplace-smoothed per-bin class rates in integer ppm,
+    * additive score, rank scan, calibration — is EXACT integer
+    * arithmetic (mean-word-length gates compare charsum·10 vs nt·39,
+    * never a double), so fit + score + AUC + calibration all replay
+    * bit-for-bit in DuckDB: the whole eval pipeline is
+    * oracle-certified, not just deterministic (r8 was rows-only behind
+    * the LBFGS fit). The only float op is the final one-division AUC.
     *
-    * 100 TB shape: ranks via one groupBy-quantized-score + ordered scan
-    * over the ≤10⁴-row frame; calibration is a partial-aggregable
-    * bucket agg. */
+    * 100 TB shape: featurize is a narrow per-row map; the fit is four
+    * |bins|-sized partial-agg'd counts joined back by BROADCAST (the
+    * weight tables are ≤13 rows each — scoring is shuffle-free); the
+    * rank scan runs over the ≤13·13·11·11 distinct-score frame —
+    * bounded at ANY input size; calibration buckets derive from the
+    * same bounded frame's cumulative counts. */
   val qClassifierEval: Q = (s, d) => {
-    import graft.ml.QualityClassifier
-    val feat = QualityClassifier.featurize(Tables.documents(s, d))
-    val scored = QualityClassifier.score(QualityClassifier.fit(feat), feat)
-      .select(col("doc_id"), col("quality_score").as("p"), col("label"))
-      .withColumn("pq", round(col("p"), 4))
-    // average rank per distinct quantized score: cum count up to the
-    // previous distinct score + (tied_count + 1)/2 — tie-corrected MW
-    val perScore = scored.groupBy("pq")
+    import graft.text.TextFunctions
+    val tk = col("tk")
+    val st = Tables.documents(s, d)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        size(tk).cast("long").as("nt"),
+        aggregate(tk, lit(0L), (a, t) => a + length(t)).as("charsum"),
+        size(filter(tk, t => t.isin(
+          TextFunctions.stopwords.map(_.asInstanceOf[Any]): _*))).cast("long").as("ns"),
+        size(array_distinct(tk)).cast("long").as("ndist"))
+      .withColumn("label", (col("nt") >= 30 && col("nt") <= 80 &&
+        col("charsum") * 10 >= col("nt") * 39 &&
+        col("charsum") * 10 <= col("nt") * 51 &&
+        col("ns") >= 2 && col("ndist") * 2 >= col("nt")).cast("long"))
+      .withColumn("b1", least(expr("nt div 10"), lit(12L)))
+      .withColumn("b2", least(expr("(charsum * 2) div nt"), lit(12L)))
+      .withColumn("b3", least(col("ns"), lit(10L)))
+      .withColumn("b4", least(expr("(ndist * 10) div nt"), lit(10L)))
+    val tot = st.agg(sum("label").cast("long").as("n1"),
+      (count(lit(1)) - sum("label")).cast("long").as("n0"))
+    // per-bin Laplace-smoothed class-rate difference in ppm; Bk = bin count
+    def wTab(bcol: String, bk: Int) = st.groupBy(bcol)
+      .agg(sum("label").cast("long").as("c1"),
+        (count(lit(1)) - sum("label")).cast("long").as("c0"))
+      .crossJoin(broadcast(tot))
+      .select(col(bcol),
+        (expr(s"((c1 + 1) * 1000000) div (n1 + $bk)") -
+          expr(s"((c0 + 1) * 1000000) div (n0 + $bk)")).as(s"w_$bcol"))
+    val scored = st
+      .join(broadcast(wTab("b1", 13)), "b1")
+      .join(broadcast(wTab("b2", 13)), "b2")
+      .join(broadcast(wTab("b3", 11)), "b3")
+      .join(broadcast(wTab("b4", 11)), "b4")
+      .crossJoin(broadcast(tot))
+      .withColumn("score",
+        expr("(n1 * 1000000) div (n1 + n0) - (n0 * 1000000) div (n1 + n0)") +
+          col("w_b1") + col("w_b2") + col("w_b3") + col("w_b4"))
+      .select("doc_id", "label", "score")
+    // average rank per distinct score: cum count below + (tied + 1)/2,
+    // carried ×2 to stay integral — tie-corrected MW
+    val perScore = scored.groupBy("score")
       .agg(count(lit(1)).as("c"), sum("label").cast("long").as("pos_c"))
-    val w = Window.orderBy("pq").rowsBetween(Window.unboundedPreceding, -1)
+    val w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
     val ranked = perScore
       .withColumn("below", coalesce(sum("c").over(w), lit(0L)))
-      .withColumn("rank_avg2", lit(2L) * col("below") + col("c") + 1L) // 2·avg rank
+      .withColumn("rank_avg2", lit(2L) * col("below") + col("c") + 1L)
     val auc = ranked
-      .crossJoin(scored.agg(sum("label").cast("long").as("n_pos"),
-        (count(lit(1)) - sum("label")).cast("long").as("n_neg")))
-      .agg(first("n_pos").as("n_pos"), first("n_neg").as("n_neg"),
+      .crossJoin(broadcast(tot))
+      .agg(first("n1").as("n_pos"), first("n0").as("n_neg"),
         sum(col("pos_c") * col("rank_avg2")).as("rank_sum2"))
       .select(col("n_pos"), col("n_neg"),
-        round((col("rank_sum2").cast("double") / 2.0 -
-          col("n_pos").cast("double") * (col("n_pos") + 1L) / 2.0) /
-          (col("n_pos").cast("double") * col("n_neg")), 6).as("auc"))
-    val calib = scored
-      .withColumn("bucket", least(floor(col("p") * 10).cast("long"), lit(9L)))
+        round((col("rank_sum2") - col("n_pos") * (col("n_pos") + lit(1L)))
+          .cast("double") /
+          (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"))
+    // score-decile buckets from the bounded frame's cumulative counts;
+    // the +5e6 shift keeps the mean's integer division on non-negative
+    // operands (Spark div truncates, DuckDB // floors — they only agree
+    // on non-negatives)
+    val calib = ranked
+      .crossJoin(broadcast(tot))
+      .withColumn("bucket", least(expr("(10 * below) div (n1 + n0)"), lit(9L)))
       .groupBy("bucket")
-      .agg(count(lit(1)).as("n"),
-        expr("CAST(round(avg(p) * 1000) AS BIGINT)").as("mean_pred_milli"),
-        expr("(CAST(sum(label) AS BIGINT) * 1000) div count(1)").as("label_rate_milli"))
+      .agg(sum("c").as("n"),
+        (expr("(sum((score + 5000000) * c) * 1000) div sum(c)") -
+          lit(5000000000L)).as("mean_score_milli"),
+        expr("(sum(pos_c) * 1000) div sum(c)").as("label_rate_milli"))
     calib.crossJoin(auc).orderBy("bucket")
   }
 
@@ -254,5 +299,83 @@ object Analytics5 {
         |  (sqrt(CAST(n_edges * sxx - sx * sx AS DOUBLE)) *
         |   sqrt(CAST(n_edges * syy - sy * sy AS DOUBLE))), 6) AS assortativity
         |FROM m""".stripMargin,
+    "q_classifier_eval" ->
+      """WITH st AS (
+        | SELECT doc_id, len(tk) AS nt,
+        |  CAST(list_aggregate(list_transform(tk, t -> strlen(t)), 'sum')
+        |    AS BIGINT) AS charsum,
+        |  len(list_filter(tk,
+        |    t -> t IN ('the', 'a', 'data', 'row', 'value'))) AS ns,
+        |  len(list_distinct(tk)) AS ndist
+        | FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |       FROM documents)),
+        |lab AS (
+        | SELECT doc_id,
+        |  CAST(nt >= 30 AND nt <= 80 AND charsum * 10 >= nt * 39
+        |   AND charsum * 10 <= nt * 51 AND ns >= 2 AND ndist * 2 >= nt
+        |   AS BIGINT) AS label,
+        |  least(nt // 10, 12) AS b1,
+        |  least((charsum * 2) // nt, 12) AS b2,
+        |  least(ns, 10) AS b3,
+        |  least((ndist * 10) // nt, 10) AS b4
+        | FROM st),
+        |tot AS (SELECT CAST(sum(label) AS BIGINT) AS n1,
+        |  CAST(count(*) - sum(label) AS BIGINT) AS n0 FROM lab),
+        |w1 AS (SELECT b1,
+        |  ((CAST(sum(label) AS BIGINT) + 1) * 1000000)
+        |    // ((SELECT n1 FROM tot) + 13)
+        |   - ((CAST(count(*) - sum(label) AS BIGINT) + 1) * 1000000)
+        |     // ((SELECT n0 FROM tot) + 13) AS w
+        | FROM lab GROUP BY b1),
+        |w2 AS (SELECT b2,
+        |  ((CAST(sum(label) AS BIGINT) + 1) * 1000000)
+        |    // ((SELECT n1 FROM tot) + 13)
+        |   - ((CAST(count(*) - sum(label) AS BIGINT) + 1) * 1000000)
+        |     // ((SELECT n0 FROM tot) + 13) AS w
+        | FROM lab GROUP BY b2),
+        |w3 AS (SELECT b3,
+        |  ((CAST(sum(label) AS BIGINT) + 1) * 1000000)
+        |    // ((SELECT n1 FROM tot) + 11)
+        |   - ((CAST(count(*) - sum(label) AS BIGINT) + 1) * 1000000)
+        |     // ((SELECT n0 FROM tot) + 11) AS w
+        | FROM lab GROUP BY b3),
+        |w4 AS (SELECT b4,
+        |  ((CAST(sum(label) AS BIGINT) + 1) * 1000000)
+        |    // ((SELECT n1 FROM tot) + 11)
+        |   - ((CAST(count(*) - sum(label) AS BIGINT) + 1) * 1000000)
+        |     // ((SELECT n0 FROM tot) + 11) AS w
+        | FROM lab GROUP BY b4),
+        |scored AS (
+        | SELECT l.label,
+        |  (t.n1 * 1000000) // (t.n1 + t.n0) - (t.n0 * 1000000) // (t.n1 + t.n0)
+        |   + w1.w + w2.w + w3.w + w4.w AS score
+        | FROM lab l CROSS JOIN tot t
+        | JOIN w1 ON l.b1 = w1.b1 JOIN w2 ON l.b2 = w2.b2
+        | JOIN w3 ON l.b3 = w3.b3 JOIN w4 ON l.b4 = w4.b4),
+        |per_score AS (
+        | SELECT score, count(*) AS c, CAST(sum(label) AS BIGINT) AS pos_c
+        | FROM scored GROUP BY score),
+        |ranked AS (
+        | SELECT score, c, pos_c,
+        |  coalesce(sum(c) OVER (ORDER BY score
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        | FROM per_score),
+        |auc AS (
+        | SELECT (SELECT n1 FROM tot) AS n_pos, (SELECT n0 FROM tot) AS n_neg,
+        |  round(CAST(sum(pos_c * (2 * below + c + 1))
+        |     - (SELECT n1 FROM tot) * ((SELECT n1 FROM tot) + 1) AS DOUBLE)
+        |    / (2.0 * (SELECT n1 FROM tot) * (SELECT n0 FROM tot)), 6) AS auc
+        | FROM ranked),
+        |buckets AS (
+        | SELECT least((10 * below) // ((SELECT n1 + n0 FROM tot)), 9) AS bucket,
+        |  CAST(sum(c) AS BIGINT) AS n,
+        |  (CAST(sum((score + 5000000) * c) AS BIGINT) * 1000) // sum(c)
+        |    - 5000000000 AS mean_score_milli,
+        |  (CAST(sum(pos_c) AS BIGINT) * 1000) // sum(c) AS label_rate_milli
+        | FROM ranked GROUP BY 1)
+        |SELECT bucket, n, CAST(mean_score_milli AS BIGINT) AS mean_score_milli,
+        | CAST(label_rate_milli AS BIGINT) AS label_rate_milli,
+        | n_pos, n_neg, auc
+        |FROM buckets CROSS JOIN auc ORDER BY bucket""".stripMargin,
   )
 }

@@ -109,17 +109,20 @@ object Analytics9 {
     * exactly. Backed by the [[graft.functions.CountMinEstimate]]
     * TypedImperativeAggregate: local d×w grids, elementwise partial
     * merge (d·w·8 bytes of shuffle per task — input-size-free), probe
-    * answering at eval. Deterministic (fixed splitmix64 hashing, exact
-    * integer counters, commutative merge) but not SQL-replayable
-    * (DuckDB BIGINT multiply traps on the wrapping hash arithmetic) →
-    * rows-only; CmsSpec proves the never-underestimate guarantee,
-    * partition-invariance, and the error bound against exact counts. */
+    * answering at eval. Runs the sketch's PORTABLE slot function (md5
+    * bucket, the r8 seeded-md5 discipline) so DuckDB replays the
+    * identical d×w grid cell-for-cell and the estimates are
+    * oracle-certified, not just deterministic — the production default
+    * stays splitmix64 (no digest per row); only the bucket permutation
+    * differs, never the guarantees. CmsSpec additionally proves the
+    * never-underestimate bound, partition-invariance, and
+    * splitmix↔md5 mode parity of the error bound. */
   val qCmsFreq: Q = (s, d) => {
     val probes = Seq(1L, 2L, 3L, 4L, 5L)
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(graft.functions.CountMinEstimate
-        .cmsEstimate(col("l_partkey"), probes, 4, 1024).as("est"))
+        .cmsEstimate(col("l_partkey"), probes, 4, 1024, portable = true).as("est"))
       .select(col("l_returnflag"),
         posexplode(col("est")).as(Seq("probe_idx", "est_count")))
       .withColumn("probe_key", col("probe_idx").cast("long") + 1)
@@ -190,5 +193,26 @@ object Analytics9 {
         |FROM trailed
         |WHERE trail_n = 24 AND cnt * 24 > trail_sum * 3
         |ORDER BY event_type, hour""".stripMargin,
+    "q_cms_freq" ->
+      """WITH rows_ AS (SELECT unnest(range(0, 4)) AS rw),
+        |flags AS (SELECT DISTINCT l_returnflag FROM lineitem),
+        |grid AS (
+        | SELECT l_returnflag, rw,
+        |  CAST('0x' || substr(md5(rw || ':' || l_partkey), 1, 8) AS BIGINT)
+        |    % 1024 AS bucket,
+        |  count(*) AS cnt
+        | FROM lineitem CROSS JOIN rows_ GROUP BY 1, 2, 3),
+        |pb AS (
+        | SELECT probe_key, rw,
+        |  CAST('0x' || substr(md5(rw || ':' || probe_key), 1, 8) AS BIGINT)
+        |    % 1024 AS bucket
+        | FROM (SELECT unnest([1, 2, 3, 4, 5]) AS probe_key) CROSS JOIN rows_)
+        |SELECT f.l_returnflag, CAST(pb.probe_key AS BIGINT) AS probe_key,
+        | CAST(min(coalesce(g.cnt, 0)) AS BIGINT) AS est_count
+        |FROM flags f CROSS JOIN pb
+        |LEFT JOIN grid g ON g.l_returnflag = f.l_returnflag
+        |  AND g.rw = pb.rw AND g.bucket = pb.bucket
+        |GROUP BY f.l_returnflag, pb.probe_key
+        |ORDER BY f.l_returnflag, probe_key""".stripMargin,
   )
 }

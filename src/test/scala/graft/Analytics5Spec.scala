@@ -45,37 +45,67 @@ class Analytics5Spec extends AnyFunSuite with SharedSpark {
       s"assortativity ${r.getDouble(3)} vs $expected")
   }
 
-  test("classifier eval: reported AUC and calibration match the scored frame") {
-    import graft.ml.QualityClassifier
-    val feat = QualityClassifier.featurize(Tables.documents(spark, sfDir))
-    val scored = QualityClassifier.score(QualityClassifier.fit(feat), feat)
-      .select(col("quality_score"), col("label")).collect()
-      .map(r => (BigDecimal(r.getDouble(0)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
-        .toDouble, r.getDouble(0), r.getDouble(1) > 0.5))
-    // tie-corrected MW AUC on the quantized scores
-    val sorted = scored.sortBy(_._1)
-    val rankOf = scala.collection.mutable.Map.empty[Double, Double]
+  test("classifier eval: in-memory replay of the closed-form fit, AUC, calibration") {
+    // independent referee: refit the binned class-rate-difference model
+    // from raw text in plain Scala collections and replay AUC + buckets
+    val docs = Tables.documents(spark, sfDir).select("text").collect()
+      .map(_.getString(0))
+    case class D(nt: Long, charsum: Long, ns: Long, ndist: Long) {
+      val label: Long = if (nt >= 30 && nt <= 80 && charsum * 10 >= nt * 39 &&
+        charsum * 10 <= nt * 51 && ns >= 2 && ndist * 2 >= nt) 1L else 0L
+      val b1: Long = math.min(nt / 10, 12)
+      val b2: Long = math.min((charsum * 2) / nt, 12)
+      val b3: Long = math.min(ns, 10)
+      val b4: Long = math.min((ndist * 10) / nt, 10)
+    }
+    val stop = Set("the", "a", "data", "row", "value")
+    val ds = docs.map { t =>
+      val tk = t.trim.split("\\s+")
+      D(tk.length.toLong, tk.map(_.length.toLong).sum,
+        tk.count(stop).toLong, tk.distinct.length.toLong)
+    }
+    val n1 = ds.map(_.label).sum
+    val n0 = ds.length - n1
+    def weights(bin: D => Long, bk: Long): Map[Long, Long] =
+      ds.groupBy(bin).map { case (v, grp) =>
+        val c1 = grp.map(_.label).sum; val c0 = grp.length - c1
+        v -> (((c1 + 1) * 1000000L) / (n1 + bk) - ((c0 + 1) * 1000000L) / (n0 + bk))
+      }
+    val (w1, w2, w3, w4) = (weights(_.b1, 13), weights(_.b2, 13),
+      weights(_.b3, 11), weights(_.b4, 11))
+    val p0 = (n1 * 1000000L) / (n1 + n0) - (n0 * 1000000L) / (n1 + n0)
+    val scored = ds.map(x =>
+      (p0 + w1(x.b1) + w2(x.b2) + w3(x.b3) + w4(x.b4), x.label == 1L))
+    // tie-corrected MW AUC over the integer scores
+    val rankOf = scala.collection.mutable.Map.empty[Long, Double]
     var idx = 0
-    sorted.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (pq, rows) =>
-      rankOf(pq) = idx + (rows.length + 1) / 2.0
+    scored.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (sc, rows) =>
+      rankOf(sc) = idx + (rows.length + 1) / 2.0
       idx += rows.length
     }
-    val nPos = scored.count(_._3).toLong
-    val nNeg = scored.length - nPos
-    val rankSum = scored.filter(_._3).map(r => rankOf(r._1)).sum
-    val expectedAuc = (rankSum - nPos * (nPos + 1) / 2.0) / (nPos.toDouble * nNeg)
+    val rankSum = scored.filter(_._2).map(r => rankOf(r._1)).sum
+    val expectedAuc = (rankSum - n1 * (n1 + 1) / 2.0) / (n1.toDouble * n0)
     val rows = Analytics5.qClassifierEval(spark, sfDir).collect()
-    val gotAuc = rows.head.getDouble(6) // (bucket, n, mean_pred, label_rate, n_pos, n_neg, auc)
-    assert(math.abs(gotAuc - expectedAuc) < 2e-4, s"auc $gotAuc vs $expectedAuc")
-    assert(gotAuc > 0.8, "the learned gate must separate its own training labels well")
-    // calibration buckets: counts and label rates
-    val byBucket = scored.groupBy(r => math.min(9L, math.floor(r._2 * 10).toLong))
+    val gotAuc = rows.head.getDouble(6) // (bucket, n, mean, rate, n_pos, n_neg, auc)
+    assert(math.abs(gotAuc - expectedAuc) < 2e-6, s"auc $gotAuc vs $expectedAuc")
+    assert(gotAuc > 0.9, "the closed-form model must separate its own labels")
+    assert(rows.head.getLong(4) == n1 && rows.head.getLong(5) == n0)
+    // calibration buckets: replay the cumulative-count decile assignment
+    val ntot = ds.length.toLong
+    val belowOf = scala.collection.mutable.Map.empty[Long, Long]
+    var cum = 0L
+    scored.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (sc, grp) =>
+      belowOf(sc) = cum; cum += grp.length
+    }
+    val byBucket = scored.groupBy(r => math.min(9L, (10 * belowOf(r._1)) / ntot))
     rows.foreach { r =>
       val b = byBucket(r.getLong(0))
       assert(r.getLong(1) == b.length.toLong, s"bucket ${r.getLong(0)} count")
-      assert(r.getLong(3) == b.count(_._3).toLong * 1000L / b.length,
+      assert(r.getLong(3) == b.count(_._2).toLong * 1000L / b.length,
         s"bucket ${r.getLong(0)} label rate")
+      val meanShift = (b.map(_._1 + 5000000L).sum * 1000L) / b.length - 5000000000L
+      assert(r.getLong(2) == meanShift, s"bucket ${r.getLong(0)} mean score")
     }
-    assert(rows.map(_.getLong(1)).sum == scored.length.toLong)
+    assert(rows.map(_.getLong(1)).sum == ds.length.toLong)
   }
 }

@@ -43,6 +43,25 @@ class CmsSpec extends AnyFunSuite with SharedSpark {
     assert(whole == split)
   }
 
+  test("portable (md5) mode keeps the CM guarantees and merge invariance") {
+    val li = Tables.lineitem(spark, sfDir)
+    val exact = li.filter(col("l_partkey").isin(probes: _*))
+      .groupBy("l_partkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = li.count()
+    def run(df: org.apache.spark.sql.DataFrame) = df
+      .agg(CountMinEstimate.cmsEstimate(col("l_partkey"), probes, 4, 1024,
+        portable = true).as("est"))
+      .collect().head.getSeq[Long](0)
+    val ests = run(li)
+    probes.zip(ests).foreach { case (p, est) =>
+      val ex = exact.getOrElse(p, 0L)
+      assert(est >= ex, s"md5 mode underestimated key $p: $est < $ex")
+      assert(est - ex <= math.max(8L * n / 1024, 16L), s"$p over by ${est - ex}")
+    }
+    assert(run(li.repartition(7)) == ests, "md5 mode merge not partition-invariant")
+  }
+
   test("sketch works through the SQL surface via cms_estimate registration") {
     graft.functions.GraftExtensions.install(spark)
     Tables.lineitem(spark, sfDir).createOrReplaceTempView("cms_li")
