@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver parses graft.Bench's single JSON stdout line as the
+// LAST line of the run; sbt's "[success] Total time…" epilogue defeated
+// that parse four rounds running (BENCH_r05–r08 "parsed: null").
+// Suppress the epilogue and pipe forked run output straight to stdout
+// (no "[info]" prefix mangling) so the JSON object ends the stream.
+Global / showSuccess := false
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -76,7 +76,18 @@ object BenchScaling {
     // r8 tail: the oriented triangle chain + corner explode (wedge
     // volume is the scale claim) and the double rank-window pass over
     // the full fact table (two external sorts + a moment reduce)
-    "q_clustering_coeff", "q_spearman")
+    "q_clustering_coeff", "q_spearman",
+    // r9: the rest of the r8 web-ingest + statistics batch that does
+    // data-sized work — URL canonicalization and HTML→text extraction
+    // (codegen'd regex chains in the scan), license/code detection
+    // (same class), mirror detection (two-sided content-hash join),
+    // the docs-per-domain cap (spillable window + partial top-k), the
+    // 14-moment one-pass correlation matrix, PSI drift (binned census
+    // vs baseline), nested-JSON array flattening (VariantGet explode),
+    // and the md5-seeded weighted sampler (per-row digest + top-k)
+    "q_url_canonical", "q_html_extract", "q_license_filter",
+    "q_code_detect", "q_mirror_detect", "q_domain_cap", "q_corr_matrix",
+    "q_psi", "q_json_flatten", "q_weighted_sample")
 
   def main(args: Array[String]): Unit = {
     // trailing names restrict the run (same contract as Verify/Bench)

@@ -26,14 +26,17 @@ import org.apache.spark.sql.types._
   * groupBy with constant memory per task: d·w·8 bytes (default 4×1024 =
   * 32 KB) against billions of distinct keys.
   *
-  * `portable = true` switches the slot function to an md5 bucket —
-  * `first8hex(md5(row ‖ ':' ‖ key)) mod width` — the r8 seeded-md5
-  * discipline ([[graft.queries.Analytics13]] qDpRelease): every engine
-  * with md5 replays the identical grid, making the sketch's estimates
-  * DuckDB-oracle-certifiable. Splitmix64 stays the production default
-  * (one multiply-xor chain vs a digest per (row, key)); md5 is the
-  * audit/interop mode. Same guarantees (never underestimates, linear
-  * merge) — only the bucket permutation differs.
+  * `portable = true` switches the slot function to md5 buckets — row
+  * r's bucket is hex slice 8r+1..8r+8 of ONE md5(key) digest, mod
+  * width (the r8 seeded-md5 discipline, [[graft.queries.Analytics13]]
+  * qDpRelease): every engine with md5 replays the identical grid,
+  * making the sketch's estimates DuckDB-oracle-certifiable; the
+  * 16-byte digest yields four independent 32-bit words, so one digest
+  * per input row covers all depth ≤ 4 hash rows. Splitmix64 stays the
+  * production default (one multiply-xor chain, no digest, any depth);
+  * md5 is the audit/interop mode. Same guarantees (never
+  * underestimates, linear merge) — only the bucket permutation
+  * differs.
   */
 case class CountMinEstimate(
     child: Expression,
@@ -59,6 +62,9 @@ case class CountMinEstimate(
   require(depthExpr.foldable && widthExpr.foldable && probesExpr.foldable &&
     portableExpr.foldable,
     "cms_estimate(probes, depth, width[, portable]) must be literals")
+  require(!portable || depth <= 4,
+    "portable (md5) mode derives one 32-bit word per depth row from a " +
+      "single 16-byte digest - depth must be <= 4")
 
   override def children: Seq[Expression] =
     Seq(child, probesExpr, depthExpr, widthExpr, portableExpr)
@@ -81,21 +87,28 @@ case class CountMinEstimate(
         java.security.MessageDigest.getInstance("MD5")
     }
 
-  /** First 8 hex chars of md5("row:key") as an unsigned 32-bit value —
-    * byte-identical to DuckDB's
-    * `CAST('0x' || substr(md5(row || ':' || key), 1, 8) AS BIGINT)`. */
-  private def md5Bucket(key: Long, row: Int): Long = {
+  /** ONE digest per key serves every row: md5(key) is 16 bytes = four
+    * independent 32-bit words, exactly the d ≤ 4 hash functions the
+    * sketch needs — hex slice 8·row+1..8·row+8 in SQL terms, so row r's
+    * bucket is byte-identical to DuckDB's
+    * `CAST('0x' || substr(md5(CAST(key AS VARCHAR)), 8*r + 1, 8)
+    *  AS BIGINT) % width`. (The naive digest-per-(row,key) variant
+    * measured 4× the digest cost for the same grid.) */
+  private def md5Bytes(key: Long): Array[Byte] = {
     val d = md5Local.get()
     d.reset()
-    val bytes = d.digest(
-      (row.toString + ":" + key.toString).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    ((bytes(0) & 0xffL) << 24) | ((bytes(1) & 0xffL) << 16) |
-      ((bytes(2) & 0xffL) << 8) | (bytes(3) & 0xffL)
+    d.digest(key.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  private def word(bytes: Array[Byte], row: Int): Long = {
+    val o = 4 * row
+    ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+      ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
   }
 
   private def slot(key: Long, row: Int): Int =
     if (portable)
-      row * width + (md5Bucket(key, row) % width.toLong).toInt
+      row * width + (word(md5Bytes(key), row) % width.toLong).toInt
     else
       row * width + java.lang.Math.floorMod(mix(key, row), width.toLong).toInt
 
@@ -105,8 +118,17 @@ case class CountMinEstimate(
     val v = child.eval(input)
     if (v != null) {
       val k = v.asInstanceOf[Number].longValue()
-      var i = 0
-      while (i < depth) { buf(slot(k, i)) += 1; i += 1 }
+      if (portable) {
+        // hot path: ONE digest per input row covers all depth rows
+        val bytes = md5Bytes(k)
+        var i = 0
+        while (i < depth) {
+          buf(i * width + (word(bytes, i) % width.toLong).toInt) += 1; i += 1
+        }
+      } else {
+        var i = 0
+        while (i < depth) { buf(slot(k, i)) += 1; i += 1 }
+      }
     }
     buf
   }

@@ -89,6 +89,7 @@ object Multimodal {
   def syntheticPngs(spark: SparkSession, ids: DataFrame): DataFrame = {
     import spark.implicits._
     ids.select(col("doc_id")).as[Long].mapPartitions { it =>
+      disableImageIoFileCache()
       it.map { id =>
         val w = 4 + (id % 60).toInt
         val h = 4 + ((id * 7) % 60).toInt
@@ -159,11 +160,21 @@ object Multimodal {
       64 + n % 512, 64 + (n * 7) % 512, 0L, 0.0, 0.0, 0.0, decoded = false)
   }
 
+  /** Idempotent, JVM-global: ImageIO's convenience read/write spool
+    * every stream through a temp FILE by default — a file create+delete
+    * per row for KB-sized in-memory payloads (measured as the
+    * q_gif_frames band violation, VERDICT r8 finding 1). Memory caching
+    * is strictly better at these payload sizes; call once per partition
+    * before any `ImageIO.read`/`write`. */
+  def disableImageIoFileCache(): Unit = javax.imageio.ImageIO.setUseCache(false)
+
   /** Built-in image decoder: `javax.imageio` (PNG/BMP/GIF/JPEG —
     * whatever the JVM's ImageIO registry carries, no external deps).
     * ImageIO reader instances are looked up per call; the registry scan
-    * is JVM-global and cached, so init() has nothing to do. */
+    * is JVM-global and cached — init() just drops the temp-file
+    * stream cache. */
   object ImageIoDecoder extends MediaDecoder[DecodedImage] {
+    override def init(): Unit = disableImageIoFileCache()
     def decode(id: Long, bytes: Array[Byte]): Option[DecodedImage] = {
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
@@ -242,7 +253,10 @@ object Multimodal {
         val w = 8 + (id % 16).toInt
         val h = 8 + ((id * 3) % 16).toInt
         val bos = new java.io.ByteArrayOutputStream()
-        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        // MemoryCache, NOT ImageIO.createImageOutputStream: the factory
+        // default is a FileCache stream — a fresh temp FILE per row,
+        // written and deleted again, pure I/O churn for KB payloads
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
         writer.setOutput(ios)
         writer.prepareWriteSequence(null)
         var f = 0
@@ -288,7 +302,9 @@ object Multimodal {
         it.flatMap { case (id, bytes) =>
           val frames =
             try {
-              val iis = javax.imageio.ImageIO.createImageInputStream(
+              // MemoryCache for the same reason as the writer: the
+              // ImageIO factory would spool each payload to a temp file
+              val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
                 new java.io.ByteArrayInputStream(bytes))
               reader.setInput(iis, false, true)
               val n = reader.getNumImages(true)

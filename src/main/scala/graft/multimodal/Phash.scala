@@ -90,6 +90,7 @@ object Phash {
     media.select(col("media_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        Multimodal.disableImageIoFileCache()
         it.flatMap { case (id, bytes) =>
           val img =
             try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
@@ -179,6 +180,7 @@ object Phash {
     // (8-byte) ids across all cores before the heavy mapPartitions
     ids.select(col("doc_id")).repartition(spark.sparkContext.defaultParallelism)
       .as[Long].mapPartitions { it =>
+      Multimodal.disableImageIoFileCache()
       val w = 64; val h = 64
       // cos(π·u·(2x+1) / 2W) over the synthesis grid (StrictMath: bit-stable)
       val cosW = Array.tabulate(8, w)((u, x) =>

@@ -194,41 +194,65 @@ object Analytics2 {
   /** Poisson-bootstrap confidence interval for mean order value by
     * priority — the resampling stderr that needs NO data duplication and
     * no shared RNG state: replicate r weights each row by a Poisson(1)
-    * draw inverted from the uniform md5(seed ‖ o_orderkey ‖ r) — exactly
-    * the per-(row, replicate) determinism a 1000-executor rerun needs
-    * for reproducibility (no seed coordination, no row numbering). The
-    * r8 DP-release discipline (seeded-md5 uniforms,
-    * [[Analytics13.qDpRelease]]) makes the draw engine-portable: DuckDB
-    * replays the identical weights bit-for-bit, so the full CI pipeline
-    * is oracle-certified (was rows-only under xxhash64). Per-replicate
-    * means are exact-integer ratios (one IEEE division), so the only
-    * cross-engine float surface is the 64-value avg/stddev collapse,
-    * rounded at 2 dp.
+    * draw inverted from a seeded-md5 uniform — exactly the
+    * per-(row, replicate) determinism a 1000-executor rerun needs for
+    * reproducibility (no seed coordination, no row numbering), in the
+    * r8 DP-release discipline ([[Analytics13.qDpRelease]]) that DuckDB
+    * replays bit-for-bit, so the full CI pipeline is oracle-certified
+    * (was rows-only under xxhash64).
     *
-    * 100 TB shape: the explode is R=64 lightweight (key, replicate)
-    * rows per input row feeding a partial-aggregable sum — shuffle
-    * volume is |priorities|·R, not |rows|·R; the per-replicate means
-    * then collapse to a 5-row report. */
+    * Digest economics (the naive port ran 8×): ONE md5 per (row, octet)
+    * yields EIGHT 16-bit uniforms (hex chars 4j+1..4j+4), and the
+    * Poisson inversion compares those fixed-width hex slices
+    * LEXICOGRAPHICALLY against pre-computed hex thresholds
+    * (floor(F(k)·2¹⁶) — ASCII order ≡ numeric order for padded
+    * lowercase hex), so there is no conv(), no per-replicate digest,
+    * and no 64× row explosion: the 8 replicate-octets aggregate as 16
+    * sum columns unpivoted by stack AFTER aggregation. 16-bit uniform
+    * resolution biases each pmf threshold by < 2⁻¹⁶ — noise at
+    * bootstrap scale. Per-replicate means are exact-integer ratios
+    * (one IEEE division); the only cross-engine float surface is the
+    * 64-value avg/stddev collapse, rounded at 2 dp.
+    *
+    * 100 TB shape: one md5 + 16 conditional partial-agg sums per
+    * (row, octet) — shuffle volume is |priorities|·8·16 values, not
+    * |rows|·R; the per-replicate means then collapse to a 5-row
+    * report. */
   val qBootstrapCi: Q = (s, d) => {
-    val reps = 64
+    // cumulative Poisson(1) pmf at 16-bit resolution, as 4-char hex
+    val th = Seq("5e2d", "bc5a", "eb71", "fb23", "ff10", "ffd9")
+    // w_j is PROJECTED before the aggregate (each hex slice cut and
+    // compared once per row) — inlining the cascade into the 16 agg
+    // expressions re-evaluated substring ~100× per row (measured 2.5 s
+    // vs 1 s at sf0.1)
+    def w(j: Int) = {
+      val sub = col(s"s_$j")
+      th.zipWithIndex.foldLeft(when(sub < th.head, 0L)) {
+        case (acc, (t, i)) if i > 0 => acc.when(sub < t, i.toLong)
+        case (acc, _) => acc
+      }.otherwise(6L).as(s"w_$j")
+    }
     val o = Tables.orders(s, d).select(
       col("o_orderpriority").as("priority"), col("o_orderkey"),
       expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_c"))
-      .withColumn("r", explode(sequence(lit(0), lit(reps - 1))))
-      .withColumn("u",
-        conv(substring(md5(concat(lit("boot-1:"), col("o_orderkey"),
-          lit(":"), col("r"))), 1, 8), 16, 10).cast("double") / 4294967296.0)
-      // inverse-CDF Poisson(1): thresholds at the cumulative pmf
-      .withColumn("w",
-        when(col("u") < 0.36787944117144233, 0L)
-          .when(col("u") < 0.7357588823428847, 1L)
-          .when(col("u") < 0.9196986029286058, 2L)
-          .when(col("u") < 0.9810118431238462, 3L)
-          .when(col("u") < 0.9963401531726563, 4L)
-          .when(col("u") < 0.9994058151824183, 5L)
-          .otherwise(6L))
-    val perRep = o.groupBy("priority", "r")
-      .agg((sum(col("w") * col("price_c")).cast("double") / sum("w") / 100.0).as("mean_r"))
+      .withColumn("g", explode(sequence(lit(0), lit(7))))
+      .withColumn("dig", md5(concat(lit("boot-2:"), col("o_orderkey"),
+        lit(":"), col("g"))))
+      .select(Seq(col("priority"), col("g"), col("price_c")) ++
+        (0 until 8).map(j => substring(col("dig"), 4 * j + 1, 4).as(s"s_$j")): _*)
+      .select(Seq(col("priority"), col("g"), col("price_c")) ++
+        (0 until 8).map(w): _*)
+    val aggs = (0 until 8).flatMap { j =>
+      Seq(sum(col(s"w_$j") * col("price_c")).as(s"num_$j"),
+        sum(col(s"w_$j")).as(s"den_$j"))
+    }
+    val perOctet = o.groupBy("priority", "g").agg(aggs.head, aggs.drop(1): _*)
+    val stacked = (0 until 8).map(j => s"$j, num_$j, den_$j").mkString(", ")
+    val perRep = perOctet
+      .select(col("priority"), col("g"),
+        expr(s"stack(8, $stacked) AS (j, num, den)"))
+      .select(col("priority"), (col("g") * 8 + col("j")).as("r"),
+        (col("num").cast("double") / col("den") / 100.0).as("mean_r"))
     perRep.groupBy("priority")
       .agg(round(avg("mean_r"), 2).as("boot_mean"),
         round(stddev_samp("mean_r"), 2).as("boot_se"),
@@ -358,28 +382,28 @@ object Analytics2 {
         | d_conv, c_censored, s_hat
         |FROM km WHERE d_conv > 0 ORDER BY t_hour""".stripMargin,
     "q_bootstrap_ci" ->
-      """WITH reps AS (SELECT unnest(range(0, 64)) AS r),
+      """WITH octets AS (SELECT unnest(range(0, 8)) AS g),
+        |js AS (SELECT unnest(range(0, 8)) AS j),
         |ex AS (
         | SELECT o.o_orderpriority AS priority,
-        |  CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_c, reps.r,
-        |  CAST('0x' || substr(md5('boot-1:' || o.o_orderkey || ':' || reps.r), 1, 8)
-        |    AS BIGINT) / 4294967296.0 AS u
-        | FROM orders o CROSS JOIN reps),
+        |  CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_c, octets.g,
+        |  md5('boot-2:' || o.o_orderkey || ':' || octets.g) AS dig
+        | FROM orders o CROSS JOIN octets),
         |wt AS (
-        | SELECT priority, r, price_c,
-        |  CASE WHEN u < 0.36787944117144233 THEN 0
-        |       WHEN u < 0.7357588823428847 THEN 1
-        |       WHEN u < 0.9196986029286058 THEN 2
-        |       WHEN u < 0.9810118431238462 THEN 3
-        |       WHEN u < 0.9963401531726563 THEN 4
-        |       WHEN u < 0.9994058151824183 THEN 5
+        | SELECT priority, g, js.j, price_c,
+        |  CASE WHEN substr(dig, 4 * js.j + 1, 4) < '5e2d' THEN 0
+        |       WHEN substr(dig, 4 * js.j + 1, 4) < 'bc5a' THEN 1
+        |       WHEN substr(dig, 4 * js.j + 1, 4) < 'eb71' THEN 2
+        |       WHEN substr(dig, 4 * js.j + 1, 4) < 'fb23' THEN 3
+        |       WHEN substr(dig, 4 * js.j + 1, 4) < 'ff10' THEN 4
+        |       WHEN substr(dig, 4 * js.j + 1, 4) < 'ffd9' THEN 5
         |       ELSE 6 END AS w
-        | FROM ex),
+        | FROM ex CROSS JOIN js),
         |per_rep AS (
-        | SELECT priority, r,
+        | SELECT priority, g * 8 + j AS r,
         |  CAST(sum(w * price_c) AS DOUBLE) / CAST(sum(w) AS BIGINT) / 100.0
         |    AS mean_r
-        | FROM wt GROUP BY priority, r)
+        | FROM wt GROUP BY priority, g, j)
         |SELECT priority, round(avg(mean_r), 2) AS boot_mean,
         | round(stddev_samp(mean_r), 2) AS boot_se,
         | round(avg(mean_r) - 1.96 * stddev_samp(mean_r), 2) AS ci_lo,

@@ -198,14 +198,14 @@ object Analytics9 {
         |flags AS (SELECT DISTINCT l_returnflag FROM lineitem),
         |grid AS (
         | SELECT l_returnflag, rw,
-        |  CAST('0x' || substr(md5(rw || ':' || l_partkey), 1, 8) AS BIGINT)
-        |    % 1024 AS bucket,
+        |  CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 8 * rw + 1, 8)
+        |    AS BIGINT) % 1024 AS bucket,
         |  count(*) AS cnt
         | FROM lineitem CROSS JOIN rows_ GROUP BY 1, 2, 3),
         |pb AS (
         | SELECT probe_key, rw,
-        |  CAST('0x' || substr(md5(rw || ':' || probe_key), 1, 8) AS BIGINT)
-        |    % 1024 AS bucket
+        |  CAST('0x' || substr(md5(CAST(probe_key AS VARCHAR)), 8 * rw + 1, 8)
+        |    AS BIGINT) % 1024 AS bucket
         | FROM (SELECT unnest([1, 2, 3, 4, 5]) AS probe_key) CROSS JOIN rows_)
         |SELECT f.l_returnflag, CAST(pb.probe_key AS BIGINT) AS probe_key,
         | CAST(min(coalesce(g.cnt, 0)) AS BIGINT) AS est_count
