@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf1 generator by deterministic 10× upsampling of the driver's sf0.1
+  * tables (the harness ships SFs only up to 0.1; VERDICT r8 task 8 asks
+  * for measured sf1 rows on the heavy queries). Replica r ∈ 0..9 gets
+  * every key domain offset by r·10⁹ (far above any sf0.1 key, so
+  * replicas never collide and every foreign key stays consistent);
+  * replica 0 is the original data bit-for-bit.
+  *
+  * Distribution fidelity — the two places naive replication would
+  * CHANGE the workload's shape rather than its size:
+  *  - `documents.text`: identical text ×10 would multiply every
+  *    content-keyed group (exact-dup groups, shingle document
+  *    frequencies) by 10 and create ~45 cross-replica near-dup pairs
+  *    per document — a quadratic distortion, not a scale-up. Replica
+  *    r > 0 suffixes every 5th token with `_r<r>`: within-replica
+  *    similarity structure is preserved (both members of a planted
+  *    near-dup pair get the same positional transformation), while
+  *    cross-replica Jaccard drops to ≈ (1−0.2·3)·orig < any dedup
+  *    threshold (each changed token kills its 3 covering trigram
+  *    shingles).
+  *  - `embeddings.embedding`: dimension 0 gets +r·10⁻³ so replicas are
+  *    not exact-duplicate vectors (which would make every kNN list
+  *    degenerate); 10⁻³ ≪ inter-point distances, so cluster geometry
+  *    is intact.
+  * Everything else (prices, dates, statuses, graph structure per
+  * replica) is untouched: sf1 = ten disjoint sf0.1 worlds sharing the
+  * 25/5 nation/region dims — the same shape TPC-H scaling itself
+  * produces (dims fixed, facts linear).
+  *
+  * Usage: `runMain graft.GenScale [outDir] [replicas]` (defaults
+  * target/sf1, 10). Writes one parquet per table.
+  */
+object GenScale {
+  val Offset = 1000000000L
+
+  def main(args: Array[String]): Unit = {
+    val outDir = args.headOption.getOrElse("target/sf1")
+    val replicas = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_SRC", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def replicate(df: DataFrame, keyCols: Seq[String],
+                  perturb: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame =
+      (0 until replicas).map { r =>
+        val off = keyCols.foldLeft(df)((d, k) =>
+          d.withColumn(k, col(k) + lit(r * Offset)))
+        perturb(off, r)
+      }.reduce(_ unionByName _)
+
+    def write(name: String, df: DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      println(s"[gen] $name: ${spark.read.parquet(s"$outDir/$name.parquet").count()} rows")
+    }
+
+    val read = (n: String) => spark.read.parquet(s"$srcDir/$n.parquet")
+
+    // fixed dims: ship as-is (TPC-H keeps them constant across SFs)
+    Seq("region", "nation").foreach(n => write(n, read(n)))
+
+    write("customer", replicate(read("customer"), Seq("c_custkey")))
+    write("supplier", replicate(read("supplier"), Seq("s_suppkey")))
+    write("part", replicate(read("part"), Seq("p_partkey")))
+    write("orders", replicate(read("orders"), Seq("o_orderkey", "o_custkey")))
+    write("lineitem", replicate(read("lineitem"),
+      Seq("l_orderkey", "l_partkey", "l_suppkey")))
+    write("events", replicate(read("events"), Seq("event_id", "user_id")))
+
+    write("documents", replicate(read("documents"), Seq("doc_id"),
+      perturb = (d, r) =>
+        if (r == 0) d
+        else d.withColumn("text", concat_ws(" ",
+          transform(split(col("text"), " "),
+            (t, i) => when(i % 5 === 4, concat(t, lit(s"_r$r"))).otherwise(t))))
+          // source invariant (verified): n_chars == length(text)
+          .withColumn("n_chars", length(col("text")).cast("long"))))
+
+    write("embeddings", replicate(read("embeddings"), Seq("vec_id"),
+      perturb = (d, r) =>
+        if (r == 0) d
+        else d.withColumn("embedding",
+          transform(col("embedding"),
+            (x, i) => when(i === 0, x + lit(r * 0.001f)).otherwise(x)))))
+
+    spark.stop()
+  }
+}

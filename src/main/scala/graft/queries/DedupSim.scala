@@ -186,6 +186,12 @@ object DedupSim {
     * the cluster id — no cartesian, no broadcast of the corpus. Cluster
     * count scales with the corpus (n/K bounded ⇒ per-task work bounded);
     * here K = the label vocabulary seeding per-label mean centroids.
+    * NOTE (r9 sf1 measurement): with K pinned to the label vocabulary,
+    * a 10× corpus makes each cell 10× — the measured step was 8.2×
+    * (PLANS.md sf1 table), still ≤ linear, but a production 100× step
+    * must scale K with n (e.g. k-means with K ∝ n/target-cell-size, as
+    * [[graft.similarity.Ivf]] sizes its lists) to keep Σ|cellᵢ|²
+    * bounded.
     *
     * Cross-engine determinism: centroid components are round(·,6)'d
     * BEFORE assignment (partition-order double sums differ in ulps),
