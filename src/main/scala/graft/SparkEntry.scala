@@ -52,6 +52,7 @@ object SparkEntry {
       graft.queries.Analytics16.all ++
       graft.queries.Analytics17.all ++
       graft.queries.Analytics18.all ++
+      graft.queries.Analytics19.all ++
       graft.queries.StreamingQ.all ++
       graft.queries.Warehouse.all
 
@@ -95,6 +96,7 @@ object SparkEntry {
       graft.queries.Analytics16.oracles ++
       graft.queries.Analytics17.oracles ++
       graft.queries.Analytics18.oracles ++
+      graft.queries.Analytics19.oracles ++
       graft.queries.StreamingQ.oracles ++
       graft.queries.Warehouse.oracles
 }
