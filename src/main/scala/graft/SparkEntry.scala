@@ -53,6 +53,7 @@ object SparkEntry {
       graft.queries.Analytics17.all ++
       graft.queries.Analytics18.all ++
       graft.queries.Analytics19.all ++
+      graft.queries.Analytics20.all ++
       graft.queries.StreamingQ.all ++
       graft.queries.Warehouse.all
 
@@ -97,6 +98,7 @@ object SparkEntry {
       graft.queries.Analytics17.oracles ++
       graft.queries.Analytics18.oracles ++
       graft.queries.Analytics19.oracles ++
+      graft.queries.Analytics20.oracles ++
       graft.queries.StreamingQ.oracles ++
       graft.queries.Warehouse.oracles
 }

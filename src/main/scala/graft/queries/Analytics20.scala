@@ -1,0 +1,368 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** r9 batch 2: ranked retrieval (BM25), graph link prediction (resource
+  * allocation), robust trend statistics (Mann–Kendall, Theil–Sen),
+  * exact higher-moment shape statistics, sequence-pattern matching, and
+  * the id-gap audit. Float discipline as ever: integer/decimal moments,
+  * sqrt only (IEEE-correctly-rounded, unlike libm pow/ln), term-level
+  * 6 dp grids where ln is unavoidable (BM25 idf), fixed-order IEEE ops
+  * replicated verbatim in the oracle.
+  */
+object Analytics20 {
+  type Q = (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame
+
+  /** BM25 ranked retrieval (Robertson–Sparck Jones; k1 = 1.2, b = 0.75)
+    * for the fixed two-term query {"data", "row"} — the search-ranking
+    * operator over the corpus. Term idf is ln((N−df+0.5)/(df+0.5))
+    * rounded to the 6 dp grid at the TERM level (two values — the PSI
+    * discipline for unavoidable libm); everything per-document is
+    * fixed-order IEEE on exact integers (tf, dl, N, Σdl), and the
+    * two term scores add in literal order, never via an
+    * order-undefined aggregation.
+    *
+    * 100 TB shape: tf/dl are per-row expressions over the scan; the
+    * only aggregates are the 1-row corpus stats and per-term df —
+    * broadcast back; TakeOrderedAndProject keeps the top-20. */
+  val qBm25: Q = (s, d) => {
+    import graft.text.TextFunctions.tokens
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+        size(filter(col("tk"), t => t === "data")).cast("long").as("tf_a"),
+        size(filter(col("tk"), t => t === "row")).cast("long").as("tf_b"))
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"),
+      sum((col("tf_a") > 0).cast("long")).as("df_a"),
+      sum((col("tf_b") > 0).cast("long")).as("df_b"))
+    def idf(df: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+      round(log((n.cast("double") - df + 0.5) / (df.cast("double") + 0.5)), 6)
+    def tfNorm(tf: org.apache.spark.sql.Column) = {
+      val rel = (col("dl") * col("n_docs")).cast("double") / col("sum_dl")
+      tf.cast("double") * 2.2 /
+        (tf.cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) * rel))
+    }
+    base.crossJoin(broadcast(stats.select(col("n_docs"), col("sum_dl"),
+        idf(col("df_a"), col("n_docs")).as("idf_a"),
+        idf(col("df_b"), col("n_docs")).as("idf_b"))))
+      .filter(col("tf_a") > 0 || col("tf_b") > 0)
+      .withColumn("score",
+        col("idf_a") * tfNorm(col("tf_a")) + col("idf_b") * tfNorm(col("tf_b")))
+      .select(col("doc_id"), col("tf_a"), col("tf_b"), col("dl"),
+        round(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  /** Link prediction by the RESOURCE-ALLOCATION index (Zhou et al.
+    * 2009) on the order–part bipartite graph: candidate part pairs are
+    * co-purchases, and RA(a,b) = Σ over shared orders z of 1/|items(z)|
+    * — kept EXACT as ppm integers (10⁶ div degree), the rational
+    * variant of Adamic–Adar that needs no logarithm. Pairs with ≥ 2
+    * shared orders only (the predictive sliver).
+    *
+    * 100 TB shape: the per-order self-join's fan-out is bounded by
+    * order size (≤ 7 items in TPC-H — Σ|order|² linear), the pair agg
+    * is partial-aggregable, and degree is a map-side count join. */
+  val qLinkPredict: Q = (s, d) => {
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val deg = items.groupBy("o").agg(count(lit(1)).as("deg"))
+    val withDeg = items.join(deg, "o")
+    withDeg.as("a").join(withDeg.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("p_a"), col("b.p").as("p_b"),
+        expr("1000000 div a.deg").as("ra_term"))
+      .groupBy("p_a", "p_b")
+      .agg(count(lit(1)).as("n_common"), sum("ra_term").as("ra_ppm"))
+      .filter(col("n_common") >= 2)
+      .orderBy(col("ra_ppm").desc, col("p_a"), col("p_b"))
+      .limit(100)
+  }
+
+  /** Mann–Kendall trend test over the daily order-count series — the
+    * nonparametric drift detector for monitoring pipelines. S is the
+    * exact integer pair-sign sum over the DAY-bounded frame (never the
+    * fact); the tie-corrected variance is kept ×18-scaled as an exact
+    * integer, so the only float ops are one division and one sqrt
+    * (IEEE-correctly-rounded in every engine — unlike pow/ln, sqrt is
+    * safe) feeding the z statistic.
+    *
+    * 100 TB shape: the pair join is |days|², a bounded few-k-row frame
+    * regardless of fact size; one partial-agg'd count feeds it. */
+  val qMannKendall: Q = (s, d) => {
+    val daily = Tables.orders(s, d)
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val pairs = daily.as("a").join(daily.as("b"), col("a.day") < col("b.day"))
+      .agg(sum(signum(col("b.c") - col("a.c")).cast("long")).as("s_stat"))
+    val ties = daily.groupBy("c").agg(count(lit(1)).as("t"))
+      .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie_corr"))
+    val n = daily.agg(count(lit(1)).as("n"))
+    pairs.crossJoin(broadcast(n)).crossJoin(broadcast(ties))
+      .select(col("n"), col("s_stat"),
+        expr("n * (n - 1) * (2 * n + 5) - tie_corr").as("var18"))
+      .withColumn("z", round(
+        (col("s_stat") - signum(col("s_stat")).cast("long")).cast("double") /
+          sqrt(col("var18").cast("double") / 18.0), 6))
+      .withColumn("trend",
+        when(col("z") > 1.96, lit("up"))
+          .when(col("z") < -1.96, lit("down")).otherwise(lit("none")))
+      .select("n", "s_stat", "var18", "z", "trend")
+  }
+
+  /** Theil–Sen robust slope over the daily revenue series: the MEDIAN
+    * of all pairwise slopes — selection of an existing element
+    * (percentile_disc semantics, no interpolation arithmetic), each
+    * slope one IEEE division of exact integers, so the selected value
+    * is bit-identical cross-engine. The robust-regression complement
+    * to the OLS/GLM fits.
+    *
+    * 100 TB shape: pairwise over the bounded |days| frame only. */
+  val qTheilSen: Q = (s, d) => {
+    val daily = Tables.orders(s, d)
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("rev_c"))
+      .withColumn("i", expr("CAST(datediff(day, DATE '1992-01-01') AS BIGINT)"))
+    val slopes = daily.as("a").join(daily.as("b"), col("a.i") < col("b.i"))
+      .select(((col("b.rev_c") - col("a.rev_c")).cast("double") /
+        (col("b.i") - col("a.i")).cast("double")).as("slope"))
+    val w = Window.orderBy("slope")
+    val ranked = slopes.withColumn("rn", row_number().over(w))
+    val cnt = slopes.agg(count(lit(1)).as("n_pairs"))
+    ranked.crossJoin(broadcast(cnt))
+      .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+      .select(col("n_pairs"), col("slope").as("slope_med"))
+  }
+
+  /** Exact skewness and excess kurtosis per return flag from integer
+    * power sums — the distribution-shape census next to q_global_means:
+    * with M2s = nΣx²−(Σx)², M3s = n²Σx³−3nΣxΣx²+2(Σx)³,
+    * M4s = n³Σx⁴−4n²ΣxΣx³+6n(Σx)²Σx²−3(Σx)⁴ (all DECIMAL(38,0) —
+    * exact), the n-powers cancel so that g1 = M3s ÷ (M2s·√M2s) and
+    * g2 = M4s ÷ (M2s)² − 3: one sqrt and one division each, on
+    * identically-rounded operands. ONE partial-agg'd pass computes all
+    * four power sums.
+    *
+    * 100 TB shape: 4 decimal sums per group per task — map-side
+    * combined; no second pass, no variance-of-variance subtlety. */
+  val qSkewKurtosis: Q = (s, d) => {
+    val x = expr("CAST(l_quantity AS DECIMAL(38,0))")
+    val m = Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(x).as("s1"), sum(x * x).as("s2"),
+        sum(x * x * x).as("s3"), sum(x * x * x * x).as("s4"))
+      .select(col("l_returnflag"), col("n").cast("long").as("n"),
+        expr("CAST(n * s2 - s1 * s1 AS DOUBLE)").as("m2s"),
+        expr("CAST(n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS DOUBLE)")
+          .as("m3s"),
+        expr("""CAST(n * n * n * s4 - 4 * n * n * s1 * s3
+                + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1 AS DOUBLE)""")
+          .as("m4s"))
+    m.select(col("l_returnflag"), col("n"),
+        round(col("m3s") / (col("m2s") * sqrt(col("m2s"))), 6).as("skewness"),
+        round(col("m4s") / (col("m2s") * col("m2s")) - 3.0, 6).as("kurtosis_ex"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Sequence-pattern match (MATCH_RECOGNIZE-lite): each user's event
+    * journey as the initial-letter string in (ts, event_id) order, and
+    * a browse-to-buy regex `v[vc]*p` over it — the path-analysis gate a
+    * funnel can't express (adjacency and repetition matter). String and
+    * integer ops only.
+    *
+    * 100 TB shape: one user-keyed sort-agg; journeys are per-user
+    * bounded; the regex is a per-row expression after aggregation. */
+  val qSeqMatch: Q = (s, d) => {
+    val journey = concat_ws("",
+      transform(array_sort(collect_list(struct(col("ts"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("ini")))),
+        x => x.getField("ini")))
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), journey.as("journey"))
+      .withColumn("browse_to_buy",
+        col("journey").rlike("v[vc]*p").cast("long"))
+      .select("user_id", "n_events", "journey", "browse_to_buy")
+      .orderBy("user_id")
+  }
+
+  /** Id-gap audit — the completeness check a warehouse ingest runs
+    * (dropped batches show as key-range holes): islands via lag over
+    * the distinct keys of the URGENT-priority order stream (the full
+    * o_orderkey domain is dense by construction, so the audited stream
+    * is the sparse subset an incremental consumer actually sees),
+    * reporting the gap census plus the 10 widest holes. Integers only.
+    *
+    * 100 TB shape: distinct-reduce then ONE range-partitioned external
+    * sort under the lag window (spillable, O(1) frame state); the
+    * report is a partial-agg'd rollup of the gap rows. */
+  val qIdGaps: Q = (s, d) => {
+    val keys = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("k")).distinct()
+    val w = Window.orderBy("k")
+    val gaps = keys.withColumn("prev", lag("k", 1).over(w))
+      .filter(col("prev").isNotNull && col("k") - col("prev") > 1)
+      .select((col("prev") + 1).as("gap_start"), (col("k") - 1).as("gap_end"),
+        (col("k") - col("prev") - 1).as("gap_len"))
+    val top = gaps.orderBy(col("gap_len").desc, col("gap_start")).limit(10)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("gap_len").desc, col("gap_start"))))
+    val census = gaps.agg(count(lit(1)).as("n_gaps"),
+      sum("gap_len").as("missing_total"), max("gap_len").as("max_gap"))
+    top.crossJoin(broadcast(census))
+      .select("rank", "gap_start", "gap_end", "gap_len",
+        "n_gaps", "missing_total", "max_gap")
+      .orderBy("rank")
+  }
+
+  val all: Map[String, Q] = Map(
+    "q_bm25" -> qBm25,
+    "q_link_predict" -> qLinkPredict,
+    "q_mann_kendall" -> qMannKendall,
+    "q_theil_sen" -> qTheilSen,
+    "q_skew_kurtosis" -> qSkewKurtosis,
+    "q_seq_match" -> qSeqMatch,
+    "q_id_gaps" -> qIdGaps,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_bm25" ->
+      """WITH base AS (
+        | SELECT doc_id, len(tk) AS dl,
+        |  len(list_filter(tk, t -> t = 'data')) AS tf_a,
+        |  len(list_filter(tk, t -> t = 'row')) AS tf_b
+        | FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |       FROM documents)),
+        |stats AS (
+        | SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+        |  CAST(sum(CASE WHEN tf_a > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_a,
+        |  CAST(sum(CASE WHEN tf_b > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_b
+        | FROM base),
+        |idf AS (
+        | SELECT n_docs, sum_dl,
+        |  round(ln((CAST(n_docs AS DOUBLE) - df_a + 0.5)
+        |    / (CAST(df_a AS DOUBLE) + 0.5)), 6) AS idf_a,
+        |  round(ln((CAST(n_docs AS DOUBLE) - df_b + 0.5)
+        |    / (CAST(df_b AS DOUBLE) + 0.5)), 6) AS idf_b
+        | FROM stats),
+        |scored AS (
+        | SELECT b.doc_id, b.tf_a, b.tf_b, b.dl,
+        |  i.idf_a * (CAST(b.tf_a AS DOUBLE) * 2.2
+        |    / (CAST(b.tf_a AS DOUBLE) + 1.2 * (0.25 + 0.75
+        |       * (CAST(b.dl * i.n_docs AS DOUBLE) / i.sum_dl))))
+        |  + i.idf_b * (CAST(b.tf_b AS DOUBLE) * 2.2
+        |    / (CAST(b.tf_b AS DOUBLE) + 1.2 * (0.25 + 0.75
+        |       * (CAST(b.dl * i.n_docs AS DOUBLE) / i.sum_dl)))) AS score
+        | FROM base b CROSS JOIN idf i
+        | WHERE b.tf_a > 0 OR b.tf_b > 0)
+        |SELECT doc_id, tf_a, tf_b, dl, round(score, 6) AS score
+        |FROM scored ORDER BY round(score, 6) DESC, doc_id LIMIT 20""".stripMargin,
+    "q_link_predict" ->
+      """WITH items AS (
+        | SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |deg AS (SELECT o, count(*) AS deg FROM items GROUP BY o),
+        |wd AS (SELECT i.o, i.p, d.deg FROM items i JOIN deg d USING (o))
+        |SELECT a.p AS p_a, b.p AS p_b, count(*) AS n_common,
+        | CAST(sum(1000000 // a.deg) AS BIGINT) AS ra_ppm
+        |FROM wd a JOIN wd b ON a.o = b.o AND a.p < b.p
+        |GROUP BY a.p, b.p HAVING count(*) >= 2
+        |ORDER BY ra_ppm DESC, p_a, p_b LIMIT 100""".stripMargin,
+    "q_mann_kendall" ->
+      """WITH daily AS (
+        | SELECT o_orderdate AS day, count(*) AS c FROM orders GROUP BY 1),
+        |s AS (
+        | SELECT CAST(sum(CASE WHEN b.c > a.c THEN 1
+        |   WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        | FROM daily a JOIN daily b ON a.day < b.day),
+        |ties AS (
+        | SELECT CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_corr
+        | FROM (SELECT c, count(*) AS t FROM daily GROUP BY c)),
+        |n AS (SELECT count(*) AS n FROM daily)
+        |SELECT n.n, s.s_stat,
+        | CAST(n.n * (n.n - 1) * (2 * n.n + 5) - t.tie_corr AS BIGINT) AS var18,
+        | round(CAST(s.s_stat - CASE WHEN s.s_stat > 0 THEN 1
+        |     WHEN s.s_stat < 0 THEN -1 ELSE 0 END AS DOUBLE)
+        |   / sqrt(CAST(n.n * (n.n - 1) * (2 * n.n + 5) - t.tie_corr AS DOUBLE)
+        |     / 18.0), 6) AS z,
+        | CASE WHEN round(CAST(s.s_stat - CASE WHEN s.s_stat > 0 THEN 1
+        |     WHEN s.s_stat < 0 THEN -1 ELSE 0 END AS DOUBLE)
+        |   / sqrt(CAST(n.n * (n.n - 1) * (2 * n.n + 5) - t.tie_corr AS DOUBLE)
+        |     / 18.0), 6) > 1.96 THEN 'up'
+        |  WHEN round(CAST(s.s_stat - CASE WHEN s.s_stat > 0 THEN 1
+        |     WHEN s.s_stat < 0 THEN -1 ELSE 0 END AS DOUBLE)
+        |   / sqrt(CAST(n.n * (n.n - 1) * (2 * n.n + 5) - t.tie_corr AS DOUBLE)
+        |     / 18.0), 6) < -1.96 THEN 'down' ELSE 'none' END AS trend
+        |FROM s CROSS JOIN n CROSS JOIN ties t""".stripMargin,
+    "q_theil_sen" ->
+      """WITH daily AS (
+        | SELECT CAST(date_diff('day', DATE '1992-01-01',
+        |    CAST(o_orderdate AS DATE)) AS BIGINT) AS i,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS rev_c
+        | FROM orders GROUP BY o_orderdate),
+        |slopes AS (
+        | SELECT CAST(b.rev_c - a.rev_c AS DOUBLE) / CAST(b.i - a.i AS DOUBLE)
+        |   AS slope
+        | FROM daily a JOIN daily b ON a.i < b.i),
+        |ranked AS (
+        | SELECT slope, row_number() OVER (ORDER BY slope) AS rn,
+        |  count(*) OVER () AS n_pairs
+        | FROM slopes)
+        |SELECT CAST(n_pairs AS BIGINT) AS n_pairs, slope AS slope_med
+        |FROM ranked WHERE rn = (n_pairs + 1) // 2""".stripMargin,
+    "q_skew_kurtosis" ->
+      """WITH m AS (
+        | SELECT l_returnflag, count(*) AS n,
+        |  sum(CAST(l_quantity AS HUGEINT)) AS s1,
+        |  sum(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS HUGEINT)) AS s2,
+        |  sum(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS HUGEINT)
+        |    * CAST(l_quantity AS HUGEINT)) AS s3,
+        |  sum(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS HUGEINT)
+        |    * CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS HUGEINT)) AS s4
+        | FROM lineitem GROUP BY l_returnflag),
+        |c AS (
+        | SELECT l_returnflag, n,
+        |  CAST(n * s2 - s1 * s1 AS DOUBLE) AS m2s,
+        |  CAST(n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS DOUBLE) AS m3s,
+        |  CAST(n * n * n * s4 - 4 * n * n * s1 * s3
+        |    + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1 AS DOUBLE) AS m4s
+        | FROM m)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        | round(m3s / (m2s * sqrt(m2s)), 6) AS skewness,
+        | round(m4s / (m2s * m2s) - 3.0, 6) AS kurtosis_ex
+        |FROM c ORDER BY l_returnflag""".stripMargin,
+    "q_seq_match" ->
+      """SELECT user_id, count(*) AS n_events,
+        | string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+        |   AS journey,
+        | CAST(regexp_matches(
+        |   string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id),
+        |   'v[vc]*p') AS BIGINT) AS browse_to_buy
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_id_gaps" ->
+      """WITH keys AS (SELECT DISTINCT o_orderkey AS k FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'),
+        |gaps AS (
+        | SELECT prev + 1 AS gap_start, k - 1 AS gap_end,
+        |  k - prev - 1 AS gap_len
+        | FROM (SELECT k, lag(k) OVER (ORDER BY k) AS prev FROM keys)
+        | WHERE prev IS NOT NULL AND k - prev > 1),
+        |top AS (
+        | SELECT gap_start, gap_end, gap_len,
+        |  row_number() OVER (ORDER BY gap_len DESC, gap_start) AS rank
+        | FROM gaps ORDER BY gap_len DESC, gap_start LIMIT 10),
+        |census AS (
+        | SELECT count(*) AS n_gaps, CAST(sum(gap_len) AS BIGINT)
+        |   AS missing_total, CAST(max(gap_len) AS BIGINT) AS max_gap
+        | FROM gaps)
+        |SELECT CAST(rank AS BIGINT) AS rank, gap_start, gap_end, gap_len,
+        | n_gaps, missing_total, max_gap
+        |FROM top CROSS JOIN census ORDER BY rank""".stripMargin,
+  )
+}
