@@ -54,6 +54,7 @@ object SparkEntry {
       graft.queries.Analytics18.all ++
       graft.queries.Analytics19.all ++
       graft.queries.Analytics20.all ++
+      graft.queries.Analytics21.all ++
       graft.queries.StreamingQ.all ++
       graft.queries.Warehouse.all
 
@@ -99,6 +100,7 @@ object SparkEntry {
       graft.queries.Analytics18.oracles ++
       graft.queries.Analytics19.oracles ++
       graft.queries.Analytics20.oracles ++
+      graft.queries.Analytics21.oracles ++
       graft.queries.StreamingQ.oracles ++
       graft.queries.Warehouse.oracles
 }
