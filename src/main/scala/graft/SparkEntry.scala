@@ -55,6 +55,7 @@ object SparkEntry {
       graft.queries.Analytics19.all ++
       graft.queries.Analytics20.all ++
       graft.queries.Analytics21.all ++
+      graft.queries.Analytics22.all ++
       graft.queries.StreamingQ.all ++
       graft.queries.Warehouse.all
 
@@ -101,6 +102,7 @@ object SparkEntry {
       graft.queries.Analytics19.oracles ++
       graft.queries.Analytics20.oracles ++
       graft.queries.Analytics21.oracles ++
+      graft.queries.Analytics22.oracles ++
       graft.queries.StreamingQ.oracles ++
       graft.queries.Warehouse.oracles
 }
