@@ -192,22 +192,38 @@ object Analytics20 {
   }
 
   /** Id-gap audit — the completeness check a warehouse ingest runs
-    * (dropped batches show as key-range holes): islands via lag over
-    * the distinct keys of the URGENT-priority order stream (the full
+    * (dropped batches show as key-range holes): islands over the
+    * distinct keys of the URGENT-priority order stream (the full
     * o_orderkey domain is dense by construction, so the audited stream
     * is the sparse subset an incremental consumer actually sees),
     * reporting the gap census plus the 10 widest holes. Integers only.
     *
-    * 100 TB shape: distinct-reduce then ONE range-partitioned external
-    * sort under the lag window (spillable, O(1) frame state); the
-    * report is a partial-agg'd rollup of the gap rows. */
+    * 100 TB shape: TWO-LEVEL gap detection — a naive
+    * `lag() OVER (ORDER BY k)` is a single-partition sort of the whole
+    * key domain, the one window shape that cannot scale. Instead keys
+    * bucket by k div 2¹⁶: intra-bucket gaps come from a lag window
+    * PARTITIONED by bucket (parallel, spillable), and cross-bucket gaps
+    * from consecutive non-empty buckets' (max, min) on the bucket-
+    * summary frame — |keys|/2¹⁶-sized, four orders smaller (recurse the
+    * trick if even that is data-sized). Gap set identical to the naive
+    * scan; top-10 via TakeOrdered. */
   val qIdGaps: Q = (s, d) => {
     val keys = Tables.orders(s, d)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey").as("k")).distinct()
-    val w = Window.orderBy("k")
-    val gaps = keys.withColumn("prev", lag("k", 1).over(w))
+      .withColumn("b", expr("k div 65536"))
+    val intraW = Window.partitionBy("b").orderBy("k")
+    val intra = keys.withColumn("prev", lag("k", 1).over(intraW))
       .filter(col("prev").isNotNull && col("k") - col("prev") > 1)
+    // bucket summaries: tiny frame; consecutive non-empty buckets give
+    // the cross-bucket (and empty-bucket-spanning) gaps
+    val summary = keys.groupBy("b")
+      .agg(min("k").as("min_k"), max("k").as("max_k"))
+    val crossW = Window.orderBy("b")
+    val cross = summary.withColumn("prev_max", lag("max_k", 1).over(crossW))
+      .filter(col("prev_max").isNotNull && col("min_k") - col("prev_max") > 1)
+      .select(col("prev_max").as("prev"), col("min_k").as("k"))
+    val gaps = intra.select(col("prev"), col("k")).union(cross)
       .select((col("prev") + 1).as("gap_start"), (col("k") - 1).as("gap_end"),
         (col("k") - col("prev") - 1).as("gap_len"))
     val top = gaps.orderBy(col("gap_len").desc, col("gap_start")).limit(10)
@@ -223,9 +239,9 @@ object Analytics20 {
 
   val all: Map[String, Q] = Map(
     "q_bm25" -> qBm25,
-    "q_link_predict" -> qLinkPredict,
+    "q_ra_index" -> qLinkPredict,
     "q_mann_kendall" -> qMannKendall,
-    "q_theil_sen" -> qTheilSen,
+    "q_theil_sen_global" -> qTheilSen,
     "q_skew_kurtosis" -> qSkewKurtosis,
     "q_seq_match" -> qSeqMatch,
     "q_id_gaps" -> qIdGaps,
@@ -263,7 +279,7 @@ object Analytics20 {
         | WHERE b.tf_a > 0 OR b.tf_b > 0)
         |SELECT doc_id, tf_a, tf_b, dl, round(score, 6) AS score
         |FROM scored ORDER BY round(score, 6) DESC, doc_id LIMIT 20""".stripMargin,
-    "q_link_predict" ->
+    "q_ra_index" ->
       """WITH items AS (
         | SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |deg AS (SELECT o, count(*) AS deg FROM items GROUP BY o),
@@ -299,7 +315,7 @@ object Analytics20 {
         |   / sqrt(CAST(n.n * (n.n - 1) * (2 * n.n + 5) - t.tie_corr AS DOUBLE)
         |     / 18.0), 6) < -1.96 THEN 'down' ELSE 'none' END AS trend
         |FROM s CROSS JOIN n CROSS JOIN ties t""".stripMargin,
-    "q_theil_sen" ->
+    "q_theil_sen_global" ->
       """WITH daily AS (
         | SELECT CAST(date_diff('day', DATE '1992-01-01',
         |    CAST(o_orderdate AS DATE)) AS BIGINT) AS i,

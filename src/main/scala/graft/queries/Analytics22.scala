@@ -57,21 +57,29 @@ object Analytics22 {
     * all exact integers (HHI as Σc²·10⁶ div n² in DECIMAL — the
     * probability-of-collision reading needs no floats).
     *
-    * 100 TB shape: one partial-agg'd key count, then order statistics
-    * over the |keys| frame (WindowGroupLimit for the top, rank select
-    * for p99). */
+    * 100 TB shape: one partial-agg'd key count, then the p99 ORDER
+    * STATISTIC from the COUNT-OF-COUNTS frame — |distinct count
+    * values| rows, orders of magnitude below |keys|, so the cumulative
+    * window never sees a data-sized frame (a row_number over the raw
+    * key counts would be a single-partition sort of the key domain).
+    * The rank-k count from the top is the largest c whose
+    * descending-cumulative key tally reaches k — identical to rank
+    * selection, ties and all. */
   val qSkewReport: Q = (s, d) => {
     val counts = Tables.lineitem(s, d).groupBy("l_partkey")
       .agg(count(lit(1)).as("c"))
-    val w = Window.orderBy(col("c").desc, col("l_partkey"))
-    val ranked = counts.withColumn("rn", row_number().over(w))
     val stats = counts.agg(
       count(lit(1)).as("n_keys"), sum("c").as("n_rows"),
       max("c").as("max_cnt"),
       sum(expr("CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))")).as("ssq"))
-    val p99 = ranked.crossJoin(broadcast(stats.select(col("n_keys"))))
-      .filter(col("rn") === expr("greatest(n_keys div 100, 1)"))
-      .select(col("c").as("p99_cnt"))
+    // count-of-counts: how many keys share each count value
+    val coc = counts.groupBy("c").agg(count(lit(1)).as("k"))
+    val w = Window.orderBy(col("c").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val p99 = coc.withColumn("cumk", sum("k").over(w))
+      .crossJoin(broadcast(stats.select(col("n_keys"))))
+      .filter(col("cumk") >= expr("greatest(n_keys div 100, 1)"))
+      .agg(max("c").as("p99_cnt"))
     stats.crossJoin(broadcast(p99))
       .select(col("n_keys"), col("n_rows"), col("max_cnt"), col("p99_cnt"),
         expr("(max_cnt * 1000000) div n_rows").as("top_share_ppm"),
@@ -176,7 +184,7 @@ object Analytics22 {
 
   val all: Map[String, Q] = Map(
     "q_business_days" -> qBusinessDays,
-    "q_skew_report" -> qSkewReport,
+    "q_key_hhi" -> qSkewReport,
     "q_stratified_split" -> qStratifiedSplit,
     "q_js_divergence" -> qJsDivergence,
     "q_calendar_dim" -> qCalendarDim,
@@ -202,7 +210,7 @@ object Analytics22 {
         |   AS avg_busdays_milli,
         | CAST(max(busdays) AS BIGINT) AS max_busdays
         |FROM b GROUP BY priority ORDER BY priority""".stripMargin,
-    "q_skew_report" ->
+    "q_key_hhi" ->
       """WITH counts AS (
         | SELECT l_partkey, count(*) AS c FROM lineitem GROUP BY l_partkey),
         |stats AS (
