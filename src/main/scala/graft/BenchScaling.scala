@@ -87,7 +87,13 @@ object BenchScaling {
     // and the md5-seeded weighted sampler (per-row digest + top-k)
     "q_url_canonical", "q_html_extract", "q_license_filter",
     "q_code_detect", "q_mirror_detect", "q_domain_cap", "q_corr_matrix",
-    "q_psi", "q_json_flatten", "q_weighted_sample")
+    "q_psi", "q_json_flatten", "q_weighted_sample",
+    // r9 additions with data-sized or iterative work: the portable HLL
+    // sketch agg (md5 per row), the bounded-fan-out trailing-distinct
+    // join, iterative BFS, the md5-octet bootstrap draw, and the
+    // shingle-checkpoint jaccard consumers' new baseline keeper
+    "q_hll_portable", "q_window_distinct", "q_bfs_layers",
+    "q_classifier_eval", "q_cdc_merge", "q_stratified_split")
 
   def main(args: Array[String]): Unit = {
     // trailing names restrict the run (same contract as Verify/Bench)

@@ -56,6 +56,7 @@ object SparkEntry {
       graft.queries.Analytics20.all ++
       graft.queries.Analytics21.all ++
       graft.queries.Analytics22.all ++
+      graft.queries.Analytics23.all ++
       graft.queries.StreamingQ.all ++
       graft.queries.Warehouse.all
 
@@ -103,6 +104,7 @@ object SparkEntry {
       graft.queries.Analytics20.oracles ++
       graft.queries.Analytics21.oracles ++
       graft.queries.Analytics22.oracles ++
+      graft.queries.Analytics23.oracles ++
       graft.queries.StreamingQ.oracles ++
       graft.queries.Warehouse.oracles
 }
