@@ -57,6 +57,7 @@ object SparkEntry {
       graft.queries.Analytics21.all ++
       graft.queries.Analytics22.all ++
       graft.queries.Analytics23.all ++
+      graft.queries.Analytics24.all ++
       graft.queries.StreamingQ.all ++
       graft.queries.Warehouse.all
 
@@ -105,6 +106,7 @@ object SparkEntry {
       graft.queries.Analytics21.oracles ++
       graft.queries.Analytics22.oracles ++
       graft.queries.Analytics23.oracles ++
+      graft.queries.Analytics24.oracles ++
       graft.queries.StreamingQ.oracles ++
       graft.queries.Warehouse.oracles
 }
