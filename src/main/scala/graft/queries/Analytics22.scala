@@ -40,12 +40,13 @@ object Analytics22 {
       .agg(count(lit(1)).as("n"),
         sum("busdays").as("busdays_total"),
         max("busdays").as("max_busdays"))
-      // FLOOR division: the total can be negative (signed latency), and
-      // Spark's div truncates toward zero while DuckDB's // floors —
-      // subtracting the positive remainder first makes trunc ≡ floor
+      // the total can be negative (signed latency); both engines'
+      // integer division TRUNCATES toward zero (Spark div by
+      // definition; DuckDB's // measured: (-7)//2 = -3), so plain div
+      // is sign-safe — a floor-div shift here would DIVERGE on
+      // negative totals
       .withColumn("avg_busdays_milli",
-        expr("""(busdays_total * 1000
-                - ((busdays_total * 1000 % n + n) % n)) div n"""))
+        expr("(busdays_total * 1000) div n"))
       .select("priority", "n", "busdays_total", "avg_busdays_milli",
         "max_busdays")
       .orderBy("priority")

@@ -33,7 +33,7 @@ class Analytics22Spec extends AnyFunSuite with SharedSpark {
     val expected = pairs.groupBy(_._1).map { case (p, g) =>
       val bus = g.map(x => naiveBusdays(x._2, x._3))
       p -> (g.length.toLong, bus.sum,
-        Math.floorDiv(bus.sum * 1000, g.length), bus.max)
+        bus.sum * 1000 / g.length, bus.max) // Scala / truncates, like both engines
     }
     val got = Analytics22.qBusinessDays(spark, sfDir).collect()
       .map(r => r.getString(0) ->
