@@ -58,6 +58,7 @@ object SparkEntry {
       graft.queries.Analytics22.all ++
       graft.queries.Analytics23.all ++
       graft.queries.Analytics24.all ++
+      graft.queries.Analytics25.all ++
       graft.queries.StreamingQ.all ++
       graft.queries.Warehouse.all
 
@@ -107,6 +108,7 @@ object SparkEntry {
       graft.queries.Analytics22.oracles ++
       graft.queries.Analytics23.oracles ++
       graft.queries.Analytics24.oracles ++
+      graft.queries.Analytics25.oracles ++
       graft.queries.StreamingQ.oracles ++
       graft.queries.Warehouse.oracles
 }
