@@ -59,6 +59,7 @@ object SparkEntry {
       graft.queries.Analytics23.all ++
       graft.queries.Analytics24.all ++
       graft.queries.Analytics25.all ++
+      graft.queries.Analytics26.all ++
       graft.queries.StreamingQ.all ++
       graft.queries.Warehouse.all
 
@@ -109,6 +110,7 @@ object SparkEntry {
       graft.queries.Analytics23.oracles ++
       graft.queries.Analytics24.oracles ++
       graft.queries.Analytics25.oracles ++
+      graft.queries.Analytics26.oracles ++
       graft.queries.StreamingQ.oracles ++
       graft.queries.Warehouse.oracles
 }
