@@ -60,6 +60,7 @@ object SparkEntry {
       graft.queries.Analytics24.all ++
       graft.queries.Analytics25.all ++
       graft.queries.Analytics26.all ++
+      graft.queries.Analytics27.all ++
       graft.queries.StreamingQ.all ++
       graft.queries.Warehouse.all
 
@@ -111,6 +112,7 @@ object SparkEntry {
       graft.queries.Analytics24.oracles ++
       graft.queries.Analytics25.oracles ++
       graft.queries.Analytics26.oracles ++
+      graft.queries.Analytics27.oracles ++
       graft.queries.StreamingQ.oracles ++
       graft.queries.Warehouse.oracles
 }
