@@ -61,6 +61,7 @@ object SparkEntry {
       graft.queries.Analytics25.all ++
       graft.queries.Analytics26.all ++
       graft.queries.Analytics27.all ++
+      graft.queries.Analytics28.all ++
       graft.queries.StreamingQ.all ++
       graft.queries.Warehouse.all
 
@@ -113,6 +114,7 @@ object SparkEntry {
       graft.queries.Analytics25.oracles ++
       graft.queries.Analytics26.oracles ++
       graft.queries.Analytics27.oracles ++
+      graft.queries.Analytics28.oracles ++
       graft.queries.StreamingQ.oracles ++
       graft.queries.Warehouse.oracles
 }
