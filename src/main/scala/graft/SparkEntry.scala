@@ -62,6 +62,8 @@ object SparkEntry {
       graft.queries.Analytics26.all ++
       graft.queries.Analytics27.all ++
       graft.queries.Analytics28.all ++
+      graft.queries.Analytics29.all ++
+      graft.queries.Analytics30.all ++
       graft.queries.StreamingQ.all ++
       graft.queries.Warehouse.all
 
@@ -115,6 +117,8 @@ object SparkEntry {
       graft.queries.Analytics26.oracles ++
       graft.queries.Analytics27.oracles ++
       graft.queries.Analytics28.oracles ++
+      graft.queries.Analytics29.oracles ++
+      graft.queries.Analytics30.oracles ++
       graft.queries.StreamingQ.oracles ++
       graft.queries.Warehouse.oracles
 }
