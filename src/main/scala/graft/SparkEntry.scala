@@ -64,6 +64,7 @@ object SparkEntry {
       graft.queries.Analytics28.all ++
       graft.queries.Analytics29.all ++
       graft.queries.Analytics30.all ++
+      graft.queries.Analytics31.all ++
       graft.queries.StreamingQ.all ++
       graft.queries.Warehouse.all
 
@@ -119,6 +120,7 @@ object SparkEntry {
       graft.queries.Analytics28.oracles ++
       graft.queries.Analytics29.oracles ++
       graft.queries.Analytics30.oracles ++
+      graft.queries.Analytics31.oracles ++
       graft.queries.StreamingQ.oracles ++
       graft.queries.Warehouse.oracles
 }
