@@ -65,6 +65,7 @@ object SparkEntry {
       graft.queries.Analytics29.all ++
       graft.queries.Analytics30.all ++
       graft.queries.Analytics31.all ++
+      graft.queries.Analytics32.all ++
       graft.queries.StreamingQ.all ++
       graft.queries.Warehouse.all
 
@@ -121,6 +122,7 @@ object SparkEntry {
       graft.queries.Analytics29.oracles ++
       graft.queries.Analytics30.oracles ++
       graft.queries.Analytics31.oracles ++
+      graft.queries.Analytics32.oracles ++
       graft.queries.StreamingQ.oracles ++
       graft.queries.Warehouse.oracles
 }
