@@ -93,7 +93,10 @@ object BenchScaling {
     // join, iterative BFS, the md5-octet bootstrap draw, and the
     // shingle-checkpoint jaccard consumers' new baseline keeper
     "q_hll_portable", "q_window_distinct", "q_bfs_layers",
-    "q_classifier_eval", "q_cdc_merge", "q_stratified_split")
+    "q_classifier_eval", "q_cdc_merge", "q_stratified_split",
+    // r9 tail batches: the explode-heavy text ops and the itemset join
+    "q_itemset3", "q_naive_bayes", "q_burrows_delta", "q_char_trigrams",
+    "q_kruskal_wallis", "q_cvm_test")
 
   def main(args: Array[String]): Unit = {
     // trailing names restrict the run (same contract as Verify/Bench)
