@@ -66,6 +66,7 @@ object SparkEntry {
       graft.queries.Analytics30.all ++
       graft.queries.Analytics31.all ++
       graft.queries.Analytics32.all ++
+      graft.queries.Analytics33.all ++
       graft.queries.StreamingQ.all ++
       graft.queries.Warehouse.all
 
@@ -123,6 +124,7 @@ object SparkEntry {
       graft.queries.Analytics30.oracles ++
       graft.queries.Analytics31.oracles ++
       graft.queries.Analytics32.oracles ++
+      graft.queries.Analytics33.oracles ++
       graft.queries.StreamingQ.oracles ++
       graft.queries.Warehouse.oracles
 }
