@@ -67,6 +67,7 @@ object SparkEntry {
       graft.queries.Analytics31.all ++
       graft.queries.Analytics32.all ++
       graft.queries.Analytics33.all ++
+      graft.queries.Analytics34.all ++
       graft.queries.StreamingQ.all ++
       graft.queries.Warehouse.all
 
@@ -125,6 +126,7 @@ object SparkEntry {
       graft.queries.Analytics31.oracles ++
       graft.queries.Analytics32.oracles ++
       graft.queries.Analytics33.oracles ++
+      graft.queries.Analytics34.oracles ++
       graft.queries.StreamingQ.oracles ++
       graft.queries.Warehouse.oracles
 }

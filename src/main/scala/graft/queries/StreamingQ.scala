@@ -93,10 +93,34 @@ object StreamingQ {
       .orderBy("user_id", "session_start")
   }
 
+  /** SLIDING windows (2 h duration, 1 h slide) through the streaming
+    * engine: every event lands in exactly two overlapping windows, so
+    * this certifies the window-ASSIGNMENT path (expand + merge state)
+    * rather than the tumbling special case. The oracle replays the
+    * assignment as an explicit 2-way unnest of window starts.
+    *
+    * 100 TB shape: the expand doubles rows BEFORE the partial agg —
+    * state is per live window, input cost 2× the tumbling plan. */
+  val qStreamSliding: Q = (s, d) => {
+    val ev = Streaming.readEvents(s, d)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+    val agg = ev
+      .withWatermark("ts", "3 hours")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"))
+      .agg(count(lit(1)).as("cnt"), sum("cents").as("value_c"))
+      .select(col("window.start").as("win_start"), col("cnt"), col("value_c"))
+    val name = s"graft_stream_slide_${run.incrementAndGet()}"
+    Streaming.runAvailableNow(s, agg, name)
+      .select(date_format(col("win_start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("cnt"), col("value_c"))
+      .orderBy("win_start")
+  }
+
   val all: Map[String, Q] = Map(
     "q_stream_window" -> qStreamWindow,
     "q_stream_first_touch" -> qStreamFirstTouch,
     "q_stream_sessions" -> qStreamSessions,
+    "q_stream_sliding" -> qStreamSliding,
   )
 
   val oracles: Map[String, String] = Map(
@@ -134,5 +158,13 @@ object StreamingQ {
         |FROM events
         |GROUP BY user_id, event_type
         |ORDER BY user_id, event_type""".stripMargin,
+    "q_stream_sliding" ->
+      """WITH assigned AS (
+        | SELECT date_trunc('hour', ts) - to_hours(off) AS win_start,
+        |   CAST(round(value * 100) AS BIGINT) AS cents
+        | FROM events, unnest([0, 1]) AS t(off))
+        |SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+        | count(*) AS cnt, CAST(sum(cents) AS BIGINT) AS value_c
+        |FROM assigned GROUP BY 1 ORDER BY win_start""".stripMargin,
   )
 }
