@@ -68,6 +68,7 @@ object SparkEntry {
       graft.queries.Analytics32.all ++
       graft.queries.Analytics33.all ++
       graft.queries.Analytics34.all ++
+      graft.queries.Analytics35.all ++
       graft.queries.StreamingQ.all ++
       graft.queries.Warehouse.all
 
@@ -127,6 +128,7 @@ object SparkEntry {
       graft.queries.Analytics32.oracles ++
       graft.queries.Analytics33.oracles ++
       graft.queries.Analytics34.oracles ++
+      graft.queries.Analytics35.oracles ++
       graft.queries.StreamingQ.oracles ++
       graft.queries.Warehouse.oracles
 }
