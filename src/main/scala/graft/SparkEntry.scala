@@ -69,6 +69,7 @@ object SparkEntry {
       graft.queries.Analytics33.all ++
       graft.queries.Analytics34.all ++
       graft.queries.Analytics35.all ++
+      graft.queries.Analytics36.all ++
       graft.queries.StreamingQ.all ++
       graft.queries.Warehouse.all
 
@@ -129,6 +130,7 @@ object SparkEntry {
       graft.queries.Analytics33.oracles ++
       graft.queries.Analytics34.oracles ++
       graft.queries.Analytics35.oracles ++
+      graft.queries.Analytics36.oracles ++
       graft.queries.StreamingQ.oracles ++
       graft.queries.Warehouse.oracles
 }
