@@ -70,6 +70,7 @@ object SparkEntry {
       graft.queries.Analytics34.all ++
       graft.queries.Analytics35.all ++
       graft.queries.Analytics36.all ++
+      graft.queries.Analytics37.all ++
       graft.queries.StreamingQ.all ++
       graft.queries.Warehouse.all
 
@@ -131,6 +132,7 @@ object SparkEntry {
       graft.queries.Analytics34.oracles ++
       graft.queries.Analytics35.oracles ++
       graft.queries.Analytics36.oracles ++
+      graft.queries.Analytics37.oracles ++
       graft.queries.StreamingQ.oracles ++
       graft.queries.Warehouse.oracles
 }
