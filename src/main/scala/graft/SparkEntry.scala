@@ -71,6 +71,7 @@ object SparkEntry {
       graft.queries.Analytics35.all ++
       graft.queries.Analytics36.all ++
       graft.queries.Analytics37.all ++
+      graft.queries.Analytics38.all ++
       graft.queries.StreamingQ.all ++
       graft.queries.Warehouse.all
 
@@ -133,6 +134,7 @@ object SparkEntry {
       graft.queries.Analytics35.oracles ++
       graft.queries.Analytics36.oracles ++
       graft.queries.Analytics37.oracles ++
+      graft.queries.Analytics38.oracles ++
       graft.queries.StreamingQ.oracles ++
       graft.queries.Warehouse.oracles
 }
