@@ -72,6 +72,7 @@ object SparkEntry {
       graft.queries.Analytics36.all ++
       graft.queries.Analytics37.all ++
       graft.queries.Analytics38.all ++
+      graft.queries.Analytics39.all ++
       graft.queries.StreamingQ.all ++
       graft.queries.Warehouse.all
 
@@ -135,6 +136,7 @@ object SparkEntry {
       graft.queries.Analytics36.oracles ++
       graft.queries.Analytics37.oracles ++
       graft.queries.Analytics38.oracles ++
+      graft.queries.Analytics39.oracles ++
       graft.queries.StreamingQ.oracles ++
       graft.queries.Warehouse.oracles
 }
