@@ -127,26 +127,31 @@ object Analytics38 {
     val o = Tables.orders(s, d)
       .select(col("o_orderpriority").as("r"), col("o_orderstatus").as("c"),
         col("o_orderkey"))
+    // localCheckpoint the three fact-derived frames ONCE (the PageRank
+    // discipline): six unrolled rake rounds otherwise re-derive the
+    // orders scan through an exponentially reused lineage
     val seed = o.filter(col("o_orderkey") % 2 === 0)
       .groupBy("r", "c").agg(count(lit(1)).as("n0"))
       .withColumn("w", expr("n0 * 1000000"))
+      .coalesce(1).localCheckpoint()
     val rowT = o.groupBy("r").agg(count(lit(1)).as("rt"))
+      .coalesce(1).localCheckpoint()
     val colT = o.groupBy("c").agg(count(lit(1)).as("ct"))
-    def rakeRows(df: org.apache.spark.sql.DataFrame) = {
-      val rs = df.groupBy("r").agg(sum("w").as("rsum"))
-      df.join(broadcast(rs), "r").join(broadcast(rowT), "r")
-        .withColumn("w", expr(
-          "CAST((CAST(w AS DECIMAL(38,0)) * rt * 1000000) div rsum AS BIGINT)"))
-        .select("r", "c", "n0", "w")
-    }
-    def rakeCols(df: org.apache.spark.sql.DataFrame) = {
-      val cs = df.groupBy("c").agg(sum("w").as("csum"))
-      df.join(broadcast(cs), "c").join(broadcast(colT), "c")
-        .withColumn("w", expr(
-          "CAST((CAST(w AS DECIMAL(38,0)) * ct * 1000000) div csum AS BIGINT)"))
-        .select("r", "c", "n0", "w")
-    }
-    val raked = rakeCols(rakeRows(rakeCols(rakeRows(rakeCols(rakeRows(seed))))))
+      .coalesce(1).localCheckpoint()
+    // each half-round is a WINDOW normalization over the 15-cell frame
+    // (margin sums via partition windows — no per-round agg+join jobs;
+    // the whole 6-round chain is ONE plan)
+    val base = seed.join(broadcast(rowT), "r").join(broadcast(colT), "c")
+    def rakeRows(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("w", expr(
+        """CAST((CAST(w AS DECIMAL(38,0)) * rt * 1000000)
+           div (sum(w) OVER (PARTITION BY r)) AS BIGINT)"""))
+    def rakeCols(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("w", expr(
+        """CAST((CAST(w AS DECIMAL(38,0)) * ct * 1000000)
+           div (sum(w) OVER (PARTITION BY c)) AS BIGINT)"""))
+    val raked = rakeCols(rakeRows(rakeCols(rakeRows(rakeCols(rakeRows(base))))))
+      .select("r", "c", "n0", "w")
     val rowGap = raked.groupBy("r").agg(sum("w").as("rsum"))
       .join(broadcast(rowT), "r")
       .select(col("r"), expr("rsum - rt * 1000000").as("row_gap_ppm"))
