@@ -73,6 +73,7 @@ object SparkEntry {
       graft.queries.Analytics37.all ++
       graft.queries.Analytics38.all ++
       graft.queries.Analytics39.all ++
+      graft.queries.Analytics40.all ++
       graft.queries.StreamingQ.all ++
       graft.queries.Warehouse.all
 
@@ -137,6 +138,7 @@ object SparkEntry {
       graft.queries.Analytics37.oracles ++
       graft.queries.Analytics38.oracles ++
       graft.queries.Analytics39.oracles ++
+      graft.queries.Analytics40.oracles ++
       graft.queries.StreamingQ.oracles ++
       graft.queries.Warehouse.oracles
 }
