@@ -74,6 +74,7 @@ object SparkEntry {
       graft.queries.Analytics38.all ++
       graft.queries.Analytics39.all ++
       graft.queries.Analytics40.all ++
+      graft.queries.Analytics41.all ++
       graft.queries.StreamingQ.all ++
       graft.queries.Warehouse.all
 
@@ -139,6 +140,7 @@ object SparkEntry {
       graft.queries.Analytics38.oracles ++
       graft.queries.Analytics39.oracles ++
       graft.queries.Analytics40.oracles ++
+      graft.queries.Analytics41.oracles ++
       graft.queries.StreamingQ.oracles ++
       graft.queries.Warehouse.oracles
 }
