@@ -75,6 +75,7 @@ object SparkEntry {
       graft.queries.Analytics39.all ++
       graft.queries.Analytics40.all ++
       graft.queries.Analytics41.all ++
+      graft.queries.Analytics42.all ++
       graft.queries.StreamingQ.all ++
       graft.queries.Warehouse.all
 
@@ -141,6 +142,7 @@ object SparkEntry {
       graft.queries.Analytics39.oracles ++
       graft.queries.Analytics40.oracles ++
       graft.queries.Analytics41.oracles ++
+      graft.queries.Analytics42.oracles ++
       graft.queries.StreamingQ.oracles ++
       graft.queries.Warehouse.oracles
 }
