@@ -76,6 +76,7 @@ object SparkEntry {
       graft.queries.Analytics40.all ++
       graft.queries.Analytics41.all ++
       graft.queries.Analytics42.all ++
+      graft.queries.Analytics43.all ++
       graft.queries.StreamingQ.all ++
       graft.queries.Warehouse.all
 
@@ -143,6 +144,7 @@ object SparkEntry {
       graft.queries.Analytics40.oracles ++
       graft.queries.Analytics41.oracles ++
       graft.queries.Analytics42.oracles ++
+      graft.queries.Analytics43.oracles ++
       graft.queries.StreamingQ.oracles ++
       graft.queries.Warehouse.oracles
 }
