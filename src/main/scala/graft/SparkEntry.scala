@@ -77,6 +77,7 @@ object SparkEntry {
       graft.queries.Analytics41.all ++
       graft.queries.Analytics42.all ++
       graft.queries.Analytics43.all ++
+      graft.queries.Analytics44.all ++
       graft.queries.StreamingQ.all ++
       graft.queries.Warehouse.all
 
@@ -145,6 +146,7 @@ object SparkEntry {
       graft.queries.Analytics41.oracles ++
       graft.queries.Analytics42.oracles ++
       graft.queries.Analytics43.oracles ++
+      graft.queries.Analytics44.oracles ++
       graft.queries.StreamingQ.oracles ++
       graft.queries.Warehouse.oracles
 }
