@@ -78,6 +78,7 @@ object SparkEntry {
       graft.queries.Analytics42.all ++
       graft.queries.Analytics43.all ++
       graft.queries.Analytics44.all ++
+      graft.queries.Analytics45.all ++
       graft.queries.StreamingQ.all ++
       graft.queries.Warehouse.all
 
@@ -147,6 +148,7 @@ object SparkEntry {
       graft.queries.Analytics42.oracles ++
       graft.queries.Analytics43.oracles ++
       graft.queries.Analytics44.oracles ++
+      graft.queries.Analytics45.oracles ++
       graft.queries.StreamingQ.oracles ++
       graft.queries.Warehouse.oracles
 }
