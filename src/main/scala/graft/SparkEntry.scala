@@ -79,6 +79,7 @@ object SparkEntry {
       graft.queries.Analytics43.all ++
       graft.queries.Analytics44.all ++
       graft.queries.Analytics45.all ++
+      graft.queries.Analytics46.all ++
       graft.queries.StreamingQ.all ++
       graft.queries.Warehouse.all
 
@@ -149,6 +150,7 @@ object SparkEntry {
       graft.queries.Analytics43.oracles ++
       graft.queries.Analytics44.oracles ++
       graft.queries.Analytics45.oracles ++
+      graft.queries.Analytics46.oracles ++
       graft.queries.StreamingQ.oracles ++
       graft.queries.Warehouse.oracles
 }
