@@ -80,6 +80,7 @@ object SparkEntry {
       graft.queries.Analytics44.all ++
       graft.queries.Analytics45.all ++
       graft.queries.Analytics46.all ++
+      graft.queries.Analytics47.all ++
       graft.queries.StreamingQ.all ++
       graft.queries.Warehouse.all
 
@@ -151,6 +152,7 @@ object SparkEntry {
       graft.queries.Analytics44.oracles ++
       graft.queries.Analytics45.oracles ++
       graft.queries.Analytics46.oracles ++
+      graft.queries.Analytics47.oracles ++
       graft.queries.StreamingQ.oracles ++
       graft.queries.Warehouse.oracles
 }
