@@ -81,6 +81,7 @@ object SparkEntry {
       graft.queries.Analytics45.all ++
       graft.queries.Analytics46.all ++
       graft.queries.Analytics47.all ++
+      graft.queries.Analytics48.all ++
       graft.queries.StreamingQ.all ++
       graft.queries.Warehouse.all
 
@@ -153,6 +154,7 @@ object SparkEntry {
       graft.queries.Analytics45.oracles ++
       graft.queries.Analytics46.oracles ++
       graft.queries.Analytics47.oracles ++
+      graft.queries.Analytics48.oracles ++
       graft.queries.StreamingQ.oracles ++
       graft.queries.Warehouse.oracles
 }
