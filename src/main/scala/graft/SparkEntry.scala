@@ -82,6 +82,7 @@ object SparkEntry {
       graft.queries.Analytics46.all ++
       graft.queries.Analytics47.all ++
       graft.queries.Analytics48.all ++
+      graft.queries.Analytics49.all ++
       graft.queries.StreamingQ.all ++
       graft.queries.Warehouse.all
 
@@ -155,6 +156,7 @@ object SparkEntry {
       graft.queries.Analytics46.oracles ++
       graft.queries.Analytics47.oracles ++
       graft.queries.Analytics48.oracles ++
+      graft.queries.Analytics49.oracles ++
       graft.queries.StreamingQ.oracles ++
       graft.queries.Warehouse.oracles
 }
