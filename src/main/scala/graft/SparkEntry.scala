@@ -83,6 +83,7 @@ object SparkEntry {
       graft.queries.Analytics47.all ++
       graft.queries.Analytics48.all ++
       graft.queries.Analytics49.all ++
+      graft.queries.Analytics50.all ++
       graft.queries.StreamingQ.all ++
       graft.queries.Warehouse.all
 
@@ -157,6 +158,7 @@ object SparkEntry {
       graft.queries.Analytics47.oracles ++
       graft.queries.Analytics48.oracles ++
       graft.queries.Analytics49.oracles ++
+      graft.queries.Analytics50.oracles ++
       graft.queries.StreamingQ.oracles ++
       graft.queries.Warehouse.oracles
 }
