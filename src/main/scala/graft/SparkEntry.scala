@@ -84,6 +84,7 @@ object SparkEntry {
       graft.queries.Analytics48.all ++
       graft.queries.Analytics49.all ++
       graft.queries.Analytics50.all ++
+      graft.queries.Analytics51.all ++
       graft.queries.StreamingQ.all ++
       graft.queries.Warehouse.all
 
@@ -159,6 +160,7 @@ object SparkEntry {
       graft.queries.Analytics48.oracles ++
       graft.queries.Analytics49.oracles ++
       graft.queries.Analytics50.oracles ++
+      graft.queries.Analytics51.oracles ++
       graft.queries.StreamingQ.oracles ++
       graft.queries.Warehouse.oracles
 }
