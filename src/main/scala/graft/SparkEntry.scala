@@ -85,6 +85,7 @@ object SparkEntry {
       graft.queries.Analytics49.all ++
       graft.queries.Analytics50.all ++
       graft.queries.Analytics51.all ++
+      graft.queries.Analytics52.all ++
       graft.queries.StreamingQ.all ++
       graft.queries.Warehouse.all
 
@@ -161,6 +162,7 @@ object SparkEntry {
       graft.queries.Analytics49.oracles ++
       graft.queries.Analytics50.oracles ++
       graft.queries.Analytics51.oracles ++
+      graft.queries.Analytics52.oracles ++
       graft.queries.StreamingQ.oracles ++
       graft.queries.Warehouse.oracles
 }
