@@ -32,10 +32,16 @@ object Analytics36 {
     val cyy = "(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
     val cxy = "(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
     val slope = s"(($cyy - $cxx + sqrt(($cyy - $cxx) * ($cyy - $cxx) + 4 * $cxy * $cxy)) / (2 * $cxy))"
+    // Integer micro-unit readout (r10): round(x, 6) AS DOUBLE re-represents
+    // the rounded decimal as a binary double, and Spark (BigDecimal HALF_UP)
+    // vs DuckDB (binary-double rounding) can land on DIFFERENT nearest
+    // doubles on ulp-boundary data — this query tripped the driver hash in
+    // r9. round(x * 1e6) AS BIGINT carries the same 6dp information with no
+    // float in the hashed output.
     m.select(col("n"),
-      expr(s"CAST(round($slope, 6) AS DOUBLE)").as("slope"),
-      expr(s"""CAST(round(CAST(sy AS DOUBLE) / n - $slope * (CAST(sx AS DOUBLE) / n), 6)
-              AS DOUBLE)""").as("intercept"))
+      expr(s"CAST(round($slope * 1000000) AS BIGINT)").as("slope_micro"),
+      expr(s"""CAST(round((CAST(sy AS DOUBLE) / n - $slope * (CAST(sx AS DOUBLE) / n))
+              * 1000000) AS BIGINT)""").as("intercept_micro"))
   }
 
   /** Gumbel (EV-I) fit to monthly block maxima of daily revenue by the
@@ -175,9 +181,9 @@ object Analytics36 {
         |  CAST(sum(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS HUGEINT) AS sxy
         | FROM lineitem)
         |SELECT n,
-        | CAST(round($slope, 6) AS DOUBLE) AS slope,
-        | CAST(round(CAST(sy AS DOUBLE) / n - $slope * (CAST(sx AS DOUBLE) / n), 6)
-        |   AS DOUBLE) AS intercept
+        | CAST(round($slope * 1000000) AS BIGINT) AS slope_micro,
+        | CAST(round((CAST(sy AS DOUBLE) / n - $slope * (CAST(sx AS DOUBLE) / n))
+        |   * 1000000) AS BIGINT) AS intercept_micro
         |FROM m""".stripMargin
     },
     "q_gumbel_fit" ->

@@ -155,10 +155,17 @@ object Analytics5 {
       .crossJoin(broadcast(tot))
       .agg(first("n1").as("n_pos"), first("n0").as("n_neg"),
         sum(col("pos_c") * col("rank_avg2")).as("rank_sum2"))
+      // Exact integer ppm (r10): rank_sum2, n_pos, n_neg are exact integers,
+      // so AUC needs NO float at all — auc_ppm = ((rank_sum2 − P(P+1))·5e5)
+      // div (P·N). rank_sum2 ≥ P(P+1) always (all-positives-first minimum),
+      // so truncating div (Spark) and flooring // (DuckDB) agree. DECIMAL
+      // numerator keeps the ×5e5 product overflow-free at any SF. The
+      // previous round(double, 6) readout tripped the driver hash in r9.
       .select(col("n_pos"), col("n_neg"),
-        round((col("rank_sum2") - col("n_pos") * (col("n_pos") + lit(1L)))
-          .cast("double") /
-          (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"))
+        expr("""CAST((CAST(rank_sum2 AS DECIMAL(38,0))
+                - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1)) * 500000
+                div (CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)""")
+          .as("auc_ppm"))
     // score-decile buckets from the bounded frame's cumulative counts;
     // the +5e6 shift keeps the mean's integer division on non-negative
     // operands (Spark div truncates, DuckDB // floors — they only agree
@@ -362,9 +369,11 @@ object Analytics5 {
         | FROM per_score),
         |auc AS (
         | SELECT (SELECT n1 FROM tot) AS n_pos, (SELECT n0 FROM tot) AS n_neg,
-        |  round(CAST(sum(pos_c * (2 * below + c + 1))
-        |     - (SELECT n1 FROM tot) * ((SELECT n1 FROM tot) + 1) AS DOUBLE)
-        |    / (2.0 * (SELECT n1 FROM tot) * (SELECT n0 FROM tot)), 6) AS auc
+        |  CAST(((CAST(sum(pos_c * (2 * below + c + 1)) AS HUGEINT)
+        |     - CAST((SELECT n1 FROM tot) AS HUGEINT) * ((SELECT n1 FROM tot) + 1))
+        |    * 500000)
+        |    // (CAST((SELECT n1 FROM tot) AS HUGEINT) * (SELECT n0 FROM tot))
+        |    AS BIGINT) AS auc_ppm
         | FROM ranked),
         |buckets AS (
         | SELECT least((10 * below) // ((SELECT n1 + n0 FROM tot)), 9) AS bucket,
@@ -375,7 +384,7 @@ object Analytics5 {
         | FROM ranked GROUP BY 1)
         |SELECT bucket, n, CAST(mean_score_milli AS BIGINT) AS mean_score_milli,
         | CAST(label_rate_milli AS BIGINT) AS label_rate_milli,
-        | n_pos, n_neg, auc
+        | n_pos, n_neg, auc_ppm
         |FROM buckets CROSS JOIN auc ORDER BY bucket""".stripMargin,
   )
 }

@@ -20,8 +20,8 @@ class Analytics36Spec extends AnyFunSuite with SharedSpark {
     val slope = (cyy - cxx + math.sqrt((cyy - cxx) * (cyy - cxx) + 4 * cxy * cxy)) / (2 * cxy)
     val row = Analytics36.qDeming(spark, sfDir).collect().head
     assert(row.getLong(0) == n.toLong)
-    assert(math.abs(row.getDouble(1) - slope) < math.abs(slope) * 1e-6 + 1e-5)
-    assert(math.abs(row.getDouble(2) - (my - slope * mx)) < 1.0)
+    assert(math.abs(row.getLong(1) / 1e6 - slope) < math.abs(slope) * 1e-6 + 1e-5)
+    assert(math.abs(row.getLong(2) / 1e6 - (my - slope * mx)) < 1.0)
     // the slope solves its defining quadratic cxy·s² − (cyy−cxx)·s − cxy = 0
     // (relative to cyy — the axis-swap reciprocal identity cancels
     // catastrophically when cyy ≫ cxx, so test the quadratic instead)

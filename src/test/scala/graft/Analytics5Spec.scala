@@ -86,7 +86,7 @@ class Analytics5Spec extends AnyFunSuite with SharedSpark {
     val rankSum = scored.filter(_._2).map(r => rankOf(r._1)).sum
     val expectedAuc = (rankSum - n1 * (n1 + 1) / 2.0) / (n1.toDouble * n0)
     val rows = Analytics5.qClassifierEval(spark, sfDir).collect()
-    val gotAuc = rows.head.getDouble(6) // (bucket, n, mean, rate, n_pos, n_neg, auc)
+    val gotAuc = rows.head.getLong(6) / 1e6 // (bucket, n, mean, rate, n_pos, n_neg, auc_ppm)
     assert(math.abs(gotAuc - expectedAuc) < 2e-6, s"auc $gotAuc vs $expectedAuc")
     assert(gotAuc > 0.9, "the closed-form model must separate its own labels")
     assert(rows.head.getLong(4) == n1 && rows.head.getLong(5) == n0)

@@ -5,12 +5,18 @@ Usage: oracle_check.py <sfDir> <verifyOutDir>
 
 For each query dir under verifyOutDir: load Spark's parquet result, run the
 matching oracle SQL from oracle_sql.json in DuckDB (tables = views over the
-sfDir parquet), sort columns by name, compare row-by-row (exact; floats via
-repr equality after normalization to python float).
+sfDir parquet), sort columns by name, compare row-by-row. Floats compare BIT-EXACT
+(struct.pack('<d', ...) byte patterns) to mimic the driver's hash — the r9
+round proved a tolerance/repr compare here passes queries the driver fails
+(q_deming, q_classifier_eval differed in the last ulp of a round(x,6) double).
+Pass --tolerant to restore the old 1e-9-relative compare for debugging.
 """
 import json
 import math
+import struct
 import sys
+
+BIT_EXACT = "--tolerant" not in sys.argv
 
 import duckdb
 import pandas as pd
@@ -42,6 +48,10 @@ def eq(a, b):
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
+        if BIT_EXACT:
+            # Driver-faithful: the driver hashes the raw value, so two doubles
+            # that differ in the last ulp (or -0.0 vs 0.0) are a FAIL.
+            return struct.pack("<d", a) == struct.pack("<d", b)
         return a == b or abs(a - b) < 1e-9 * max(1.0, abs(a), abs(b))
     if (a is None) != (b is None):
         return False
@@ -102,4 +112,5 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    args = [a for a in sys.argv[1:] if a != "--tolerant"]
+    sys.exit(main(args[0], args[1]))
