@@ -86,6 +86,7 @@ object SparkEntry {
       graft.queries.Analytics50.all ++
       graft.queries.Analytics51.all ++
       graft.queries.Analytics52.all ++
+      graft.queries.Analytics53.all ++
       graft.queries.StreamingQ.all ++
       graft.queries.Warehouse.all
 
@@ -163,6 +164,7 @@ object SparkEntry {
       graft.queries.Analytics50.oracles ++
       graft.queries.Analytics51.oracles ++
       graft.queries.Analytics52.oracles ++
+      graft.queries.Analytics53.oracles ++
       graft.queries.StreamingQ.oracles ++
       graft.queries.Warehouse.oracles
 }

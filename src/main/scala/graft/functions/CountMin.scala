@@ -62,6 +62,9 @@ case class CountMinEstimate(
   require(depthExpr.foldable && widthExpr.foldable && probesExpr.foldable &&
     portableExpr.foldable,
     "cms_estimate(probes, depth, width[, portable]) must be literals")
+  require(portableExpr.dataType == org.apache.spark.sql.types.BooleanType,
+    "cms_estimate: the portable flag must be a BOOLEAN literal, got " +
+      portableExpr.dataType.simpleString)
   require(!portable || depth <= 4,
     "portable (md5) mode derives one 32-bit word per depth row from a " +
       "single 16-byte digest - depth must be <= 4")

@@ -50,6 +50,9 @@ case class HllEstimate(
   private lazy val m: Int = 1 << p
 
   require(pExpr.foldable, "hll_estimate(key, p): p must be a literal")
+  require(p >= 4 && p <= 24,
+    s"hll_estimate(key, p): p must be in [4, 24], got $p — the register " +
+      "index/shift math assumes at most 24 index bits")
 
   override def children: Seq[Expression] = Seq(child, pExpr)
   override def nullable: Boolean = false

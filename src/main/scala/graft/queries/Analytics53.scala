@@ -102,7 +102,8 @@ object Analytics53 {
         expr("""CAST(round(sqrt(CAST(sc AS DOUBLE) * sc + CAST(ss AS DOUBLE) * ss)
                 / n) AS BIGINT)""").as("resultant_ppm"),
         expr("""CAST(round((atan2(CAST(ss AS DOUBLE), CAST(sc AS DOUBLE))
-                / (2 * pi()) * 24 + 24) % 24, 6) AS DOUBLE)""").as("mean_hour"))
+                / (2 * pi()) * 24 + 24) % 24 * 1000000) AS BIGINT)""")
+          .as("mean_hour_micro"))
       .orderBy("event_type")
   }
 
@@ -174,7 +175,7 @@ object Analytics53 {
         |   + CAST(sum(s_micro) AS DOUBLE) * sum(s_micro)) / count(*)) AS BIGINT)
         |   AS resultant_ppm,
         | CAST(round((atan2(CAST(sum(s_micro) AS DOUBLE), CAST(sum(c_micro) AS DOUBLE))
-        |   / (2 * pi()) * 24 + 24) % 24, 6) AS DOUBLE) AS mean_hour
+        |   / (2 * pi()) * 24 + 24) % 24 * 1000000) AS BIGINT) AS mean_hour_micro
         |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }
