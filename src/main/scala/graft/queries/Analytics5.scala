@@ -161,10 +161,14 @@ object Analytics5 {
       // so truncating div (Spark) and flooring // (DuckDB) agree. DECIMAL
       // numerator keeps the ×5e5 product overflow-free at any SF. The
       // previous round(double, 6) readout tripped the driver hash in r9.
+      // Degenerate guard (r11): with zero positives or zero negatives the
+      // engines diverge (Spark non-ANSI div→NULL, DuckDB // raises) — make
+      // both emit NULL explicitly so degenerate data can't hash-split.
       .select(col("n_pos"), col("n_neg"),
-        expr("""CAST((CAST(rank_sum2 AS DECIMAL(38,0))
+        expr("""CASE WHEN n_pos = 0 OR n_neg = 0 THEN CAST(NULL AS BIGINT)
+                ELSE CAST((CAST(rank_sum2 AS DECIMAL(38,0))
                 - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1)) * 500000
-                div (CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)""")
+                div (CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT) END""")
           .as("auc_ppm"))
     // score-decile buckets from the bounded frame's cumulative counts;
     // the +5e6 shift keeps the mean's integer division on non-negative
@@ -369,11 +373,13 @@ object Analytics5 {
         | FROM per_score),
         |auc AS (
         | SELECT (SELECT n1 FROM tot) AS n_pos, (SELECT n0 FROM tot) AS n_neg,
-        |  CAST(((CAST(sum(pos_c * (2 * below + c + 1)) AS HUGEINT)
+        |  CASE WHEN (SELECT n1 FROM tot) = 0 OR (SELECT n0 FROM tot) = 0
+        |   THEN CAST(NULL AS BIGINT)
+        |   ELSE CAST(((CAST(sum(pos_c * (2 * below + c + 1)) AS HUGEINT)
         |     - CAST((SELECT n1 FROM tot) AS HUGEINT) * ((SELECT n1 FROM tot) + 1))
         |    * 500000)
         |    // (CAST((SELECT n1 FROM tot) AS HUGEINT) * (SELECT n0 FROM tot))
-        |    AS BIGINT) AS auc_ppm
+        |    AS BIGINT) END AS auc_ppm
         | FROM ranked),
         |buckets AS (
         | SELECT least((10 * below) // ((SELECT n1 + n0 FROM tot)), 9) AS bucket,
@@ -382,7 +388,10 @@ object Analytics5 {
         |    - 5000000000 AS mean_score_milli,
         |  (CAST(sum(pos_c) AS BIGINT) * 1000) // sum(c) AS label_rate_milli
         | FROM ranked GROUP BY 1)
-        |SELECT bucket, n, CAST(mean_score_milli AS BIGINT) AS mean_score_milli,
+        |-- bucket derives from a windowed sum → HUGEINT in DuckDB, which the
+        |-- driver's fetch renders as float64 (the r10 hash break); CAST it.
+        |SELECT CAST(bucket AS BIGINT) AS bucket, n,
+        | CAST(mean_score_milli AS BIGINT) AS mean_score_milli,
         | CAST(label_rate_milli AS BIGINT) AS label_rate_milli,
         | n_pos, n_neg, auc_ppm
         |FROM buckets CROSS JOIN auc ORDER BY bucket""".stripMargin,

@@ -83,8 +83,13 @@ object Analytics53 {
   /** Circular statistics of purchase time-of-day per event type:
     * each event contributes µ-rounded cos/sin of its day-angle
     * (order-free integer sums — the only trig is per-row, identically
-    * computed), resultant length R̄ in ppm and the mean hour via one
-    * atan2 on the 5-row frame.
+    * computed), resultant length R̄ in ppm plus the EXACT integer
+    * component sums (cos_sum_micro, sin_sum_micro) from which a
+    * consumer derives the mean hour via atan2 locally. The r10 form
+    * pushed atan2 (NOT correctly rounded in either libm) through
+    * round(x*1e6) — a 1-ulp divergence near a half-micro boundary
+    * flips the BIGINT readout; emitting the exact sums removes the
+    * hazard entirely (ADVICE r10).
     *
     * 100 TB shape: one partial-aggregable pass; per-row trig is
     * codegen'd scan work. */
@@ -99,11 +104,12 @@ object Analytics53 {
     ev.groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum("c_micro").as("sc"), sum("s_micro").as("ss"))
       .select(col("event_type"), col("n"),
+        // sqrt and ×/÷ are IEEE-correctly-rounded: identical doubles in →
+        // identical double out → safe under round(); atan2 is not.
         expr("""CAST(round(sqrt(CAST(sc AS DOUBLE) * sc + CAST(ss AS DOUBLE) * ss)
                 / n) AS BIGINT)""").as("resultant_ppm"),
-        expr("""CAST(round((atan2(CAST(ss AS DOUBLE), CAST(sc AS DOUBLE))
-                / (2 * pi()) * 24 + 24) % 24 * 1000000) AS BIGINT)""")
-          .as("mean_hour_micro"))
+        col("sc").cast("long").as("cos_sum_micro"),
+        col("ss").cast("long").as("sin_sum_micro"))
       .orderBy("event_type")
   }
 
@@ -129,15 +135,19 @@ object Analytics53 {
         |  SELECT 0, list_transform(range(0, len(tb) + 1),
         |    j -> CAST(-j AS BIGINT)) FROM ab
         |  UNION ALL
+        |  -- DuckDB 1.0.0 has only 2-arg list_reduce (no init argument), so
+        |  -- the fold's seed row is PREPENDED and the column indices are
+        |  -- wrapped as 1-element lists so the accumulator type (BIGINT[])
+        |  -- unifies with the element type (the r10 3-arg form binder-failed).
         |  SELECT i + 1,
         |   list_reduce(
-        |     list_transform(range(1, len(ab.tb) + 1), j -> CAST(j AS INT)),
-        |     (acc_row, j) -> list_append(acc_row, greatest(
-        |       h.row[j] + CASE WHEN ab.tb[j] = ab.ta[CAST(h.i + 1 AS INT)]
+        |     list_prepend([h.row[1] - 1],
+        |       list_transform(range(1, len(ab.tb) + 1), j -> [CAST(j AS BIGINT)])),
+        |     (acc_row, jl) -> list_append(acc_row, greatest(
+        |       h.row[jl[1]] + CASE WHEN ab.tb[jl[1]] = ab.ta[h.i + 1]
         |         THEN 1 ELSE -1 END,
-        |       h.row[j + 1] - 1,
-        |       acc_row[len(acc_row)] - 1)),
-        |     [h.row[1] - 1])
+        |       h.row[jl[1] + 1] - 1,
+        |       acc_row[len(acc_row)] - 1)))
         |  FROM h, ab WHERE h.i < len(ab.ta))
         | SELECT * FROM h)
         |SELECT CAST(len(ta) AS BIGINT) AS len_a, CAST(len(tb) AS BIGINT) AS len_b,
@@ -174,8 +184,8 @@ object Analytics53 {
         | CAST(round(sqrt(CAST(sum(c_micro) AS DOUBLE) * sum(c_micro)
         |   + CAST(sum(s_micro) AS DOUBLE) * sum(s_micro)) / count(*)) AS BIGINT)
         |   AS resultant_ppm,
-        | CAST(round((atan2(CAST(sum(s_micro) AS DOUBLE), CAST(sum(c_micro) AS DOUBLE))
-        |   / (2 * pi()) * 24 + 24) % 24 * 1000000) AS BIGINT) AS mean_hour_micro
+        | CAST(sum(c_micro) AS BIGINT) AS cos_sum_micro,
+        | CAST(sum(s_micro) AS BIGINT) AS sin_sum_micro
         |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

@@ -10,16 +10,29 @@ sfDir parquet), sort columns by name, compare row-by-row. Floats compare BIT-EXA
 round proved a tolerance/repr compare here passes queries the driver fails
 (q_deming, q_classifier_eval differed in the last ulp of a round(x,6) double).
 Pass --tolerant to restore the old 1e-9-relative compare for debugging.
+
+A float-dtype-vs-integer-dtype mismatch between the Spark and oracle frames
+is a FAIL even when the numeric values agree: the driver hashes the fetched
+values, so DuckDB rendering a HUGEINT column as float64 (0.0) against
+Spark's BIGINT (0) hash-mismatches — exactly the q_classifier_eval r10
+break that the old numeric == compare waved through.
 """
+import argparse
 import json
 import math
 import struct
 import sys
 
-BIT_EXACT = "--tolerant" not in sys.argv
-
 import duckdb
 import pandas as pd
+
+_parser = argparse.ArgumentParser(description=__doc__)
+_parser.add_argument("sf_dir")
+_parser.add_argument("out_dir")
+_parser.add_argument("--tolerant", action="store_true",
+                     help="1e-9-relative float compare instead of bit-exact")
+_ARGS = _parser.parse_args() if __name__ == "__main__" else None
+BIT_EXACT = not (_ARGS and _ARGS.tolerant)
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -92,6 +105,22 @@ def main(sf_dir, out_dir):
             print(f"{name}: ROWCOUNT-MISMATCH spark={len(spark_df)} duck={len(duck_df)}")
             n_fail += 1
             continue
+        # Driver-faithful dtype gate: one side float, the other integer →
+        # the driver's hash of the fetched values differs even when the
+        # numbers agree (HUGEINT→float64 coercion class).
+        dtype_bad = None
+        for c in spark_df.columns:
+            sk, dk = str(spark_df[c].dtype).lower(), str(duck_df[c].dtype).lower()
+            s_num = "float" in sk or "int" in sk
+            d_num = "float" in dk or "int" in dk
+            if s_num and d_num and ("float" in sk) != ("float" in dk):
+                dtype_bad = (c, sk, dk)
+                break
+        if dtype_bad:
+            print(f"{name}: DTYPE-MISMATCH col={dtype_bad[0]} "
+                  f"spark={dtype_bad[1]} duck={dtype_bad[2]}")
+            n_fail += 1
+            continue
         bad = None
         for i in range(len(spark_df)):
             for c in spark_df.columns:
@@ -112,5 +141,4 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if a != "--tolerant"]
-    sys.exit(main(args[0], args[1]))
+    sys.exit(main(_ARGS.sf_dir, _ARGS.out_dir))
