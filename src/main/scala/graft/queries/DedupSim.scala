@@ -185,47 +185,52 @@ object DedupSim {
     * O(Σ|cellᵢ|²), and the per-cluster self-join is an equality join on
     * the cluster id — no cartesian, no broadcast of the corpus. Cluster
     * count scales with the corpus (n/K bounded ⇒ per-task work bounded);
-    * here K = the label vocabulary seeding per-label mean centroids.
-    * NOTE (r9 sf1 measurement): with K pinned to the label vocabulary,
-    * a 10× corpus makes each cell 10× — the measured step was 8.2×
-    * (PLANS.md sf1 table), still ≤ linear, but a production 100× step
-    * must scale K with n (e.g. k-means with K ∝ n/target-cell-size, as
-    * [[graft.similarity.Ivf]] sizes its lists) to keep Σ|cellᵢ|²
-    * bounded.
+    * here K = 10·g centroids seeded as per-(label, vec_id mod g) means
+    * with g = max(1, n/1000) — CLUSTER COUNT SCALES WITH THE CORPUS
+    * (r11 re-shard): cell size stays ~1000/10 ≈ constant as n grows, so
+    * Σ|cellᵢ|² is linear in n (the r9 sf1 measurement showed the
+    * fixed-K profile stepping 8.2× per 10× — each cell was growing
+    * 10×). g = 1 at the driver's correctness SFs (n ≤ 1000), so the
+    * result set there is byte-identical to the fixed-K form — the spec
+    * proves the invariance and the planted-dup recall under g > 1.
+    * Assignment is a broadcast join against the K×dim centroid frame
+    * (no driver collect, no K-literal expression), reduced by a
+    * partial-aggregable min(struct(negscore, cl)) — at 100 TB the n×K
+    * assignment scan is the IVF coarse-quantizer shape; beyond K ~ 10⁴
+    * a production run probes a centroid LSH index instead.
     *
     * Cross-engine determinism: centroid components are round(·,6)'d
     * BEFORE assignment (partition-order double sums differ in ulps),
     * assignment score is dot(v,c)/|c| (row norm dropped — constant per
-    * row, fewer float ops to match), ties break to the lower label, and
-    * pair cosines are round(·,6)'d before thresholding — the exact
-    * discipline the embed-dedup oracle already certifies. Planted ±2%
-    * perturbed copies (cosine ≈ 0.9998) give the threshold real
-    * positives, as in [[qDedupEmbed]]. */
-  val qSemdedup: Q = (s, d) => {
-    val base = Tables.embeddings(s, d)
-    // per-label mean centroids, 6dp-rounded; K×dim — driver-sized
-    val cents: Array[(Int, Array[Double])] = base
-      .select(col("label"),
+    * row, fewer float ops to match), ties break to the lower cluster
+    * id, and pair cosines are round(·,6)'d before thresholding — the
+    * exact discipline the embed-dedup oracle already certifies.
+    * Planted ±2% perturbed copies (cosine ≈ 0.9998) give the threshold
+    * real positives, as in [[qDedupEmbed]]. */
+  def semdedup(base: org.apache.spark.sql.DataFrame, g: Long): org.apache.spark.sql.DataFrame = {
+    // per-(label, shard) mean centroids, 6dp-rounded; (10·g)×dim frame
+    val cents = base
+      .select(col("label"), (col("vec_id") % g).as("shard"),
         posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
-      .groupBy("label", "dim").agg(round(avg("v"), 6).as("m"))
-      .groupBy("label")
+      .groupBy("label", "shard", "dim").agg(round(avg("v"), 6).as("m"))
+      .groupBy("label", "shard")
       .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("p"))
-      .select(col("label"), expr("transform(p, x -> x.m)").as("cvec"))
-      .collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
-    val scoreStructs = {
-      val emb = col("emb")
-      array(cents.toIndexedSeq.map { case (cl, cv) =>
-        val cvLit = array(cv.toIndexedSeq.map(lit): _*)
-        val cnorm = math.sqrt(cv.map(x => x * x).sum)
-        struct((lit(-1.0) * Similarity.dot(emb, cvLit) / lit(cnorm)).as("negscore"),
-          lit(cl.toLong).as("cl"))
-      }: _*)
-    }
-    val assigned = Similarity.prepared(Similarity.withPlantedDups(base))
-      .withColumn("cl", array_min(scoreStructs).getField("cl"))
-      .select("cl", "vec_id", "emb", "nrm")
+      .select((col("label") * g + col("shard")).cast("long").as("cl"),
+        expr("transform(p, x -> x.m)").as("cvec"))
+      .withColumn("cnorm", Similarity.l2norm(col("cvec")))
+    val aug = Similarity.prepared(Similarity.withPlantedDups(base))
+      .select("vec_id", "emb", "nrm")
+    // argmax over the K centroids as a map-side-combinable struct-min:
+    // (-score, cl) orders max-score-first, lower cl on ties — the same
+    // total order as the oracle's ORDER BY score DESC, cl ASC (negation
+    // is an exact IEEE sign flip)
+    val assigned = aug.join(broadcast(cents))
+      .withColumn("negscore",
+        (lit(-1.0) * Similarity.dot(col("emb"), col("cvec"))) / col("cnorm"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("negscore"), col("cl"))).as("best"),
+        first("emb").as("emb"), first("nrm").as("nrm"))
+      .select(col("best.cl").as("cl"), col("vec_id"), col("emb"), col("nrm"))
     val a = assigned.select(col("cl"), col("vec_id").as("a_id"),
       col("emb").as("ea"), col("nrm").as("na"))
     val pairs = a.join(
@@ -241,6 +246,13 @@ object DedupSim {
       .select(col("vec_id"), col("cl").as("cluster"),
         col("n_partners"), col("max_sim"))
       .orderBy("vec_id")
+  }
+
+  val qSemdedup: Q = (s, d) => {
+    val base = Tables.embeddings(s, d)
+    // one bounded driver-side scalar (like the codebook collects): g
+    // parameterizes the plan, so it can't stay inside it
+    semdedup(base, math.max(1L, base.count() / 1000L))
   }
 
   /** MinHash estimator calibration — the error profile that justifies a
@@ -421,19 +433,23 @@ object DedupSim {
         |      ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
     "q_semdedup" ->
-      """WITH base AS (
+      """WITH params AS (
+        | SELECT greatest(1, count(*) // 1000) AS g FROM embeddings),
+        |base AS (
         | SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS emb
         | FROM embeddings),
         |cdims AS (
-        | SELECT label, u.i AS dim, round(avg(emb[u.i + 1]), 6) AS m
-        | FROM base, unnest(range(0, len(emb))) AS u(i)
-        | GROUP BY label, u.i),
+        | SELECT label, vec_id % p.g AS shard, u.i AS dim,
+        |  round(avg(emb[u.i + 1]), 6) AS m
+        | FROM base, params p, unnest(range(0, len(emb))) AS u(i)
+        | GROUP BY label, shard, u.i),
         |cents AS (
-        | SELECT label, list(m ORDER BY dim) AS cvec FROM cdims GROUP BY label),
+        | SELECT label, shard, list(m ORDER BY dim) AS cvec
+        | FROM cdims GROUP BY label, shard),
         |cn AS (
-        | SELECT label, cvec,
+        | SELECT CAST(label * p.g + shard AS BIGINT) AS cl, cvec,
         |  sqrt(list_sum(list_transform(cvec, x -> x * x))) AS cnorm
-        | FROM cents),
+        | FROM cents, params p),
         |pert0 AS (
         | SELECT vec_id, list_transform(range(0, len(emb)),
         |   i -> emb[i+1] * (1.0 + CAST((vec_id*31 + i*7) % 11 - 5 AS DOUBLE) * 0.004)) AS emb
@@ -447,14 +463,14 @@ object DedupSim {
         |  sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm
         | FROM aug),
         |scored AS (
-        | SELECT v.vec_id, v.emb, v.nrm, cn.label,
+        | SELECT v.vec_id, v.emb, v.nrm, cn.cl,
         |  list_sum(list_transform(range(1, len(v.emb)+1),
         |    i -> v.emb[i] * cn.cvec[i])) / cn.cnorm AS score
         | FROM v, cn),
         |assigned AS (
-        | SELECT vec_id, emb, nrm, CAST(label AS BIGINT) AS cl
+        | SELECT vec_id, emb, nrm, cl
         | FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
-        |         ORDER BY score DESC, label ASC) AS rn FROM scored)
+        |         ORDER BY score DESC, cl ASC) AS rn FROM scored)
         | WHERE rn = 1),
         |pairs AS (
         | SELECT a.cl, a.vec_id AS a_id, b.vec_id AS b_id,

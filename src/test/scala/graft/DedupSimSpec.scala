@@ -731,6 +731,30 @@ class DedupSimSpec extends AnyFunSuite with SharedSpark {
       s"semdedup caught $caught of $planted planted dups")
   }
 
+  test("semdedup re-shard: g=1 invariance; precision and recall hold at g=5") {
+    val base = Tables.embeddings(spark, sfDir)
+    // the wrapper's g-formula yields 1 below 1000 vectors — the driver's
+    // correctness SFs run the fixed-K-identical path by construction
+    val viaWrapper = graft.queries.DedupSim.qSemdedup(spark, sfDir).collect()
+    val viaG1 = graft.queries.DedupSim.semdedup(base, 1L).collect()
+    assert(viaWrapper.toSeq == viaG1.toSeq)
+    // forced fine sharding (K = 50 cells on 500 base vectors): every
+    // removal still has a genuine lower-id near-dup (precision is exact —
+    // pairs are verified within a cell), and planted-dup recall stays
+    // high (only a copy argmax-assigned across a cell boundary can slip)
+    val sharded = graft.queries.DedupSim.semdedup(base, 5L).collect()
+    assert(sharded.forall(r => r.getLong(1) >= 0L && r.getLong(1) < 50L))
+    val removed5 = sharded.map(_.getLong(0)).toSet
+    val brute = Similarity.cosinePairs(
+      Similarity.withPlantedDups(base), 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(removed5.subsetOf(brute.map(_._2).toSet))
+    val planted = brute.count(_._2 >= 100000L)
+    val caught5 = removed5.count(_ >= 100000L)
+    assert(caught5 >= (planted * 0.9).toInt,
+      s"sharded semdedup caught $caught5 of $planted planted dups")
+  }
+
   test("leakage-free split keeps every near-dup cluster in one split") {
     val split = graft.queries.DedupSim.qLeakageSplit(spark, sfDir)
     val perCluster = split.groupBy("cluster_id")
