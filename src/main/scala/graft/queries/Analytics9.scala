@@ -139,6 +139,40 @@ object Analytics9 {
   )
 
   val oracles: Map[String, String] = Map(
+    // exact integer minimax PAVA (see graft.ml.Isotonic doc): every block
+    // average is rational, floor commutes with min/max, so floor-ppm
+    // max-of-min over BIGINTs is bit-portable. All readout columns are
+    // explicitly BIGINT (no HUGEINT slips past the final select).
+    "q_isotonic_calibration" ->
+      """WITH pts AS (
+        | SELECT l_quantity AS qty, count(*) AS n,
+        |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_r
+        | FROM lineitem GROUP BY 1),
+        |cum AS (
+        | SELECT qty, n, n_r,
+        |  row_number() OVER (ORDER BY qty) AS i,
+        |  CAST(sum(n) OVER (ORDER BY qty
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+        |  CAST(sum(n_r) OVER (ORDER BY qty
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cr
+        | FROM pts),
+        |pre AS (
+        | SELECT i + 1 AS j, cn AS cnp, cr AS crp FROM cum
+        | UNION ALL SELECT 1, 0, 0),
+        |ratios AS (
+        | SELECT pre.j, c.i AS k,
+        |  ((c.cr - pre.crp) * 1000000) // (c.cn - pre.cnp) AS ppm
+        | FROM pre JOIN cum c ON c.i >= pre.j),
+        |fit AS (
+        | SELECT i, CAST(max(mn) AS BIGINT) AS calibrated_ppm
+        | FROM (SELECT c.i, r.j, min(r.ppm) AS mn
+        |       FROM cum c JOIN ratios r ON r.j <= c.i AND r.k >= c.i
+        |       GROUP BY c.i, r.j)
+        | GROUP BY i)
+        |SELECT cum.qty, CAST(cum.n AS BIGINT) AS n, cum.n_r,
+        | CAST((cum.n_r * 1000000) // cum.n AS BIGINT) AS raw_rate_ppm,
+        | fit.calibrated_ppm
+        |FROM cum JOIN fit USING (i) ORDER BY qty""".stripMargin,
     "q_phrase_search" ->
       """WITH sp AS (
         | SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents),

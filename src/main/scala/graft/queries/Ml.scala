@@ -105,17 +105,37 @@ object Ml {
 
   val footballCsv = "/root/reference/football_results.csv"
 
-  /** F12 columnar: per-returnflag score distribution from the codegen'd
-    * poisson_pmf expression (λ = group mean quantity, k = 0..10). Rows-only
-    * (exp/log aren't bit-portable across engines). */
+  /** F12 columnar: per-returnflag score distribution on the INTEGER-MICRO
+    * grid (r11 oracle upgrade; was rows-only because exp() isn't
+    * bit-portable): λ is quantized to exact micro-units
+    * (λµ = (Σ round(qty) · 10⁶) div n), and the Poisson weight profile is
+    * the integer recursion wµ(0) = 10⁶, wµ(k) = (wµ(k−1) · λµ) div (k·10⁶)
+    * — each step a DECIMAL(38) product and a floor division, so both
+    * engines run the identical integer recursion (pmf(k)/pmf(k−1) = λ/k;
+    * the e^{−λ} factor cancels into the truncated-grid normalizer
+    * pmf_milli = (wµ·10³) div Σwµ). The float pmf from the codegen'd
+    * poisson_pmf expression stays spec-certified against this grid and in
+    * the q_simulation path.
+    *
+    * 100 TB shape: one partial agg to |returnflag| rows; the recursion is
+    * an 11-step fold on a 3-row frame. */
   val qScoreDist: Q = (s, d) =>
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
-      .agg(avg("l_quantity").as("lam"))
-      .select(col("l_returnflag"), explode(sequence(lit(0), lit(10))).as("k"), col("lam"))
-      .withColumn("pmf", round(
-        graft.functions.PoissonPmf.poisson_pmf(col("k"), col("lam")), 6))
-      .select("l_returnflag", "k", "pmf")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("sq"))
+      .withColumn("lam_micro", expr("(sq * 1000000) div n"))
+      .withColumn("ws", expr(
+        """aggregate(sequence(1, 10), array(CAST(1000000 AS BIGINT)),
+             (acc, k) -> concat(acc, array(CAST(
+               (CAST(element_at(acc, -1) AS DECIMAL(38,0)) * lam_micro)
+                 div (CAST(k AS BIGINT) * 1000000) AS BIGINT))))"""))
+      .withColumn("wsum", expr("aggregate(ws, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .select(col("l_returnflag"), col("lam_micro"), col("wsum"),
+        posexplode(col("ws")).as(Seq("k", "w_micro")))
+      .select(col("l_returnflag"), col("k").cast("long").as("k"),
+        col("lam_micro"), col("w_micro"),
+        expr("(w_micro * 1000) div wsum").as("pmf_milli"))
       .orderBy("l_returnflag", "k")
 
   /** FastText-style linear quality classifier over hashed token
@@ -150,6 +170,28 @@ object Ml {
   )
 
   val oracles: Map[String, String] = Map(
+    // integer-micro Poisson grid: the same 11-step floor recursion via a
+    // recursive CTE (HUGEINT intermediates; readouts cast to BIGINT)
+    "q_score_dist" ->
+      """WITH a AS (
+        | SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sq
+        | FROM lineitem GROUP BY 1),
+        |l AS (SELECT l_returnflag, (sq * 1000000) // n AS lam_micro FROM a),
+        |rec AS (
+        | WITH RECURSIVE r(l_returnflag, k, w) AS (
+        |  SELECT l_returnflag, 0, CAST(1000000 AS HUGEINT) FROM l
+        |  UNION ALL
+        |  SELECT r.l_returnflag, r.k + 1,
+        |   (r.w * l.lam_micro) // ((r.k + 1) * 1000000)
+        |  FROM r JOIN l USING (l_returnflag) WHERE r.k < 10)
+        | SELECT * FROM r),
+        |tot AS (SELECT l_returnflag, sum(w) AS wsum FROM rec GROUP BY 1)
+        |SELECT rec.l_returnflag, CAST(rec.k AS BIGINT) AS k, l.lam_micro,
+        | CAST(rec.w AS BIGINT) AS w_micro,
+        | CAST((rec.w * 1000) // tot.wsum AS BIGINT) AS pmf_milli
+        |FROM rec JOIN l USING (l_returnflag) JOIN tot USING (l_returnflag)
+        |ORDER BY l_returnflag, k""".stripMargin,
     "q_fifa_star" ->
       """WITH raw AS (
         | SELECT * FROM read_csv('/root/reference/football_results.csv',

@@ -222,7 +222,7 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
     // at 100 TB is a non-starter. Building the physical plan is cheap;
     // nothing executes here (ML fit/simulation queries excluded: their
     // DataFrame construction itself runs jobs).
-    val skip = Set("q_glm_poisson", "q_simulation", "q_score_dist",
+    val skip = Set("q_glm_poisson", "q_simulation",
       "q_knn_ivf", "q_fifa_star", "q_etl_star",
       // iterative: label propagation runs jobs while BUILDING the frame
       "q_dedup_clusters", "q_curate_full",
