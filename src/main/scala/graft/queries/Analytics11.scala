@@ -87,9 +87,17 @@ object Analytics11 {
     * ln(rank) over the top-1000 token frequencies — the corpus-health
     * statistic that flags template/boilerplate floods (slope drifting
     * far from ≈ −1) before any manual inspection. Counting is one
-    * token-keyed agg; the regression runs on the 1000-row top-k, and
-    * `regr_slope`/`regr_intercept` are single-pass codegen'd aggregates
-    * on both engines. */
+    * token-keyed agg; the regression runs on the 1000-row top-k.
+    *
+    * r11 float-discipline conversion: `regr_slope`/`regr_intercept`
+    * accumulate raw libm doubles in engine-specific partial-agg order —
+    * the one unbounded-frame order-dependent moment readout left in the
+    * repo (flip risk ~1e-5 per round at the 6dp grid). Now each ln is
+    * quantized per row to integer micro (divergence between the two
+    * engines' ln is ~1 ulp ≈ 1e-9 of the µ-grid → ~4e-9 flip risk per
+    * value), moments are EXACT DECIMAL sums (order-free), and the
+    * readout is a fixed-order double expression on the 1-row moment
+    * frame — bit-portable like every other moment readout. */
   val qZipfFit: Q = (s, d) => {
     val freqs = Tables.documents(s, d)
       .select(explode(tokens(col("text"))).as("token"))
@@ -99,10 +107,22 @@ object Analytics11 {
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(col("freq").desc, col("token"))))
+      .select(
+        expr("CAST(round(ln(rank) * 1000000) AS BIGINT)").as("lx"),
+        expr("CAST(round(ln(freq) * 1000000) AS BIGINT)").as("ly"))
     freqs.agg(
-      count(lit(1)).as("n_tokens"),
-      round(expr("regr_slope(ln(freq), ln(rank))"), 6).as("zipf_slope"),
-      round(expr("regr_intercept(ln(freq), ln(rank))"), 6).as("zipf_intercept"))
+      count(lit(1)).as("n"),
+      sum(expr("CAST(lx AS DECIMAL(38,0))")).as("sx"),
+      sum(expr("CAST(ly AS DECIMAL(38,0))")).as("sy"),
+      sum(expr("CAST(lx AS DECIMAL(38,0)) * ly")).as("sxy"),
+      sum(expr("CAST(lx AS DECIMAL(38,0)) * lx")).as("sxx"))
+      .select(col("n").as("n_tokens"),
+        expr("""round(CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE), 6)""").as("zipf_slope"),
+        expr("""round((CAST(sy AS DOUBLE) / 1000000
+                - (CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE))
+                  * (CAST(sx AS DOUBLE) / 1000000)) / n, 6)""").as("zipf_intercept"))
   }
 
   /** Watermarked stream-stream interval join ON the oracle surface:
@@ -212,11 +232,25 @@ object Analytics11 {
         | LIMIT 1000),
         |ranked AS (
         | SELECT freq, row_number() OVER (ORDER BY freq DESC, token) AS rank
-        | FROM freqs)
-        |SELECT count(*) AS n_tokens,
-        | round(regr_slope(ln(freq), ln(rank)), 6) AS zipf_slope,
-        | round(regr_intercept(ln(freq), ln(rank)), 6) AS zipf_intercept
-        |FROM ranked""".stripMargin,
+        | FROM freqs),
+        |q AS (
+        | SELECT CAST(round(ln(rank) * 1000000) AS BIGINT) AS lx,
+        |  CAST(round(ln(freq) * 1000000) AS BIGINT) AS ly
+        | FROM ranked),
+        |m AS (
+        | SELECT count(*) AS n,
+        |  CAST(sum(lx) AS HUGEINT) AS sx, CAST(sum(ly) AS HUGEINT) AS sy,
+        |  CAST(sum(CAST(lx AS HUGEINT) * ly) AS HUGEINT) AS sxy,
+        |  CAST(sum(CAST(lx AS HUGEINT) * lx) AS HUGEINT) AS sxx
+        | FROM q)
+        |SELECT CAST(n AS BIGINT) AS n_tokens,
+        | round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |  / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+        | round((CAST(sy AS DOUBLE) / 1000000
+        |  - (CAST(n * sxy - sx * sy AS DOUBLE)
+        |     / CAST(n * sxx - sx * sx AS DOUBLE))
+        |    * (CAST(sx AS DOUBLE) / 1000000)) / n, 6) AS zipf_intercept
+        |FROM m""".stripMargin,
     "q_stream_join" ->
       """SELECT c.user_id, c.event_id AS click_id, e.event_id AS err_id,
         | strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
