@@ -113,8 +113,9 @@ object Analytics4 {
     * from being 10 near-copies. Candidate generation is the distributed
     * brute-kNN shape; the greedy runs on the COLLECTED top-30 (driver-
     * sized by construction, the IVF-centroid precedent) over round-6
-    * sims with id tie-breaks — deterministic, hence rows-only +
-    * Analytics4Spec referee. */
+    * sims with id tie-breaks — deterministic; the greedy is replayed in
+    * DuckDB as a recursive CTE over a list-state row (r11 oracle
+    * upgrade), plus the Analytics4Spec referee. */
   val qMmrDiversify: Q = (s, d) => {
     import graft.functions.GraftFunctions.dot_product
     val v = Tables.embeddings(s, d).select(col("vec_id"),
@@ -165,6 +166,59 @@ object Analytics4 {
   )
 
   val oracles: Map[String, String] = Map(
+    // r11 upgrade (was rows-only): the greedy replayed as a recursive CTE
+    // over a single list-state row — the 30×30 round-6 sim matrix and
+    // rel/id lists ride as lists, each step argmaxes via list_max over
+    // (score, -id) structs (same total order as the Scala (-mmr, id)
+    // minBy). All inputs are round-6 doubles from the identical
+    // sequential dot, so the selection compares bit-identical values.
+    "q_mmr_diversify" ->
+      """WITH v AS (
+        | SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb,
+        |  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+        | FROM embeddings),
+        |q AS (SELECT emb AS qe, nrm AS qn FROM v WHERE vec_id = 0),
+        |cand0 AS (
+        | SELECT vec_id, emb, nrm,
+        |  round(list_sum(list_transform(range(1, len(emb)+1), i -> emb[i] * qe[i]))
+        |    / (qn * nrm), 6) AS rel
+        | FROM v, q WHERE vec_id <> 0
+        | ORDER BY rel DESC, vec_id LIMIT 30),
+        |cand AS (
+        | SELECT *, row_number() OVER (ORDER BY rel DESC, vec_id) AS rn FROM cand0),
+        |lists AS (
+        | SELECT list(vec_id ORDER BY rn) AS idl, list(rel ORDER BY rn) AS rell FROM cand),
+        |srows AS (
+        | SELECT a.rn AS i,
+        |  list(round(list_sum(list_transform(range(1, len(a.emb)+1),
+        |      k -> a.emb[k] * b.emb[k])) / (a.nrm * b.nrm), 6) ORDER BY b.rn) AS srow
+        | FROM cand a JOIN cand b ON true GROUP BY a.rn),
+        |smat AS (SELECT list(srow ORDER BY i) AS m FROM srows),
+        |rec AS (
+        | WITH RECURSIVE r(step, picked, scores) AS (
+        |  SELECT 0, CAST([] AS BIGINT[]), CAST([] AS DOUBLE[]) FROM smat
+        |  UNION ALL
+        |  SELECT r.step + 1,
+        |   list_append(r.picked,
+        |    (list_max(list_filter(list_transform(range(1, 31), i ->
+        |      CASE WHEN list_contains(r.picked, i) THEN NULL
+        |      ELSE {'s': 0.7 * l.rell[i] - 0.3 * (CASE WHEN len(r.picked) = 0 THEN 0.0
+        |              ELSE list_max(list_transform(r.picked, p -> sm.m[i][p])) END),
+        |            'negid': -l.idl[i], 'rn': i} END), x -> x IS NOT NULL))).rn),
+        |   list_append(r.scores,
+        |    (list_max(list_filter(list_transform(range(1, 31), i ->
+        |      CASE WHEN list_contains(r.picked, i) THEN NULL
+        |      ELSE {'s': 0.7 * l.rell[i] - 0.3 * (CASE WHEN len(r.picked) = 0 THEN 0.0
+        |              ELSE list_max(list_transform(r.picked, p -> sm.m[i][p])) END),
+        |            'negid': -l.idl[i], 'rn': i} END), x -> x IS NOT NULL))).s)
+        |  FROM r, smat sm, lists l WHERE r.step < 10)
+        | SELECT picked, scores FROM r WHERE step = 10)
+        |SELECT CAST(t.k AS BIGINT) AS rank,
+        | l.idl[rec.picked[t.k]] AS vec_id,
+        | l.rell[rec.picked[t.k]] AS rel,
+        | round(rec.scores[t.k], 6) AS mmr
+        |FROM rec, lists l, range(1, 11) t(k)
+        |ORDER BY rank""".stripMargin,
     "q_rrf_fusion" ->
       """WITH toks AS (
         | SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents),
