@@ -60,7 +60,9 @@ object Analytics50 {
       .select(col("k_studies"),
         expr("CAST(round(CAST(swt AS DOUBLE) / sw, 6) AS DOUBLE)").as("pooled_gap_c"),
         expr("CAST(round(sqrt(1000000.0 * se2min / sw), 6) AS DOUBLE)").as("pooled_se_c"),
-        expr("CAST(round(q_abs, 6) AS DOUBLE)").as("cochran_q"),
+        // + 0.0 normalizes IEEE signed zero: at degenerate SFs Q hits
+        // exactly 0 and the engines disagree on -0.0 vs 0.0 (hash split)
+        expr("CAST(round(q_abs, 6) + 0.0 AS DOUBLE)").as("cochran_q"),
         expr("""CAST(CASE WHEN q_abs <= 0 THEN CAST(0 AS DOUBLE)
                 ELSE round(greatest(CAST(0 AS DOUBLE),
                   (q_abs - (k_studies - 1)) / q_abs), 6) END AS DOUBLE)""").as("i2"))
@@ -140,7 +142,7 @@ object Analytics50 {
         |SELECT CAST(k_studies AS BIGINT) AS k_studies,
         | CAST(round(CAST(swt AS DOUBLE) / sw, 6) AS DOUBLE) AS pooled_gap_c,
         | CAST(round(sqrt(1000000.0 * se2min / sw), 6) AS DOUBLE) AS pooled_se_c,
-        | CAST(round(q_abs, 6) AS DOUBLE) AS cochran_q,
+        | CAST(round(q_abs, 6) + 0.0 AS DOUBLE) AS cochran_q,
         | CAST(CASE WHEN q_abs <= 0 THEN CAST(0 AS DOUBLE)
         |  ELSE round(greatest(CAST(0 AS DOUBLE),
         |   (q_abs - (k_studies - 1)) / q_abs), 6) END AS DOUBLE) AS i2

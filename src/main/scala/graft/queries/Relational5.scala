@@ -50,13 +50,15 @@ object Relational5 {
         col("flag"),
         n.cast("long").as("n"),
         round(mu, 4).as("mean_qty"),
-        round(m3 / (m2 * sqrt(m2)), 4).as("skew_qty"),
-        round(m4 / (m2 * m2) - 3.0, 4).as("kurt_qty"),
-        round((n * col("sxy") - col("sx") * col("sy")) /
+        // + 0.0 on the sign-ambiguous moments: a symmetric group yields
+        // exactly 0 and the engines split on -0.0 vs 0.0 (sf0.001 sweep)
+        (round(m3 / (m2 * sqrt(m2)), 4) + lit(0.0)).as("skew_qty"),
+        (round(m4 / (m2 * m2) - 3.0, 4) + lit(0.0)).as("kurt_qty"),
+        (round((n * col("sxy") - col("sx") * col("sy")) /
           (sqrt(n * col("sx2") - col("sx") * col("sx")) *
-           sqrt(n * col("sy2") - col("sy") * col("sy"))), 4)
+           sqrt(n * col("sy2") - col("sy") * col("sy"))), 4) + lit(0.0))
           .as("corr_qty_price"),
-        round((col("sxy") - col("sx") * col("sy") / n) / (n - 1), 2)
+        (round((col("sxy") - col("sx") * col("sy") / n) / (n - 1), 2) + lit(0.0))
           .as("covar_qty_price"))
       .orderBy("flag")
   }
@@ -321,16 +323,16 @@ object Relational5 {
         |SELECT flag, CAST(n AS BIGINT) AS n,
         | round(sx/n, 4) AS mean_qty,
         | round((sx3/n - 3.0*(sx/n)*(sx2/n) + 2.0*(sx/n)*(sx/n)*(sx/n))
-        |   / ((sx2/n - (sx/n)*(sx/n)) * sqrt(sx2/n - (sx/n)*(sx/n))), 4)
+        |   / ((sx2/n - (sx/n)*(sx/n)) * sqrt(sx2/n - (sx/n)*(sx/n))), 4) + 0.0
         |   AS skew_qty,
         | round((sx4/n - 4.0*(sx/n)*(sx3/n) + 6.0*(sx/n)*(sx/n)*(sx2/n)
         |    - 3.0*(sx/n)*(sx/n)*(sx/n)*(sx/n))
-        |   / ((sx2/n - (sx/n)*(sx/n)) * (sx2/n - (sx/n)*(sx/n))) - 3.0, 4)
+        |   / ((sx2/n - (sx/n)*(sx/n)) * (sx2/n - (sx/n)*(sx/n))) - 3.0, 4) + 0.0
         |   AS kurt_qty,
         | round((n*sxy - sx*sy)
-        |   / (sqrt(n*sx2 - sx*sx) * sqrt(n*sy2 - sy*sy)), 4)
+        |   / (sqrt(n*sx2 - sx*sx) * sqrt(n*sy2 - sy*sy)), 4) + 0.0
         |   AS corr_qty_price,
-        | round((sxy - sx*sy/n) / (n - 1), 2) AS covar_qty_price
+        | round((sxy - sx*sy/n) / (n - 1), 2) + 0.0 AS covar_qty_price
         |FROM sums ORDER BY flag""".stripMargin,
     "q_robust_mad" ->
       """WITH li AS (SELECT l_returnflag, l_extendedprice AS v FROM lineitem),
