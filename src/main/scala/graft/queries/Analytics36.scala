@@ -28,9 +28,21 @@ object Analytics36 {
       .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
         sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
         sum(col("x") * col("y")).as("sxy"))
-    val cxx = "(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
-    val cyy = "(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
-    val cxy = "(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    // Split-conversion for the >2^53 second moments (r11, caught by the
+    // 3-SF sweep at sf0.1): Spark's DECIMAL→DOUBLE is correctly rounded
+    // (BigDecimal.doubleValue) but DuckDB's HUGEINT→DOUBLE goes through
+    // upper·2⁶⁴ + lower (two roundings) — above 2^53 the two engines can
+    // land 1 ulp apart, and intercept_micro's grid (1e-6 of a ~4.5e9
+    // statistic) is FINER than that ulp. hi·1e9 + lo with hi, lo < 2^53
+    // is the SAME fixed sequence of exactly-representable inputs and
+    // correctly-rounded ops on both engines → bit-identical by
+    // construction (identical ≻ correct — it need not equal the
+    // one-rounding conversion, only match cross-engine).
+    def toD(c: String) =
+      s"(CAST($c div 1000000000 AS DOUBLE) * 1.0E9 + CAST($c % 1000000000 AS DOUBLE))"
+    val cxx = s"(n * ${toD("sxx")} - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    val cyy = s"(n * ${toD("syy")} - ${toD("sy")} * ${toD("sy")})"
+    val cxy = s"(n * ${toD("sxy")} - CAST(sx AS DOUBLE) * ${toD("sy")})"
     val slope = s"(($cyy - $cxx + sqrt(($cyy - $cxx) * ($cyy - $cxx) + 4 * $cxy * $cxy)) / (2 * $cxy))"
     // Integer micro-unit readout (r10): round(x, 6) AS DOUBLE re-represents
     // the rounded decimal as a binary double, and Spark (BigDecimal HALF_UP)
@@ -40,7 +52,7 @@ object Analytics36 {
     // float in the hashed output.
     m.select(col("n"),
       expr(s"CAST(round($slope * 1000000) AS BIGINT)").as("slope_micro"),
-      expr(s"""CAST(round((CAST(sy AS DOUBLE) / n - $slope * (CAST(sx AS DOUBLE) / n))
+      expr(s"""CAST(round((${toD("sy")} / n - $slope * (CAST(sx AS DOUBLE) / n))
               * 1000000) AS BIGINT)""").as("intercept_micro"))
   }
 
@@ -168,9 +180,14 @@ object Analytics36 {
 
   val oracles: Map[String, String] = Map(
     "q_deming" -> {
-      val cxx = "(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
-      val cyy = "(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
-      val cxy = "(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+      // same split-conversion as the Spark side (// == div on these
+      // non-negative moments): identical exact inputs + identical
+      // correctly-rounded op sequence → bit-identical doubles
+      def toD(c: String) =
+        s"(CAST($c // 1000000000 AS DOUBLE) * 1.0E9 + CAST($c % 1000000000 AS DOUBLE))"
+      val cxx = s"(n * ${toD("sxx")} - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+      val cyy = s"(n * ${toD("syy")} - ${toD("sy")} * ${toD("sy")})"
+      val cxy = s"(n * ${toD("sxy")} - CAST(sx AS DOUBLE) * ${toD("sy")})"
       val slope = s"(($cyy - $cxx + sqrt(($cyy - $cxx) * ($cyy - $cxx) + 4 * $cxy * $cxy)) / (2 * $cxy))"
       s"""WITH m AS (
         | SELECT count(*) AS n,
@@ -182,7 +199,7 @@ object Analytics36 {
         | FROM lineitem)
         |SELECT n,
         | CAST(round($slope * 1000000) AS BIGINT) AS slope_micro,
-        | CAST(round((CAST(sy AS DOUBLE) / n - $slope * (CAST(sx AS DOUBLE) / n))
+        | CAST(round((${toD("sy")} / n - $slope * (CAST(sx AS DOUBLE) / n))
         |   * 1000000) AS BIGINT) AS intercept_micro
         |FROM m""".stripMargin
     },

@@ -31,20 +31,20 @@ object Analytics45 {
            named_struct('f', element_at(ys, 1), 's', element_at(ys, 1),
              'sgn', 0, 'up', CAST(0 AS BIGINT), 'down', CAST(0 AS BIGINT)),
            (acc, y) -> named_struct(
-             'f', 0.25 * y + 0.75 * acc.f,
-             's', 0.0689655172413793 * y + 0.9310344827586207 * acc.s,
-             'sgn', CASE WHEN 0.25 * y + 0.75 * acc.f
-                 > 0.0689655172413793 * y + 0.9310344827586207 * acc.s THEN 1
-               WHEN 0.25 * y + 0.75 * acc.f
-                 < 0.0689655172413793 * y + 0.9310344827586207 * acc.s THEN -1
+             'f', 0.25E0 * y + 0.75E0 * acc.f,
+             's', 0.0689655172413793E0 * y + 0.9310344827586207E0 * acc.s,
+             'sgn', CASE WHEN 0.25E0 * y + 0.75E0 * acc.f
+                 > 0.0689655172413793E0 * y + 0.9310344827586207E0 * acc.s THEN 1
+               WHEN 0.25E0 * y + 0.75E0 * acc.f
+                 < 0.0689655172413793E0 * y + 0.9310344827586207E0 * acc.s THEN -1
                ELSE acc.sgn END,
              'up', acc.up + CASE WHEN acc.sgn = -1
-               AND 0.25 * y + 0.75 * acc.f
-                 > 0.0689655172413793 * y + 0.9310344827586207 * acc.s
+               AND 0.25E0 * y + 0.75E0 * acc.f
+                 > 0.0689655172413793E0 * y + 0.9310344827586207E0 * acc.s
                THEN 1 ELSE 0 END,
              'down', acc.down + CASE WHEN acc.sgn = 1
-               AND 0.25 * y + 0.75 * acc.f
-                 < 0.0689655172413793 * y + 0.9310344827586207 * acc.s
+               AND 0.25E0 * y + 0.75E0 * acc.f
+                 < 0.0689655172413793E0 * y + 0.9310344827586207E0 * acc.s
                THEN 1 ELSE 0 END))"""))
       .select(col("n_days"),
         expr("CAST(round(fin.f, 6) AS DOUBLE)").as("ema_fast"),
@@ -128,9 +128,9 @@ object Analytics45 {
         |   down1 + CASE WHEN sgn1 = 1 AND f2 < s2 THEN 1 ELSE 0 END
         |  FROM (
         |   SELECT h.t + 1 AS t2,
-        |     0.25 * arr.ys[h.t + 1] + 0.75 * h.f AS f2,
-        |     0.0689655172413793 * arr.ys[h.t + 1]
-        |       + 0.9310344827586207 * h.s AS s2,
+        |     0.25E0 * arr.ys[h.t + 1] + 0.75E0 * h.f AS f2,
+        |     0.0689655172413793E0 * arr.ys[h.t + 1]
+        |       + 0.9310344827586207E0 * h.s AS s2,
         |     h.sgn AS sgn1, h.up AS up1, h.down AS down1
         |   FROM h, arr WHERE h.t < arr.n_days))
         | SELECT * FROM h)
