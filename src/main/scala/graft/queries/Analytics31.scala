@@ -110,7 +110,7 @@ object Analytics31 {
         expr("""CAST(round((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * (CAST(sx AS DOUBLE) / n))
                 / (n - 1), 6) AS DOUBLE)""").as("var_c2"),
         expr("""CAST(ceil(
-            (1.959963984540054 + 0.8416212335729143) * (1.959963984540054 + 0.8416212335729143)
+            (1.959963984540054E0 + 0.8416212335729143E0) * (1.959963984540054E0 + 0.8416212335729143E0)
             * 2 * ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * (CAST(sx AS DOUBLE) / n)) / (n - 1))
             / ((0.02 * (CAST(sx AS DOUBLE) / n)) * (0.02 * (CAST(sx AS DOUBLE) / n))))
             AS BIGINT)""").as("n_per_arm"))
@@ -248,7 +248,7 @@ object Analytics31 {
         | CAST(round((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * (CAST(sx AS DOUBLE) / n))
         |   / (n - 1), 6) AS DOUBLE) AS var_c2,
         | CAST(ceil(
-        |   (1.959963984540054 + 0.8416212335729143) * (1.959963984540054 + 0.8416212335729143)
+        |   (1.959963984540054E0 + 0.8416212335729143E0) * (1.959963984540054E0 + 0.8416212335729143E0)
         |   * 2 * ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * (CAST(sx AS DOUBLE) / n)) / (n - 1))
         |   / ((0.02 * (CAST(sx AS DOUBLE) / n)) * (0.02 * (CAST(sx AS DOUBLE) / n))))
         |   AS BIGINT) AS n_per_arm

@@ -91,7 +91,7 @@ object Analytics34 {
         """CAST(round(ln((CAST(k1 AS DOUBLE) / n1) / (CAST(k0 AS DOUBLE) / n0))
            * 1000000) AS BIGINT)"""))
       .withColumn("zse_micro", expr(
-        """CAST(round(1.959963984540054
+        """CAST(round(1.959963984540054E0
            * sqrt(1.0 / k1 - 1.0 / n1 + 1.0 / k0 - 1.0 / n0) * 1000000) AS BIGINT)"""))
       .select(col("n1"), col("k1"), col("n0"), col("k0"),
         expr("(k1 * 1000000) div n1").as("p1_ppm"),
@@ -197,7 +197,7 @@ object Analytics34 {
         | SELECT n1, k1, n0, k0,
         |  CAST(round(ln((CAST(k1 AS DOUBLE) / n1) / (CAST(k0 AS DOUBLE) / n0))
         |    * 1000000) AS BIGINT) AS lnrr_micro,
-        |  CAST(round(1.959963984540054
+        |  CAST(round(1.959963984540054E0
         |    * sqrt(1.0 / k1 - 1.0 / n1 + 1.0 / k0 - 1.0 / n0) * 1000000) AS BIGINT)
         |    AS zse_micro
         | FROM a, b)

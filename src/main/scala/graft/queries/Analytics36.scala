@@ -74,9 +74,9 @@ object Analytics36 {
       sum(expr("CAST(mx AS DECIMAL(38,0)) * mx")).as("sxx"))
     val sd = "sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * (CAST(sx AS DOUBLE) / k)) / (k - 1))"
     mm.select(col("k").as("n_blocks"),
-      expr(s"CAST(round($sd * 0.7796968012336761, 6) AS DOUBLE)").as("sigma_c"),
+      expr(s"CAST(round($sd * 0.7796968012336761E0, 6) AS DOUBLE)").as("sigma_c"),
       expr(s"""CAST(round(CAST(sx AS DOUBLE) / k
-              - 0.5772156649015329 * ($sd * 0.7796968012336761), 6) AS DOUBLE)""")
+              - 0.5772156649015329E0 * ($sd * 0.7796968012336761E0), 6) AS DOUBLE)""")
         .as("mu_c"))
   }
 
@@ -218,10 +218,10 @@ object Analytics36 {
         | FROM maxima)
         |SELECT k AS n_blocks,
         | CAST(round(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * (CAST(sx AS DOUBLE) / k)) / (k - 1))
-        |   * 0.7796968012336761, 6) AS DOUBLE) AS sigma_c,
+        |   * 0.7796968012336761E0, 6) AS DOUBLE) AS sigma_c,
         | CAST(round(CAST(sx AS DOUBLE) / k
-        |   - 0.5772156649015329 * (sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * (CAST(sx AS DOUBLE) / k)) / (k - 1))
-        |     * 0.7796968012336761), 6) AS DOUBLE) AS mu_c
+        |   - 0.5772156649015329E0 * (sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * (CAST(sx AS DOUBLE) / k)) / (k - 1))
+        |     * 0.7796968012336761E0), 6) AS DOUBLE) AS mu_c
         |FROM mm""".stripMargin,
     "q_jackknife_ratio" ->
       """WITH bn AS (

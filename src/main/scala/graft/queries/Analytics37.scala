@@ -173,9 +173,9 @@ object Analytics37 {
            / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * (CAST(sx AS DOUBLE) / n))
                   / (n - 1))"""))
       .withColumn("sym", expr(
-        """CASE WHEN z < -0.6744897501960817 THEN 'a'
+        """CASE WHEN z < -0.6744897501960817E0 THEN 'a'
            WHEN z < 0.0 THEN 'b'
-           WHEN z < 0.6744897501960817 THEN 'c' ELSE 'd' END"""))
+           WHEN z < 0.6744897501960817E0 THEN 'c' ELSE 'd' END"""))
     val w = Window.orderBy("day")
     val motifs = sym
       .withColumn("s1", lead("sym", 1).over(w))
@@ -325,9 +325,9 @@ object Analytics37 {
         | FROM daily),
         |sym AS (
         | SELECT day,
-        |  CASE WHEN z < -0.6744897501960817 THEN 'a'
+        |  CASE WHEN z < -0.6744897501960817E0 THEN 'a'
         |   WHEN z < 0.0 THEN 'b'
-        |   WHEN z < 0.6744897501960817 THEN 'c' ELSE 'd' END AS sym
+        |   WHEN z < 0.6744897501960817E0 THEN 'c' ELSE 'd' END AS sym
         | FROM (
         |  SELECT day,
         |   (x - CAST(sx AS DOUBLE) / n)

@@ -48,13 +48,13 @@ object Analytics41 {
   val qQqNormal: Q = (s, d) => {
     import s.implicits._
     val zs = Seq(
-      (1, -1.6448536269514722), (2, -1.2815515655446004), (3, -1.0364333894937898),
-      (4, -0.8416212335729143), (5, -0.6744897501960817), (6, -0.5244005127080407),
-      (7, -0.38532046640756773), (8, -0.2533471031357997), (9, -0.12566134685507402),
-      (10, 0.0), (11, 0.12566134685507402), (12, 0.2533471031357997),
-      (13, 0.38532046640756773), (14, 0.5244005127080407), (15, 0.6744897501960817),
-      (16, 0.8416212335729143), (17, 1.0364333894937898), (18, 1.2815515655446004),
-      (19, 1.6448536269514722)).toDF("step", "z")
+      (1, -1.6448536269514722E0), (2, -1.2815515655446004E0), (3, -1.0364333894937898E0),
+      (4, -0.8416212335729143E0), (5, -0.6744897501960817E0), (6, -0.5244005127080407E0),
+      (7, -0.38532046640756773E0), (8, -0.2533471031357997E0), (9, -0.12566134685507402E0),
+      (10, 0.0), (11, 0.12566134685507402E0), (12, 0.2533471031357997E0),
+      (13, 0.38532046640756773E0), (14, 0.5244005127080407E0), (15, 0.6744897501960817E0),
+      (16, 0.8416212335729143E0), (17, 1.0364333894937898E0), (18, 1.2815515655446004E0),
+      (19, 1.6448536269514722E0)).toDF("step", "z")
     val daily = Tables.orders(s, d)
       .groupBy(col("o_orderdate").cast("date").as("day"))
       .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
@@ -201,15 +201,15 @@ object Analytics41 {
     "q_qq_normal" ->
       """WITH zs AS (
         | SELECT * FROM (VALUES
-        |  (1, -1.6448536269514722), (2, -1.2815515655446004),
-        |  (3, -1.0364333894937898), (4, -0.8416212335729143),
-        |  (5, -0.6744897501960817), (6, -0.5244005127080407),
-        |  (7, -0.38532046640756773), (8, -0.2533471031357997),
-        |  (9, -0.12566134685507402), (10, 0.0), (11, 0.12566134685507402),
-        |  (12, 0.2533471031357997), (13, 0.38532046640756773),
-        |  (14, 0.5244005127080407), (15, 0.6744897501960817),
-        |  (16, 0.8416212335729143), (17, 1.0364333894937898),
-        |  (18, 1.2815515655446004), (19, 1.6448536269514722)) AS t(step, z)),
+        |  (1, -1.6448536269514722E0), (2, -1.2815515655446004E0),
+        |  (3, -1.0364333894937898E0), (4, -0.8416212335729143E0),
+        |  (5, -0.6744897501960817E0), (6, -0.5244005127080407E0),
+        |  (7, -0.38532046640756773E0), (8, -0.2533471031357997E0),
+        |  (9, -0.12566134685507402E0), (10, 0.0), (11, 0.12566134685507402E0),
+        |  (12, 0.2533471031357997E0), (13, 0.38532046640756773E0),
+        |  (14, 0.5244005127080407E0), (15, 0.6744897501960817E0),
+        |  (16, 0.8416212335729143E0), (17, 1.0364333894937898E0),
+        |  (18, 1.2815515655446004E0), (19, 1.6448536269514722E0)) AS t(step, z)),
         |daily AS (
         | SELECT CAST(o_orderdate AS DATE) AS day,
         |   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
