@@ -32,28 +32,39 @@ object Analytics14 {
     * same operation order, so both engines produce byte-identical
     * doubles before the 6dp round.
     *
-    * 100 TB shape: two sort-based window passes range-partitioned by
-    * (flag, value) — external-sorting WindowExec, O(1) state per frame
-    * — then one partial-aggregable moment reduction; nothing is held
-    * per-group. */
+    * 100 TB shape (r11 rewrite — was two full-row external sorts, the
+    * repo's slowest honest n·log n at sf1): per-row ranks depend only
+    * on the VALUE CENSUS, so rank assignment becomes (a) one map-side-
+    * combined (flag, qty, price) joint census — the only full-input
+    * shuffle, hash not sort — then (b) cumsum windows over the two
+    * marginal censuses (|distinct qty| ≈ 50 rows broadcast back;
+    * |distinct price| ≪ n rows), and (c) census-weighted moment sums.
+    * 2·avgrank(v) = 2·cum_before(v) + count(v) + 1 — the same exact
+    * integers as ranking every row, so the moments (and the oracle) are
+    * unchanged. */
   val qSpearman: Q = (s, d) => {
     val li = Tables.lineitem(s, d)
       .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
-    val wq = Window.partitionBy("l_returnflag").orderBy("l_quantity")
-    val wqt = Window.partitionBy("l_returnflag", "l_quantity")
-    val wp = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-    val wpt = Window.partitionBy("l_returnflag", "l_extendedprice")
-    val ranked = li
-      .withColumn("x", (rank().over(wq).cast("long") * 2
-        + count(lit(1)).over(wqt) - 1).cast("decimal(38,0)"))
-      .withColumn("y", (rank().over(wp).cast("long") * 2
-        + count(lit(1)).over(wpt) - 1).cast("decimal(38,0)"))
+    val joint = li.groupBy("l_returnflag", "l_quantity", "l_extendedprice")
+      .agg(count(lit(1)).as("c"))
+    def census(valCol: String, rankCol: String) = {
+      val w = Window.partitionBy("l_returnflag").orderBy(valCol)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      joint.groupBy("l_returnflag", valCol).agg(sum("c").as("cv"))
+        .withColumn(rankCol,
+          (lit(2L) * coalesce(sum("cv").over(w), lit(0L)) + col("cv") + 1L)
+            .cast("decimal(38,0)"))
+        .drop("cv")
+    }
+    val ranked = joint
+      .join(broadcast(census("l_quantity", "x")), Seq("l_returnflag", "l_quantity"))
+      .join(census("l_extendedprice", "y"), Seq("l_returnflag", "l_extendedprice"))
     val m = ranked.groupBy("l_returnflag").agg(
-      count(lit(1)).as("n_rows"),
-      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-      sum(col("x") * col("y")).as("sxy"),
-      sum(col("x") * col("x")).as("sxx"),
-      sum(col("y") * col("y")).as("syy"))
+      sum(col("c")).as("n_rows"),
+      sum(col("x") * col("c")).as("sx"), sum(col("y") * col("c")).as("sy"),
+      sum(col("x") * col("y") * col("c")).as("sxy"),
+      sum(col("x") * col("x") * col("c")).as("sxx"),
+      sum(col("y") * col("y") * col("c")).as("syy"))
     val n = col("n_rows").cast("double")
     def dd(c: String) = col(c).cast("double")
     m.select(
