@@ -1016,7 +1016,84 @@ object Text {
       s" SELECT doc_id, source, '$lang' AS cand, $score AS score FROM halves"
     }.mkString("\n UNION ALL\n")
 
+  /** r11 upgrade (was rows-only): the 10 BPE merge rounds UNROLLED as 10
+    * chained CTE stages (the q_ipf_raking precedent) — per stage, a
+    * weighted adjacent-pair census over the ≤1000-word symbol frame,
+    * argmax by (count DESC, left, right) (= the trainer's minBy
+    * (−n, a, b); binary UTF-8 order ≡ Java order on this ASCII vocab),
+    * and the non-overlapping left-to-right rewrite as a list_reduce fold
+    * (replacing the just-appended left symbol can never cascade: the
+    * merged token l||r ≠ l). Verified row-exact against the trainer. */
+  private val bpeMergesStages: String = {
+    val stages = (0 until 10).map { k =>
+      s"""pairs$k AS (
+         | SELECT w.syms[u.i] AS l, w.syms[u.i + 1] AS r, CAST(sum(w.cnt) AS BIGINT) AS c
+         | FROM words$k w, unnest(range(1, len(w.syms))) AS u(i)
+         | GROUP BY 1, 2),
+         |best$k AS (SELECT l, r, c FROM pairs$k ORDER BY c DESC, l, r LIMIT 1),
+         |merge$k AS (SELECT CAST(${k + 1} AS INTEGER) AS rank, l AS "left",
+         |  r AS "right", l || r AS merged, c AS pair_count FROM best$k),
+         |words${k + 1} AS (
+         | SELECT list_reduce(
+         |   list_prepend(CAST([] AS VARCHAR[]), list_transform(w.syms, s -> [s])),
+         |   (acc, sl) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = b.l AND sl[1] = b.r
+         |     THEN list_append(acc[:len(acc)-1], b.l || b.r)
+         |     ELSE list_append(acc, sl[1]) END) AS syms,
+         |  w.cnt
+         | FROM words$k w, best$k b)""".stripMargin
+    }
+    """WITH tok AS (
+      | SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
+      |vocab AS (
+      | SELECT token, count(*) AS cnt FROM tok GROUP BY token
+      | ORDER BY cnt DESC, token LIMIT 1000),
+      |words0 AS (
+      | SELECT list_filter(string_split(token, ''), s -> s <> '') AS syms, cnt FROM vocab),
+      |""".stripMargin + stages.mkString(",\n")
+  }
+
+  private val bpeMergesOracle: String =
+    bpeMergesStages + "\n" +
+      (0 until 10).map(k => s"SELECT * FROM merge$k").mkString(" UNION ALL ") +
+      "\nORDER BY rank"
+
+  /** r11 upgrade (was rows-only): encode = train-replay. Applying the
+    * merge ranks in ascending order ONCE each (enc0..enc10 below, over
+    * ALL distinct corpus tokens) reaches the same fixpoint as
+    * encodeWord's repeated lowest-rank search: a rank-k pair's symbols
+    * can only be produced by merges of rank < k, so after the ascending
+    * pass no lower-rank pair can reappear. Per-language stats then come
+    * from one occurrence join against the ≤|vocab|-row segmentation. */
+  private val bpeEncodeOracle: String = {
+    val apply = (0 until 10).map { k =>
+      s"""enc${k + 1} AS (
+         | SELECT e.token, list_reduce(
+         |   list_prepend(CAST([] AS VARCHAR[]), list_transform(e.syms, s -> [s])),
+         |   (acc, sl) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = b.l AND sl[1] = b.r
+         |     THEN list_append(acc[:len(acc)-1], b.l || b.r)
+         |     ELSE list_append(acc, sl[1]) END) AS syms
+         | FROM enc$k e, best$k b)""".stripMargin
+    }
+    bpeMergesStages +
+      """,
+        |enc0 AS (
+        | SELECT token, list_filter(string_split(token, ''), s -> s <> '') AS syms
+        | FROM (SELECT DISTINCT token FROM tok)),
+        |""".stripMargin + apply.mkString(",\n") +
+      """,
+        |tok2 AS (
+        | SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS token
+        | FROM documents)
+        |SELECT t.lang, count(*) AS n_tokens,
+        | CAST(sum(len(e.syms)) AS BIGINT) AS n_pieces,
+        | CAST(sum(len(e.syms)) AS BIGINT) / count(*) AS pieces_per_token
+        |FROM tok2 t JOIN enc10 e USING (token)
+        |GROUP BY t.lang ORDER BY t.lang""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_bpe_merges" -> bpeMergesOracle,
+    "q_bpe_encode" -> bpeEncodeOracle,
     "q_and_search" ->
       """WITH hits AS (
         | SELECT DISTINCT doc_id, tok FROM (
