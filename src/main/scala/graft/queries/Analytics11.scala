@@ -110,6 +110,20 @@ object Analytics11 {
       .select(
         expr("CAST(round(ln(rank) * 1000000) AS BIGINT)").as("lx"),
         expr("CAST(round(ln(freq) * 1000000) AS BIGINT)").as("ly"))
+    // Split-conversion for the >2^53 moments (r12, ADVICE): sxx/sxy reach
+    // ~5e16 µ² and the combined n·sxy − sx·sy ~1e19-1e20 — Spark's
+    // DECIMAL(38,0)→DOUBLE is single-rounded but DuckDB's HUGEINT→DOUBLE
+    // double-rounds via upper·2⁶⁴ + lower, a 1-ulp cross-engine split that
+    // a round-half 6dp boundary would surface as a hash mismatch at some
+    // SF. hi·1e9 + lo with hi, lo < 2^53 is the same exactly-representable
+    // inputs and correctly-rounded op sequence on both engines →
+    // bit-identical by construction (Analytics36's toD; div == // here
+    // because lx, ly ≥ 0 make every moment non-negative). sx/sy stay
+    // single-cast: ≤ ~2e10 < 2^53, the cast is exact on both engines.
+    val toD = (c: String) =>
+      s"(CAST($c div 1000000000 AS DOUBLE) * 1.0E9 + CAST($c % 1000000000 AS DOUBLE))"
+    val cnum = s"(n * ${toD("sxy")} - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    val cden = s"(n * ${toD("sxx")} - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
     freqs.agg(
       count(lit(1)).as("n"),
       sum(expr("CAST(lx AS DECIMAL(38,0))")).as("sx"),
@@ -117,11 +131,9 @@ object Analytics11 {
       sum(expr("CAST(lx AS DECIMAL(38,0)) * ly")).as("sxy"),
       sum(expr("CAST(lx AS DECIMAL(38,0)) * lx")).as("sxx"))
       .select(col("n").as("n_tokens"),
-        expr("""round(CAST(n * sxy - sx * sy AS DOUBLE)
-                / CAST(n * sxx - sx * sx AS DOUBLE), 6)""").as("zipf_slope"),
-        expr("""round((CAST(sy AS DOUBLE) / 1000000
-                - (CAST(n * sxy - sx * sy AS DOUBLE)
-                   / CAST(n * sxx - sx * sx AS DOUBLE))
+        expr(s"round($cnum / $cden, 6)").as("zipf_slope"),
+        expr(s"""round((CAST(sy AS DOUBLE) / 1000000
+                - ($cnum / $cden)
                   * (CAST(sx AS DOUBLE) / 1000000)) / n, 6)""").as("zipf_intercept"))
   }
 
@@ -222,10 +234,17 @@ object Analytics11 {
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20'
         |GROUP BY source
         |ORDER BY source""".stripMargin,
-    "q_zipf_fit" ->
-      """WITH freqs AS (
+    "q_zipf_fit" -> {
+      // same split-conversion as the Spark side (// == div on these
+      // non-negative moments): identical exact inputs + identical
+      // correctly-rounded op sequence → bit-identical doubles
+      val toD = (c: String) =>
+        s"(CAST($c // 1000000000 AS DOUBLE) * 1.0E9 + CAST($c % 1000000000 AS DOUBLE))"
+      val cnum = s"(n * ${toD("sxy")} - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+      val cden = s"(n * ${toD("sxx")} - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+      s"""WITH freqs AS (
         | SELECT token, count(*) AS freq
-        | FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        | FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
         |       FROM documents)
         | GROUP BY token
         | ORDER BY freq DESC, token
@@ -244,13 +263,12 @@ object Analytics11 {
         |  CAST(sum(CAST(lx AS HUGEINT) * lx) AS HUGEINT) AS sxx
         | FROM q)
         |SELECT CAST(n AS BIGINT) AS n_tokens,
-        | round(CAST(n * sxy - sx * sy AS DOUBLE)
-        |  / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+        | round($cnum / $cden, 6) AS zipf_slope,
         | round((CAST(sy AS DOUBLE) / 1000000
-        |  - (CAST(n * sxy - sx * sy AS DOUBLE)
-        |     / CAST(n * sxx - sx * sx AS DOUBLE))
+        |  - ($cnum / $cden)
         |    * (CAST(sx AS DOUBLE) / 1000000)) / n, 6) AS zipf_intercept
-        |FROM m""".stripMargin,
+        |FROM m""".stripMargin
+    },
     "q_stream_join" ->
       """SELECT c.user_id, c.event_id AS click_id, e.event_id AS err_id,
         | strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,

@@ -1023,7 +1023,16 @@ object Text {
     * (−n, a, b); binary UTF-8 order ≡ Java order on this ASCII vocab),
     * and the non-overlapping left-to-right rewrite as a list_reduce fold
     * (replacing the just-appended left symbol can never cascade: the
-    * merged token l||r ≠ l). Verified row-exact against the trainer. */
+    * merged token l||r ≠ l). Verified row-exact against the trainer.
+    *
+    * Early-stop safety (r12, ADVICE): the per-round join against best$k
+    * is a LEFT JOIN ON TRUE, so a round with NO adjacent pairs (degenerate
+    * corpus: every word already single-symbol) yields NULL b.l/b.r, the
+    * CASE falls through to the identity rebuild, and words/enc carry
+    * forward unchanged — matching Bpe.train's early stop (merge$k is
+    * empty, so the merges readout emits only the learned rounds) instead
+    * of a cross join zeroing every later stage. Once a round is empty all
+    * later rounds are too (merging can't create new adjacency). */
   private val bpeMergesStages: String = {
     val stages = (0 until 10).map { k =>
       s"""pairs$k AS (
@@ -1040,7 +1049,7 @@ object Text {
          |     THEN list_append(acc[:len(acc)-1], b.l || b.r)
          |     ELSE list_append(acc, sl[1]) END) AS syms,
          |  w.cnt
-         | FROM words$k w, best$k b)""".stripMargin
+         | FROM words$k w LEFT JOIN best$k b ON TRUE)""".stripMargin
     }
     """WITH tok AS (
       | SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
@@ -1072,7 +1081,7 @@ object Text {
          |   (acc, sl) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = b.l AND sl[1] = b.r
          |     THEN list_append(acc[:len(acc)-1], b.l || b.r)
          |     ELSE list_append(acc, sl[1]) END) AS syms
-         | FROM enc$k e, best$k b)""".stripMargin
+         | FROM enc$k e LEFT JOIN best$k b ON TRUE)""".stripMargin
     }
     bpeMergesStages +
       """,

@@ -235,10 +235,24 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
       // BPE collects the capped vocab + runs the merge loop while BUILDING
       "q_bpe_merges",
       // writes + re-reads the aggregate state store during construction
-      "q_incr_agg")
+      "q_incr_agg",
+      // r12 (ADVICE): g = max(1, n/1000) is a bounded driver scalar, so
+      // construction runs a count() job — covered by the dedicated
+      // semdedup test below at a literal g (plan shape is g-independent)
+      "q_semdedup")
     SparkEntry.queries.keys.filterNot(skip).foreach { name =>
       val p = planString(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
     }
+  }
+
+  test("q_semdedup plans no CartesianProduct (literal g, no count job)") {
+    // the registry entry is excluded from the sweep above because its
+    // construction resolves g with a count(); the plan SHAPE does not
+    // depend on g, so assert the cartesian-free property at g = 2
+    val p = graft.queries.DedupSim
+      .semdedup(Tables.embeddings(spark, sfDir), 2L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"semdedup plans a cartesian:\n$p")
   }
 }

@@ -45,8 +45,25 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = s.map(lambda v: str(v) if v is not None else None)
         elif "datetime" in str(s.dtype):
             df[c] = s.astype("datetime64[us]").map(lambda v: str(v))
-        elif "float" in str(s.dtype):
-            df[c] = s.map(lambda v: None if pd.isna(v) else float(v))
+        elif "float" in str(s.dtype).lower():
+            # Nullable-int canonicalization (r12, ADVICE): pandas and duckdb
+            # promote BIGINT-with-NULLs to float64 OR nullable Int64
+            # depending on version/backend — an asymmetric promotion would
+            # trip the dtype gate spuriously and push NULLs into NaN
+            # bit-pattern comparison. A float column that has at least one
+            # null and is integral at every non-null value is canonicalized
+            # to Int64-with-mask on BOTH sides. The rule is purely
+            # content-determined, so it can only classify the two sides
+            # differently when their values already differ (one side
+            # non-integral) — which is a genuine mismatch regardless.
+            nn = s.dropna()
+            integral = len(nn) == 0 or (
+                nn.map(lambda v: float(v).is_integer()).all()
+                and float(nn.abs().max()) < 2.0**63)
+            if len(nn) < len(s) and integral:
+                df[c] = s.astype("Int64")
+            else:
+                df[c] = s.map(lambda v: None if pd.isna(v) else float(v))
         else:
             try:
                 df[c] = s.astype("Int64")
@@ -66,10 +83,13 @@ def eq(a, b):
             # that differ in the last ulp (or -0.0 vs 0.0) are a FAIL.
             return struct.pack("<d", a) == struct.pack("<d", b)
         return a == b or abs(a - b) < 1e-9 * max(1.0, abs(a), abs(b))
-    if (a is None) != (b is None):
-        return False
-    if pd.isna(a) and pd.isna(b):
-        return True
+    # positional null compare: None (object cols), pd.NA (Int64 cols) and
+    # NaN (float cols, handled above for float/float) all count as null —
+    # a null only ever equals a null, never a value
+    a_na = a is None or (not isinstance(a, str) and pd.isna(a))
+    b_na = b is None or (not isinstance(b, str) and pd.isna(b))
+    if a_na or b_na:
+        return a_na and b_na
     return a == b
 
 
