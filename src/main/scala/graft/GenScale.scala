@@ -31,8 +31,11 @@ import org.apache.spark.sql.functions._
   * 25/5 nation/region dims — the same shape TPC-H scaling itself
   * produces (dims fixed, facts linear).
   *
-  * Usage: `runMain graft.GenScale [outDir] [replicas]` (defaults
-  * target/sf1, 10). Writes one parquet per table.
+  * Usage: `runMain graft.GenScale [outDir] [replicas] [tables]` (defaults
+  * target/sf1, 10, all). Writes one parquet per table; the optional
+  * comma-separated table list restricts the run — a third-decade probe
+  * (sf100 = 1000 replicas) needs only the one or two tables its target
+  * queries read, not 600 M lineitem rows.
   */
 object GenScale {
   val Offset = 1000000000L
@@ -40,6 +43,8 @@ object GenScale {
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("target/sf1")
     val replicas = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    val onlyTables: Set[String] = args.drop(2).headOption
+      .map(_.split(",").toSet).getOrElse(Set.empty)
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_SRC", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -58,10 +63,12 @@ object GenScale {
         perturb(off, r)
       }.reduce(_ unionByName _)
 
-    def write(name: String, df: DataFrame): Unit = {
-      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
-      println(s"[gen] $name: ${spark.read.parquet(s"$outDir/$name.parquet").count()} rows")
-    }
+    def write(name: String, df: => DataFrame): Unit =
+      if (onlyTables.nonEmpty && !onlyTables(name)) ()
+      else {
+        df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+        println(s"[gen] $name: ${spark.read.parquet(s"$outDir/$name.parquet").count()} rows")
+      }
 
     val read = (n: String) => spark.read.parquet(s"$srcDir/$n.parquet")
 

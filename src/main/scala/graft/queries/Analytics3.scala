@@ -185,24 +185,78 @@ object Analytics3 {
     * dedupe; the expand join on (name, brand)); the JW verify runs on
     * the distinct-name index whose blocks a skewed token would salt the
     * same way [[Dedup]]'s inverted index does. */
-  val qRecordLinkage: Q = (s, d) => {
-    val p = Tables.part(s, d).select(
-      col("p_brand").as("brand"), col("p_partkey").as("pk"), col("p_name").as("nm"))
-    val toks = p.select("nm").distinct()
-      .select(col("nm"), explode(split(col("nm"), " ")).as("tok"))
-    val cand = toks.as("a").join(toks.as("b"), col("a.tok") === col("b.tok"))
+  /** The matched NAME pairs (unordered: na ≤ nb once, self-pairs kept —
+    * JW(x,x)=1 links distinct records sharing a name), shared by both
+    * linkage readouts below. */
+  private def linkageMatchedNames(s: SparkSession, d: String) = {
+    val names = Tables.part(s, d).select(col("p_name").as("nm")).distinct()
+    val toks = names.select(col("nm"), explode(split(col("nm"), " ")).as("tok"))
+    toks.as("a").join(toks.as("b"), col("a.tok") === col("b.tok"))
+      .filter(col("a.nm") <= col("b.nm"))
       .select(col("a.nm").as("na"), col("b.nm").as("nb")).distinct()
-    val matched = cand
       .withColumn("jw", round(
         graft.functions.JaroWinkler.jaro_winkler(col("na"), col("nb")), 6))
       .filter(col("jw") >= 0.92)
+  }
+
+  /** The full record-pair expansion (the pre-r12 q_record_linkage
+    * output): every same-brand record pair whose names matched, one row
+    * per pair. OUTPUT-sized — on the replicated sfN corpora true-pair
+    * count grows ~replicas² (the r11 sf10 decade measured 64.9×, all of
+    * it answer cardinality) — so the registry entry now reports the
+    * work-bound per-brand census instead; this variant stays available
+    * and is the referee the spec brute-forces against all-pairs AND
+    * reconciles with the census readout. */
+  def recordLinkagePairs(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d).select(
+      col("p_brand").as("brand"), col("p_partkey").as("pk"), col("p_name").as("nm"))
+    val matched = linkageMatchedNames(s, d)
+    // both orientations back, so the (name=na, name=nb) × (pk order)
+    // expansion below needs only one join shape
+    val both = matched.union(
+      matched.filter(col("na") =!= col("nb"))
+        .select(col("nb").as("na"), col("na").as("nb"), col("jw")))
     val b = p.select(col("brand").as("brand_b"), col("pk").as("pk_b"),
       col("nm").as("nm_b"))
-    p.join(broadcast(matched), col("nm") === col("na"))
+    p.join(broadcast(both), col("nm") === col("na"))
       .join(b, col("nm_b") === col("nb") && col("brand") === col("brand_b") &&
         col("pk") < col("pk_b"))
       .select(col("brand"), col("pk").as("pk_a"), col("pk_b"), col("jw"))
       .orderBy("brand", "pk_a", "pk_b")
+  }
+
+  val qRecordLinkage: Q = (s, d) => {
+    // r12 work-bound readout (VERDICT r11 task 3): the record-pair count
+    // per matched name pair is pure arithmetic over per-(brand, name)
+    // record counts — c_a·c_b for na ≠ nb (each unordered record pair has
+    // exactly one pk_a < pk_b orientation), C(c,2) for na = nb — so the
+    // quadratic pair set is never enumerated. The bench then measures the
+    // WORK (distinct-name dedupe, token-blocked candidate join, JW verify,
+    // two domain-sized count joins), all ~linear in records, instead of
+    // the answer's ~replicas² cardinality. The spec reconciles this census
+    // against aggregating the full recordLinkagePairs frame.
+    val p = Tables.part(s, d).select(
+      col("p_brand").as("brand"), col("p_partkey").as("pk"), col("p_name").as("nm"))
+    val matched = linkageMatchedNames(s, d)
+      .withColumn("jw_micro", expr("CAST(round(jw * 1000000) AS BIGINT)"))
+    val counts = p.groupBy("brand", "nm").agg(count(lit(1)).as("c"))
+    // distinct column names on the two count sides: a .as()-aliased
+    // self-join over the same aggregate risks ambiguous-attribute
+    // resolution; renamed selects are unambiguous by construction
+    val ca = counts.select(col("brand"), col("nm").as("nm_a"), col("c").as("c_a"))
+    val cb = counts.select(col("brand").as("brand_b"), col("nm").as("nm_b"),
+      col("c").as("c_b"))
+    val perPair = ca.join(broadcast(matched), col("nm_a") === col("na"))
+      .join(cb, col("nm_b") === col("nb") && col("brand_b") === col("brand"))
+      .select(col("brand"), col("jw_micro"),
+        when(col("na") === col("nb"), expr("c_a * (c_a - 1) div 2"))
+          .otherwise(col("c_a") * col("c_b")).as("n_pr"))
+      .filter(col("n_pr") > 0)
+    perPair.groupBy("brand")
+      .agg(count(lit(1)).as("n_name_pairs"),
+        sum("n_pr").as("n_pairs"),
+        sum(col("n_pr") * col("jw_micro")).as("jw_micro_wsum"))
+      .orderBy("brand")
   }
 
   /** Hard-negative mining for contrastive training: for each probe
@@ -327,15 +381,26 @@ object Analytics3 {
       """WITH names AS (SELECT DISTINCT p_name AS nm FROM part),
         |toks AS (SELECT nm, unnest(string_split(nm, ' ')) AS tok FROM names),
         |cand AS (SELECT DISTINCT a.nm AS na, b.nm AS nb
-        |         FROM toks a JOIN toks b ON a.tok = b.tok),
+        |         FROM toks a JOIN toks b ON a.tok = b.tok
+        |         WHERE a.nm <= b.nm),
         |matched AS (SELECT na, nb, round(jaro_winkler_similarity(na, nb), 6) AS jw
         |            FROM cand
-        |            WHERE round(jaro_winkler_similarity(na, nb), 6) >= 0.92)
-        |SELECT a.p_brand AS brand, a.p_partkey AS pk_a, b.p_partkey AS pk_b, m.jw
-        |FROM part a JOIN matched m ON a.p_name = m.na
-        |JOIN part b ON b.p_name = m.nb AND b.p_brand = a.p_brand
-        | AND a.p_partkey < b.p_partkey
-        |ORDER BY brand, pk_a, pk_b""".stripMargin,
+        |            WHERE round(jaro_winkler_similarity(na, nb), 6) >= 0.92),
+        |counts AS (SELECT p_brand AS brand, p_name AS nm, count(*) AS c
+        |           FROM part GROUP BY 1, 2),
+        |g AS (
+        | SELECT ca.brand,
+        |  CAST(round(m.jw * 1000000) AS BIGINT) AS jw_micro,
+        |  CASE WHEN m.na = m.nb THEN ca.c * (ca.c - 1) // 2
+        |       ELSE ca.c * cb.c END AS n_pr
+        | FROM matched m
+        | JOIN counts ca ON m.na = ca.nm
+        | JOIN counts cb ON m.nb = cb.nm AND cb.brand = ca.brand)
+        |SELECT brand, CAST(count(*) AS BIGINT) AS n_name_pairs,
+        | CAST(sum(n_pr) AS BIGINT) AS n_pairs,
+        | CAST(sum(n_pr * jw_micro) AS BIGINT) AS jw_micro_wsum
+        |FROM g WHERE n_pr > 0
+        |GROUP BY brand ORDER BY brand""".stripMargin,
     "q_hard_negatives" ->
       """WITH v AS (
         | SELECT vec_id, label,

@@ -123,11 +123,36 @@ class Analytics3Spec extends AnyFunSuite with SharedSpark {
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
         if jw >= 0.92
       } yield (a._1, a._2, b._2)).toSet
-      val got = Analytics3.qRecordLinkage(spark, dir).collect()
+      val got = Analytics3.recordLinkagePairs(spark, dir).collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
       assert(got == expected, s"$dir: missing=${(expected -- got).take(3)} " +
         s"extra=${(got -- expected).take(3)}")
       assert(got.nonEmpty, s"$dir must contain linkable names")
+    }
+  }
+
+  /** The r12 work-bound registry readout must carry EXACTLY the
+    * information an aggregation of the full pair frame carries: per
+    * brand, the pair count and the jw-weighted sum, derived
+    * arithmetically from per-(brand, name) record counts without ever
+    * enumerating the quadratic pair set. Reconcile the two paths. */
+  test("record linkage census == aggregated full-pair frame (sf0.001 + sf0.01)") {
+    import org.apache.spark.sql.functions._
+    Seq(sfDir, "/root/testdata/sf0.01").foreach { dir =>
+      val fromPairs = Analytics3.recordLinkagePairs(spark, dir)
+        .groupBy("brand")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(expr("CAST(round(jw * 1000000) AS BIGINT)")).as("jw_micro_wsum"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val census = Analytics3.qRecordLinkage(spark, dir).collect()
+        .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+      assert(census == fromPairs,
+        s"$dir: census=$census vs pairs=$fromPairs")
+      assert(census.nonEmpty, s"$dir must contain linkable names")
+      // n_name_pairs is a census-only column: sanity-pin it positive
+      Analytics3.qRecordLinkage(spark, dir).collect()
+        .foreach(r => assert(r.getLong(1) > 0))
     }
   }
 

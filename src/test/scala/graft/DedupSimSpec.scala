@@ -755,6 +755,77 @@ class DedupSimSpec extends AnyFunSuite with SharedSpark {
       s"sharded semdedup caught $caught5 of $planted planted dups")
   }
 
+  /** r12 (VERDICT r11 task 7): the sharded path faces an EXACT oracle
+    * replay on a corpus dense enough that g > 1 — n = 2500 (5 GenScale-
+    * style replicas of the 500-vector base, keys offset by 10⁹, dim-0
+    * perturbed so replicas aren't exact duplicates), so the wrapper's
+    * g-formula gives 2. The referee recomputes the whole pipeline
+    * driver-side with the engine's float discipline (left-to-right dots,
+    * 6dp HALF_UP rounds, (−score, cl) tie order) and asserts row-exact
+    * equality — the same certification the DuckDB oracle gives at
+    * sf0.1's n = 2000 (g = 2, green in the 3-SF sweep), here at spec
+    * speed on a denser fixture. */
+  test("semdedup dense-corpus replay: exact equality at g = 2 (n = 2500)") {
+    import org.apache.spark.sql.functions._
+    val base0 = Tables.embeddings(spark, sfDir)
+    val dense = (0 until 5).map { r =>
+      val off = base0.withColumn("vec_id", col("vec_id") + lit(r * 1000000000L))
+      if (r == 0) off
+      else off.withColumn("embedding",
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x + lit(r * 0.001f)).otherwise(x)))
+    }.reduce(_ unionByName _)
+    val g = 2L
+    assert(dense.count() / 1000L == g, "fixture must trigger the sharded path")
+    val engine = graft.queries.DedupSim.semdedup(dense, g).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dotLR(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val baseRows = dense
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("emb"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    // aug comes from the SAME spark transform the engine uses — the
+    // replay covers centroids/assignment/pairing, the g-dependent path
+    val augRows = Similarity.withPlantedDups(dense).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val dim = baseRows.head._3.length
+    val cents = baseRows.groupBy(r => (r._2, r._1 % g)).map { case ((label, shard), rows) =>
+      val c = Array.tabulate(dim) { d =>
+        round6(rows.map(_._3(d)).sum / rows.length)
+      }
+      (label.toLong * g + shard, c, math.sqrt(dotLR(c, c)))
+    }.toArray
+    val assigned = augRows.map { case (id, v) =>
+      val best = cents.map { case (cl, c, cn) =>
+        (-1.0 * dotLR(v, c) / cn, cl)
+      }.minBy(identity)
+      (best._2, id, v, math.sqrt(dotLR(v, v)))
+    }
+    val expected = assigned.groupBy(_._1).toSeq.flatMap { case (cl, members) =>
+      val pairs = for {
+        a <- members; b <- members
+        if a._2 < b._2
+        sim = round6(dotLR(a._3, b._3) / (a._4 * b._4))
+        if sim >= 0.9
+      } yield (b._2, sim)
+      pairs.groupBy(_._1).map { case (bId, ps) =>
+        (bId, cl, ps.size.toLong, ps.map(_._2).max)
+      }
+    }.sortBy(_._1)
+    assert(expected.nonEmpty, "fixture must produce near-dup pairs")
+    assert(engine.toSeq == expected,
+      s"engine=${engine.take(3).toSeq} expected=${expected.take(3)} " +
+        s"(sizes ${engine.length}/${expected.size})")
+  }
+
   test("leakage-free split keeps every near-dup cluster in one split") {
     val split = graft.queries.DedupSim.qLeakageSplit(spark, sfDir)
     val perCluster = split.groupBy("cluster_id")

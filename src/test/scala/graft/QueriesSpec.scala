@@ -50,6 +50,35 @@ class QueriesSpec extends AnyFunSuite with SharedSpark {
       s"HLL estimate $merged vs exact $exact")
   }
 
+  test("q_approx_distinct: HLL++ estimate within 5% of the exact count") {
+    // the rows-only adjudication for this query (PLANS.md): the sketch
+    // value is engine-specific, so the spec pins the ESTIMATOR contract —
+    // the query itself carries exact_parts alongside for the referee
+    val r = graft.queries.Relational2.qApproxDistinct(spark, sfDir).head()
+    val (approx, exact) = (r.getLong(0), r.getLong(1))
+    assert(exact > 0 && math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx $approx vs exact $exact")
+  }
+
+  test("q_approx_percentile: GK sketch within rank tolerance of exact percentiles") {
+    import org.apache.spark.sql.functions._
+    // percentile_approx(accuracy=10000) guarantees rank error ≤ n/10000;
+    // assert against the exact per-group percentiles with a generous
+    // VALUE band (1% relative) — the estimator contract, engine-side only
+    val approx = graft.queries.Relational3.qApproxPercentile(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
+        percentile(col("l_extendedprice"), lit(0.95)).as("p95"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((g, (a50, a95)) <- approx; (e50, e95) = exact(g)) {
+      assert(math.abs(a50 - e50) / e50 < 0.01, s"$g p50: $a50 vs $e50")
+      assert(math.abs(a95 - e95) / e95 < 0.01, s"$g p95: $a95 vs $e95")
+    }
+  }
+
   test("sort-based groupedQuantiles equals Spark's exact percentile aggregate") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
