@@ -92,12 +92,20 @@ object GenScale {
           // source invariant (verified): n_chars == length(text)
           .withColumn("n_chars", length(col("text")).cast("long"))))
 
+    // Perturbation spread over dims 0/1 so a THIRD-decade run (1000
+    // replicas) stays ≤ 0.031 per dim — r·0.001 on one dim reaches ~1.0
+    // at r=999, which is no longer ≪ inter-point distance and would
+    // reshape cluster geometry instead of replicating it. (r%32, r/32)
+    // is unique per replica for r < 1024 and bit-identical to the old
+    // single-dim form for r < 32, so sf1/sf10 regenerate unchanged.
     write("embeddings", replicate(read("embeddings"), Seq("vec_id"),
       perturb = (d, r) =>
         if (r == 0) d
         else d.withColumn("embedding",
           transform(col("embedding"),
-            (x, i) => when(i === 0, x + lit(r * 0.001f)).otherwise(x)))))
+            (x, i) => when(i === 0, x + lit((r % 32) * 0.001f))
+              .when(i === 1, x + lit((r / 32) * 0.001f))
+              .otherwise(x)))))
 
     spark.stop()
   }

@@ -193,11 +193,22 @@ object DedupSim {
     * 10×). g = 1 at the driver's correctness SFs (n ≤ 1000), so the
     * result set there is byte-identical to the fixed-K form — the spec
     * proves the invariance and the planted-dup recall under g > 1.
-    * Assignment is a broadcast join against the K×dim centroid frame
-    * (no driver collect, no K-literal expression), reduced by a
-    * partial-aggregable min(struct(negscore, cl)) — at 100 TB the n×K
-    * assignment scan is the IVF coarse-quantizer shape; beyond K ~ 10⁴
-    * a production run probes a centroid LSH index instead.
+    * Assignment (r12) is a HIERARCHICAL coarse quantizer — the n×K
+    * flat scan the r11 form used is quadratic overall (K ∝ n), which
+    * the third-decade arithmetic makes prohibitive (sf100: 3M aug rows
+    * × 20k centroids = 6×10¹⁰ dot-rows). Shards are grouped G = ⌈√g⌉
+    * per group; level 1 scores the 10·⌈g/G⌉ GROUP centroids (mean over
+    * the group's raw member vectors, same 6dp discipline), level 2
+    * scores only the winning group's ≤ G shard centroids. Per-row work
+    * falls from 10g to ~11√g dots (sf100: 20,000 → ~500), total
+    * assignment work from Θ(n²/100) to Θ(n^1.5/10) — and each level is
+    * the same broadcast join + partial-aggregable min(struct(negscore,
+    * id)) shape as before (no driver collect, no K-literal expression).
+    * At g = 1 the tree has one group per label holding that label's
+    * single shard, so the descent IS the flat argmax — byte-identical
+    * results at the fixed-K SFs by construction. Beyond the third
+    * decade, deepen the tree (g^{1/L} branching) or swap level 1 for a
+    * centroid LSH probe (the approximate production path).
     *
     * Cross-engine determinism: centroid components are round(·,6)'d
     * BEFORE assignment (partition-order double sums differ in ulps),
@@ -208,23 +219,49 @@ object DedupSim {
     * Planted ±2% perturbed copies (cosine ≈ 0.9998) give the threshold
     * real positives, as in [[qDedupEmbed]]. */
   def semdedup(base: org.apache.spark.sql.DataFrame, g: Long): org.apache.spark.sql.DataFrame = {
-    // per-(label, shard) mean centroids, 6dp-rounded; (10·g)×dim frame
-    val cents = base
+    val G = math.max(1L, math.ceil(math.sqrt(g.toDouble)).toLong) // shards per group
+    val GN = (g + G - 1L) / G                                     // groups per label
+    // one exploded (label, shard, grp, dim, v) frame feeds BOTH
+    // centroid aggs — two linear map-side-combined passes
+    val dims = base
       .select(col("label"), (col("vec_id") % g).as("shard"),
         posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
-      .groupBy("label", "shard", "dim").agg(round(avg("v"), 6).as("m"))
-      .groupBy("label", "shard")
+      .withColumn("grp", expr(s"shard div ${G}L"))
+    // per-(label, shard) leaf centroids, 6dp-rounded; (10·g)×dim frame
+    val cents = dims
+      .groupBy("label", "grp", "shard", "dim").agg(round(avg("v"), 6).as("m"))
+      .groupBy("label", "grp", "shard")
       .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("p"))
-      .select((col("label") * g + col("shard")).cast("long").as("cl"),
+      .select(col("label").cast("long").as("label"), col("grp"),
+        (col("label") * g + col("shard")).cast("long").as("cl"),
         expr("transform(p, x -> x.m)").as("cvec"))
       .withColumn("cnorm", Similarity.l2norm(col("cvec")))
+    // per-(label, grp) GROUP centroids over the group's raw member
+    // vectors — same discipline, 10·⌈g/G⌉ rows
+    val gcents = dims
+      .groupBy("label", "grp", "dim").agg(round(avg("v"), 6).as("m"))
+      .groupBy("label", "grp")
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("p"))
+      .select((col("label") * GN + col("grp")).cast("long").as("gid"),
+        expr("transform(p, x -> x.m)").as("gvec"))
+      .withColumn("gnorm", Similarity.l2norm(col("gvec")))
     val aug = Similarity.prepared(Similarity.withPlantedDups(base))
       .select("vec_id", "emb", "nrm")
-    // argmax over the K centroids as a map-side-combinable struct-min:
-    // (-score, cl) orders max-score-first, lower cl on ties — the same
-    // total order as the oracle's ORDER BY score DESC, cl ASC (negation
-    // is an exact IEEE sign flip)
-    val assigned = aug.join(broadcast(cents))
+    // level 1: argmax over the group centroids as a map-side-combinable
+    // struct-min: (-score, gid) orders max-score-first, lower gid on
+    // ties — the same total order as the oracle's ORDER BY score DESC,
+    // gid ASC (negation is an exact IEEE sign flip)
+    val lvl1 = aug.join(broadcast(gcents))
+      .withColumn("negscore",
+        (lit(-1.0) * Similarity.dot(col("emb"), col("gvec"))) / col("gnorm"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("negscore"), col("gid"))).as("best1"),
+        first("emb").as("emb"), first("nrm").as("nrm"))
+      .select(col("vec_id"), col("emb"), col("nrm"),
+        expr(s"best1.gid div ${GN}L").as("label"),
+        (col("best1.gid") % GN).as("grp"))
+    // level 2: the winning group's ≤ G leaf centroids, same struct-min
+    val assigned = lvl1.join(broadcast(cents), Seq("label", "grp"))
       .withColumn("negscore",
         (lit(-1.0) * Similarity.dot(col("emb"), col("cvec"))) / col("cnorm"))
       .groupBy("vec_id")
@@ -434,22 +471,38 @@ object DedupSim {
         |FROM b ORDER BY doc_id""".stripMargin,
     "q_semdedup" ->
       """WITH params AS (
-        | SELECT greatest(1, count(*) // 1000) AS g FROM embeddings),
+        | SELECT g, gsz, (g + gsz - 1) // gsz AS gn FROM (
+        |  SELECT greatest(1, count(*) // 1000) AS g,
+        |   CAST(ceil(sqrt(greatest(1, count(*) // 1000))) AS BIGINT) AS gsz
+        |  FROM embeddings)),
         |base AS (
         | SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS emb
         | FROM embeddings),
         |cdims AS (
-        | SELECT label, vec_id % p.g AS shard, u.i AS dim,
-        |  round(avg(emb[u.i + 1]), 6) AS m
+        | SELECT label, vec_id % p.g AS shard, (vec_id % p.g) // p.gsz AS grp,
+        |  u.i AS dim, round(avg(emb[u.i + 1]), 6) AS m
         | FROM base, params p, unnest(range(0, len(emb))) AS u(i)
-        | GROUP BY label, shard, u.i),
+        | GROUP BY label, shard, grp, u.i),
         |cents AS (
-        | SELECT label, shard, list(m ORDER BY dim) AS cvec
-        | FROM cdims GROUP BY label, shard),
+        | SELECT label, grp, shard, list(m ORDER BY dim) AS cvec
+        | FROM cdims GROUP BY label, grp, shard),
         |cn AS (
-        | SELECT CAST(label * p.g + shard AS BIGINT) AS cl, cvec,
+        | SELECT CAST(label AS BIGINT) AS label, grp,
+        |  CAST(label * p.g + shard AS BIGINT) AS cl, cvec,
         |  sqrt(list_sum(list_transform(cvec, x -> x * x))) AS cnorm
         | FROM cents, params p),
+        |gdims AS (
+        | SELECT label, (vec_id % p.g) // p.gsz AS grp, u.i AS dim,
+        |  round(avg(emb[u.i + 1]), 6) AS m
+        | FROM base, params p, unnest(range(0, len(emb))) AS u(i)
+        | GROUP BY label, grp, u.i),
+        |gcents AS (
+        | SELECT label, grp, list(m ORDER BY dim) AS gvec
+        | FROM gdims GROUP BY label, grp),
+        |gcn AS (
+        | SELECT CAST(label * p.gn + grp AS BIGINT) AS gid, gvec,
+        |  sqrt(list_sum(list_transform(gvec, x -> x * x))) AS gnorm
+        | FROM gcents, params p),
         |pert0 AS (
         | SELECT vec_id, list_transform(range(0, len(emb)),
         |   i -> emb[i+1] * (1.0 + CAST((vec_id*31 + i*7) % 11 - 5 AS DOUBLE) * 0.004)) AS emb
@@ -462,15 +515,25 @@ object DedupSim {
         | SELECT vec_id, emb,
         |  sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm
         | FROM aug),
-        |scored AS (
-        | SELECT v.vec_id, v.emb, v.nrm, cn.cl,
+        |scored1 AS (
+        | SELECT v.vec_id, v.emb, v.nrm, gc.gid,
         |  list_sum(list_transform(range(1, len(v.emb)+1),
-        |    i -> v.emb[i] * cn.cvec[i])) / cn.cnorm AS score
-        | FROM v, cn),
+        |    i -> v.emb[i] * gc.gvec[i])) / gc.gnorm AS score
+        | FROM v, gcn gc),
+        |best1 AS (
+        | SELECT vec_id, emb, nrm, gid // p.gn AS label, gid % p.gn AS grp
+        | FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |         ORDER BY score DESC, gid ASC) AS rn FROM scored1), params p
+        | WHERE rn = 1),
+        |scored2 AS (
+        | SELECT b.vec_id, b.emb, b.nrm, c.cl,
+        |  list_sum(list_transform(range(1, len(b.emb)+1),
+        |    i -> b.emb[i] * c.cvec[i])) / c.cnorm AS score
+        | FROM best1 b JOIN cn c ON b.label = c.label AND b.grp = c.grp),
         |assigned AS (
         | SELECT vec_id, emb, nrm, cl
         | FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
-        |         ORDER BY score DESC, cl ASC) AS rn FROM scored)
+        |         ORDER BY score DESC, cl ASC) AS rn FROM scored2)
         | WHERE rn = 1),
         |pairs AS (
         | SELECT a.cl, a.vec_id AS a_id, b.vec_id AS b_id,

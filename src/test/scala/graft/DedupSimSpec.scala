@@ -797,14 +797,30 @@ class DedupSimSpec extends AnyFunSuite with SharedSpark {
     val augRows = Similarity.withPlantedDups(dense).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val dim = baseRows.head._3.length
-    val cents = baseRows.groupBy(r => (r._2, r._1 % g)).map { case ((label, shard), rows) =>
-      val c = Array.tabulate(dim) { d =>
-        round6(rows.map(_._3(d)).sum / rows.length)
-      }
-      (label.toLong * g + shard, c, math.sqrt(dotLR(c, c)))
-    }.toArray
+    // the engine's r12 hierarchical coarse quantizer, replayed exactly:
+    // G = ⌈√g⌉ shards per group, level-1 argmax over the (label, grp)
+    // group centroids (mean over raw member vectors), level-2 over the
+    // winning group's leaf centroids — ties to the lower id at each level
+    val G = math.max(1L, math.ceil(math.sqrt(g.toDouble)).toLong)
+    val GN = (g + G - 1L) / G
+    def meanCent(rows: Array[(Long, Int, Array[Double])]): Array[Double] =
+      Array.tabulate(dim)(d => round6(rows.map(_._3(d)).sum / rows.length))
+    val cents = baseRows.groupBy(r => (r._2.toLong, (r._1 % g) / G, r._1 % g))
+      .map { case ((label, grp, shard), rows) =>
+        val c = meanCent(rows)
+        ((label, grp), label * g + shard, c, math.sqrt(dotLR(c, c)))
+      }.toArray
+    val gcents = baseRows.groupBy(r => (r._2.toLong, (r._1 % g) / G))
+      .map { case ((label, grp), rows) =>
+        val c = meanCent(rows)
+        (label * GN + grp, c, math.sqrt(dotLR(c, c)))
+      }.toArray
     val assigned = augRows.map { case (id, v) =>
-      val best = cents.map { case (cl, c, cn) =>
+      val gid = gcents.map { case (gid, c, cn) =>
+        (-1.0 * dotLR(v, c) / cn, gid)
+      }.minBy(identity)._2
+      val key = (gid / GN, gid % GN)
+      val best = cents.filter(_._1 == key).map { case (_, cl, c, cn) =>
         (-1.0 * dotLR(v, c) / cn, cl)
       }.minBy(identity)
       (best._2, id, v, math.sqrt(dotLR(v, v)))
