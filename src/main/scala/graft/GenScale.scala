@@ -98,14 +98,42 @@ object GenScale {
     // reshape cluster geometry instead of replicating it. (r%32, r/32)
     // is unique per replica for r < 1024 and bit-identical to the old
     // single-dim form for r < 32, so sf1/sf10 regenerate unchanged.
+    //
+    // SPARK_GRAFT_EMB_SEP=1 (r12): ROTATION-SEPARATED replicas for
+    // threshold-dedup probe corpora. The tiny dim-0/1 shift keeps
+    // cross-replica cosines ≈ 0.999 — ABOVE any dedup threshold — so
+    // every base vector becomes a #replicas-sized near-dup atom and the
+    // true answer of a 0.9-threshold pair query grows QUADRATICALLY
+    // with the replica count (answer growth, not work growth — the
+    // q_record_linkage adjudication class). With separation on, each
+    // replica r > 0 applies a replica-specific signed coordinate
+    // rotation (cyclic shift by r mod 64 + a 4-bit sign pattern from
+    // r div 64 — 1024 distinct hyperoctahedral rotations): every
+    // intra-replica inner product is EXACTLY preserved (the dedup/kNN
+    // structure of each world is byte-faithful up to cell labels),
+    // while cross-replica cosines collapse to ~0 — far below any
+    // threshold — so a near-dup query's answer scales linearly and a
+    // decade step measures WORK. Probe dirs only; default off keeps
+    // the standard corpora byte-identical.
+    val sep = sys.env.get("SPARK_GRAFT_EMB_SEP").contains("1")
     write("embeddings", replicate(read("embeddings"), Seq("vec_id"),
       perturb = (d, r) =>
         if (r == 0) d
-        else d.withColumn("embedding",
+        else if (!sep) d.withColumn("embedding",
           transform(col("embedding"),
             (x, i) => when(i === 0, x + lit((r % 32) * 0.001f))
               .when(i === 1, x + lit((r / 32) * 0.001f))
-              .otherwise(x)))))
+              .otherwise(x)))
+        else {
+          val shift = r % 64
+          val k = r / 64
+          val sgn = (0 until 4).map(bit => if (((k >> bit) & 1) == 1) -1f else 1f)
+          d.withColumn("embedding",
+            transform(col("embedding"), (_, i) =>
+              when(i % 4 === 0, lit(sgn(0))).when(i % 4 === 1, lit(sgn(1)))
+                .when(i % 4 === 2, lit(sgn(2))).otherwise(lit(sgn(3))) *
+                element_at(col("embedding"), ((i + lit(shift)) % 64) + 1)))
+        }))
 
     spark.stop()
   }

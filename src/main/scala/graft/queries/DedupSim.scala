@@ -196,19 +196,23 @@ object DedupSim {
     * Assignment (r12) is a HIERARCHICAL coarse quantizer — the n×K
     * flat scan the r11 form used is quadratic overall (K ∝ n), which
     * the third-decade arithmetic makes prohibitive (sf100: 3M aug rows
-    * × 20k centroids = 6×10¹⁰ dot-rows). Shards are grouped G = ⌈√g⌉
-    * per group; level 1 scores the 10·⌈g/G⌉ GROUP centroids (mean over
-    * the group's raw member vectors, same 6dp discipline), level 2
-    * scores only the winning group's ≤ G shard centroids. Per-row work
-    * falls from 10g to ~11√g dots (sf100: 20,000 → ~500), total
-    * assignment work from Θ(n²/100) to Θ(n^1.5/10) — and each level is
-    * the same broadcast join + partial-aggregable min(struct(negscore,
-    * id)) shape as before (no driver collect, no K-literal expression).
-    * At g = 1 the tree has one group per label holding that label's
-    * single shard, so the descent IS the flat argmax — byte-identical
-    * results at the fixed-K SFs by construction. Beyond the third
-    * decade, deepen the tree (g^{1/L} branching) or swap level 1 for a
-    * centroid LSH probe (the approximate production path).
+    * × 20k centroids = 6×10¹⁰ dot-rows). Shards form a THREE-LEVEL
+    * tree with branching b = ⌈g^{1/3}⌉ (top = shard div b², mid =
+    * shard div b): level 1 scores the 10·⌈g/b²⌉ TOP centroids (mean
+    * over the raw member vectors, same 6dp discipline), level 2 the
+    * winning top's ≤ b mid centroids, level 3 the winning mid's ≤ b
+    * leaf centroids. Per-row work falls from 10g to ~10·g^{1/3}+2b
+    * dots (sf100: 20,000 → ~146), total assignment Θ(n²/100) →
+    * Θ(n^{4/3}) — and each level is the same broadcast join +
+    * partial-aggregable min(struct(negscore, id)) shape as before (no
+    * driver collect, no K-literal expression). At g = 1 every level
+    * has one candidate per label, so the descent IS the flat argmax —
+    * byte-identical results at the fixed-K SFs by construction. b is
+    * derived from round(g^{1/3}) with an exact integer-cube correction
+    * so both engines compute the identical branching. Beyond the third
+    * decade, deepen the tree further (g^{1/L} branching, exponent
+    * n^{1+1/L}) or swap the top level for a centroid LSH probe (the
+    * approximate production path at true 100 TB).
     *
     * Cross-engine determinism: centroid components are round(·,6)'d
     * BEFORE assignment (partition-order double sums differ in ulps),
@@ -218,65 +222,116 @@ object DedupSim {
     * exact discipline the embed-dedup oracle already certifies.
     * Planted ±2% perturbed copies (cosine ≈ 0.9998) give the threshold
     * real positives, as in [[qDedupEmbed]]. */
+  /** Smallest b ≥ 1 with b³ ≥ g — round(g^{1/3}) plus an exact
+    * integer-cube correction, so Spark and DuckDB (same formula in the
+    * oracle) agree regardless of pow() ulps. */
+  def cbrtCeil(g: Long): Long = {
+    val b0 = math.rint(math.pow(g.toDouble, 1.0 / 3.0)).toLong
+    math.max(1L,
+      if ((b0 - 1) * (b0 - 1) * (b0 - 1) >= g) b0 - 1
+      else if (b0 * b0 * b0 >= g) b0
+      else b0 + 1)
+  }
+
   def semdedup(base: org.apache.spark.sql.DataFrame, g: Long): org.apache.spark.sql.DataFrame = {
-    val G = math.max(1L, math.ceil(math.sqrt(g.toDouble)).toLong) // shards per group
-    val GN = (g + G - 1L) / G                                     // groups per label
-    // one exploded (label, shard, grp, dim, v) frame feeds BOTH
-    // centroid aggs — two linear map-side-combined passes
+    val b = cbrtCeil(g)              // tree branching factor
+    val NM = (g + b - 1L) / b        // mid nodes per label
+    val NT = (g + b * b - 1L) / (b * b) // top nodes per label
+    // one exploded (label, shard, mid, top, dim, v) frame feeds all
+    // three centroid aggs — three linear map-side-combined passes
     val dims = base
       .select(col("label"), (col("vec_id") % g).as("shard"),
         posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
-      .withColumn("grp", expr(s"shard div ${G}L"))
+      .withColumn("mid", expr(s"shard div ${b}L"))
+      .withColumn("top", expr(s"shard div ${b * b}L"))
     // per-(label, shard) leaf centroids, 6dp-rounded; (10·g)×dim frame
     val cents = dims
-      .groupBy("label", "grp", "shard", "dim").agg(round(avg("v"), 6).as("m"))
-      .groupBy("label", "grp", "shard")
+      .groupBy("label", "mid", "shard", "dim").agg(round(avg("v"), 6).as("m"))
+      .groupBy("label", "mid", "shard")
       .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("p"))
-      .select(col("label").cast("long").as("label"), col("grp"),
+      .select(col("label").cast("long").as("label"), col("mid"),
         (col("label") * g + col("shard")).cast("long").as("cl"),
         expr("transform(p, x -> x.m)").as("cvec"))
       .withColumn("cnorm", Similarity.l2norm(col("cvec")))
-    // per-(label, grp) GROUP centroids over the group's raw member
-    // vectors — same discipline, 10·⌈g/G⌉ rows
-    val gcents = dims
-      .groupBy("label", "grp", "dim").agg(round(avg("v"), 6).as("m"))
-      .groupBy("label", "grp")
+    // per-(label, mid) MID centroids over the raw member vectors
+    val mcents = dims
+      .groupBy("label", "top", "mid", "dim").agg(round(avg("v"), 6).as("m"))
+      .groupBy("label", "top", "mid")
       .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("p"))
-      .select((col("label") * GN + col("grp")).cast("long").as("gid"),
-        expr("transform(p, x -> x.m)").as("gvec"))
-      .withColumn("gnorm", Similarity.l2norm(col("gvec")))
+      .select(col("label").cast("long").as("label"), col("top"),
+        (col("label") * NM + col("mid")).cast("long").as("mid_id"),
+        expr("transform(p, x -> x.m)").as("mvec"))
+      .withColumn("mnorm", Similarity.l2norm(col("mvec")))
+    // per-(label, top) TOP centroids — the 10·⌈g/b²⌉-row entry level
+    val tcents = dims
+      .groupBy("label", "top", "dim").agg(round(avg("v"), 6).as("m"))
+      .groupBy("label", "top")
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("p"))
+      .select((col("label") * NT + col("top")).cast("long").as("tid"),
+        expr("transform(p, x -> x.m)").as("tvec"))
+      .withColumn("tnorm", Similarity.l2norm(col("tvec")))
     val aug = Similarity.prepared(Similarity.withPlantedDups(base))
       .select("vec_id", "emb", "nrm")
-    // level 1: argmax over the group centroids as a map-side-combinable
-    // struct-min: (-score, gid) orders max-score-first, lower gid on
-    // ties — the same total order as the oracle's ORDER BY score DESC,
-    // gid ASC (negation is an exact IEEE sign flip)
-    val lvl1 = aug.join(broadcast(gcents))
-      .withColumn("negscore",
-        (lit(-1.0) * Similarity.dot(col("emb"), col("gvec"))) / col("gnorm"))
-      .groupBy("vec_id")
-      .agg(min(struct(col("negscore"), col("gid"))).as("best1"),
-        first("emb").as("emb"), first("nrm").as("nrm"))
-      .select(col("vec_id"), col("emb"), col("nrm"),
-        expr(s"best1.gid div ${GN}L").as("label"),
-        (col("best1.gid") % GN).as("grp"))
-    // level 2: the winning group's ≤ G leaf centroids, same struct-min
-    val assigned = lvl1.join(broadcast(cents), Seq("label", "grp"))
-      .withColumn("negscore",
-        (lit(-1.0) * Similarity.dot(col("emb"), col("cvec"))) / col("cnorm"))
-      .groupBy("vec_id")
-      .agg(min(struct(col("negscore"), col("cl"))).as("best"),
-        first("emb").as("emb"), first("nrm").as("nrm"))
-      .select(col("best.cl").as("cl"), col("vec_id"), col("emb"), col("nrm"))
+    // each centroid level packed into ONE row of aligned arrays sorted
+    // by id (parents monotone in id, so each parent's children are a
+    // contiguous binary-searchable slice) — the whole tree rides a
+    // single ~(K·dim·8)-byte broadcast row, no driver collect
+    def pack(df: org.apache.spark.sql.DataFrame, id: String, parent: String,
+             vec: String, nrm: String, pfx: String) = df
+      .agg(array_sort(collect_list(struct(
+        col(id), col(parent).as("par"), col(vec).as("v"), col(nrm).as("w")))).as("p"))
+      .select(expr(s"transform(p, x -> x.$id)").as(s"${pfx}_ids"),
+        expr("transform(p, x -> x.par)").as(s"${pfx}_par"),
+        expr("transform(p, x -> x.v)").as(s"${pfx}_vecs"),
+        expr("transform(p, x -> x.w)").as(s"${pfx}_nrms"))
+    val packed = pack(tcents.withColumn("zero", lit(0L)),
+        "tid", "zero", "tvec", "tnorm", "t")
+      .join(broadcast(pack(
+        mcents.select((col("label") * NT + col("top")).as("ptid"),
+          col("mid_id"), col("mvec"), col("mnorm")),
+        "mid_id", "ptid", "mvec", "mnorm", "m")))
+      .join(broadcast(pack(
+        cents.select((col("label") * NM + col("mid")).as("pmid"),
+          col("cl"), col("cvec"), col("cnorm")),
+        "cl", "pmid", "cvec", "cnorm", "c")))
+    // the 3-level descent as three per-row expressions — argmax of
+    // dot(emb, c)/|c| over the current node's children, ties to the
+    // lower id: the exact total order of the oracle's ORDER BY score
+    // DESC, id ASC at each level. Replaces the former broadcast-join +
+    // min(struct(−score, id)) per level: the join form pushes
+    // n × candidates rows through a struct-allocating hash aggregate
+    // (the measured sf100 hot spot); this form is one fused loop per row
+    import graft.functions.TreeArgmaxDot.tree_argmax_dot
+    // one SELECT, descents nested — chained withColumns would re-copy
+    // the multi-MB packed arrays into every intermediate output row
+    // (n × pack-size memcpy); nesting keeps them read-only broadcast
+    // references and emits only (cl, vec_id, emb, nrm)
+    val tid = tree_argmax_dot(col("emb"), col("t_ids"),
+      col("t_par"), col("t_vecs"), col("t_nrms"), lit(-1L))
+    val midId = tree_argmax_dot(col("emb"), col("m_ids"),
+      col("m_par"), col("m_vecs"), col("m_nrms"), tid)
+    val assigned = aug.join(broadcast(packed))
+      .select(tree_argmax_dot(col("emb"), col("c_ids"),
+        col("c_par"), col("c_vecs"), col("c_nrms"), midId).as("cl"),
+        col("vec_id"), col("emb"), col("nrm"))
     val a = assigned.select(col("cl"), col("vec_id").as("a_id"),
       col("emb").as("ea"), col("nrm").as("na"))
+    // raw-double prefilter before the 6dp round: Spark's round() on a
+    // double goes BigDecimal.valueOf → Double.toString → BigInteger
+    // parse (~µs/call — the measured sf31 hot spot at ~10⁸ candidate
+    // pairs); any pair with round(sim,6) ≥ 0.9 has raw sim ≥ 0.8999995,
+    // so gating at 0.899999 (5×10⁻⁷ slack ≫ double repr error) is
+    // semantics-neutral and rounds only the survivors. The rounded
+    // filter stays as the semantic gate, mirroring the oracle.
     val pairs = a.join(
         assigned.select(col("cl"), col("vec_id").as("b_id"),
           col("emb").as("eb"), col("nrm").as("nb")),
         Seq("cl"))
       .filter(col("a_id") < col("b_id"))
-      .withColumn("sim",
-        round(Similarity.dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
+      .withColumn("rawsim",
+        Similarity.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("rawsim") >= 0.899999)
+      .withColumn("sim", round(col("rawsim"), 6))
       .filter(col("sim") >= 0.9)
     pairs.groupBy(col("b_id").as("vec_id"), col("cl"))
       .agg(count(lit(1)).as("n_partners"), max("sim").as("max_sim"))
@@ -471,38 +526,55 @@ object DedupSim {
         |FROM b ORDER BY doc_id""".stripMargin,
     "q_semdedup" ->
       """WITH params AS (
-        | SELECT g, gsz, (g + gsz - 1) // gsz AS gn FROM (
-        |  SELECT greatest(1, count(*) // 1000) AS g,
-        |   CAST(ceil(sqrt(greatest(1, count(*) // 1000))) AS BIGINT) AS gsz
-        |  FROM embeddings)),
+        | SELECT g, b, (g + b - 1) // b AS nm, (g + b*b - 1) // (b*b) AS nt
+        | FROM (
+        |  SELECT g, greatest(1, CASE
+        |    WHEN (b0-1)*(b0-1)*(b0-1) >= g THEN b0-1
+        |    WHEN b0*b0*b0 >= g THEN b0 ELSE b0+1 END) AS b
+        |  FROM (SELECT g, CAST(round(pow(g, 1.0/3.0)) AS BIGINT) AS b0
+        |        FROM (SELECT greatest(1, count(*) // 1000) AS g FROM embeddings)))),
         |base AS (
         | SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS emb
         | FROM embeddings),
         |cdims AS (
-        | SELECT label, vec_id % p.g AS shard, (vec_id % p.g) // p.gsz AS grp,
+        | SELECT label, vec_id % p.g AS shard, (vec_id % p.g) // p.b AS mid,
         |  u.i AS dim, round(avg(emb[u.i + 1]), 6) AS m
         | FROM base, params p, unnest(range(0, len(emb))) AS u(i)
-        | GROUP BY label, shard, grp, u.i),
+        | GROUP BY label, shard, mid, u.i),
         |cents AS (
-        | SELECT label, grp, shard, list(m ORDER BY dim) AS cvec
-        | FROM cdims GROUP BY label, grp, shard),
+        | SELECT label, mid, shard, list(m ORDER BY dim) AS cvec
+        | FROM cdims GROUP BY label, mid, shard),
         |cn AS (
-        | SELECT CAST(label AS BIGINT) AS label, grp,
+        | SELECT CAST(label AS BIGINT) AS label, mid,
         |  CAST(label * p.g + shard AS BIGINT) AS cl, cvec,
         |  sqrt(list_sum(list_transform(cvec, x -> x * x))) AS cnorm
         | FROM cents, params p),
-        |gdims AS (
-        | SELECT label, (vec_id % p.g) // p.gsz AS grp, u.i AS dim,
+        |mdims AS (
+        | SELECT label, (vec_id % p.g) // (p.b*p.b) AS top,
+        |  (vec_id % p.g) // p.b AS mid, u.i AS dim,
         |  round(avg(emb[u.i + 1]), 6) AS m
         | FROM base, params p, unnest(range(0, len(emb))) AS u(i)
-        | GROUP BY label, grp, u.i),
-        |gcents AS (
-        | SELECT label, grp, list(m ORDER BY dim) AS gvec
-        | FROM gdims GROUP BY label, grp),
-        |gcn AS (
-        | SELECT CAST(label * p.gn + grp AS BIGINT) AS gid, gvec,
-        |  sqrt(list_sum(list_transform(gvec, x -> x * x))) AS gnorm
-        | FROM gcents, params p),
+        | GROUP BY label, top, mid, u.i),
+        |mcents AS (
+        | SELECT label, top, mid, list(m ORDER BY dim) AS mvec
+        | FROM mdims GROUP BY label, top, mid),
+        |mcn AS (
+        | SELECT CAST(label AS BIGINT) AS label, top,
+        |  CAST(label * p.nm + mid AS BIGINT) AS mid_id, mvec,
+        |  sqrt(list_sum(list_transform(mvec, x -> x * x))) AS mnorm
+        | FROM mcents, params p),
+        |tdims AS (
+        | SELECT label, (vec_id % p.g) // (p.b*p.b) AS top, u.i AS dim,
+        |  round(avg(emb[u.i + 1]), 6) AS m
+        | FROM base, params p, unnest(range(0, len(emb))) AS u(i)
+        | GROUP BY label, top, u.i),
+        |tcents AS (
+        | SELECT label, top, list(m ORDER BY dim) AS tvec
+        | FROM tdims GROUP BY label, top),
+        |tcn AS (
+        | SELECT CAST(label * p.nt + top AS BIGINT) AS tid, tvec,
+        |  sqrt(list_sum(list_transform(tvec, x -> x * x))) AS tnorm
+        | FROM tcents, params p),
         |pert0 AS (
         | SELECT vec_id, list_transform(range(0, len(emb)),
         |   i -> emb[i+1] * (1.0 + CAST((vec_id*31 + i*7) % 11 - 5 AS DOUBLE) * 0.004)) AS emb
@@ -515,21 +587,31 @@ object DedupSim {
         | SELECT vec_id, emb,
         |  sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm
         | FROM aug),
-        |scored1 AS (
-        | SELECT v.vec_id, v.emb, v.nrm, gc.gid,
+        |scored0 AS (
+        | SELECT v.vec_id, v.emb, v.nrm, tc.tid,
         |  list_sum(list_transform(range(1, len(v.emb)+1),
-        |    i -> v.emb[i] * gc.gvec[i])) / gc.gnorm AS score
-        | FROM v, gcn gc),
-        |best1 AS (
-        | SELECT vec_id, emb, nrm, gid // p.gn AS label, gid % p.gn AS grp
+        |    i -> v.emb[i] * tc.tvec[i])) / tc.tnorm AS score
+        | FROM v, tcn tc),
+        |best0 AS (
+        | SELECT vec_id, emb, nrm, tid // p.nt AS label, tid % p.nt AS top
         | FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
-        |         ORDER BY score DESC, gid ASC) AS rn FROM scored1), params p
+        |         ORDER BY score DESC, tid ASC) AS rn FROM scored0), params p
+        | WHERE rn = 1),
+        |scored1 AS (
+        | SELECT b.vec_id, b.emb, b.nrm, mc.mid_id,
+        |  list_sum(list_transform(range(1, len(b.emb)+1),
+        |    i -> b.emb[i] * mc.mvec[i])) / mc.mnorm AS score
+        | FROM best0 b JOIN mcn mc ON b.label = mc.label AND b.top = mc.top),
+        |best1 AS (
+        | SELECT vec_id, emb, nrm, mid_id // p.nm AS label, mid_id % p.nm AS mid
+        | FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |         ORDER BY score DESC, mid_id ASC) AS rn FROM scored1), params p
         | WHERE rn = 1),
         |scored2 AS (
         | SELECT b.vec_id, b.emb, b.nrm, c.cl,
         |  list_sum(list_transform(range(1, len(b.emb)+1),
         |    i -> b.emb[i] * c.cvec[i])) / c.cnorm AS score
-        | FROM best1 b JOIN cn c ON b.label = c.label AND b.grp = c.grp),
+        | FROM best1 b JOIN cn c ON b.label = c.label AND b.mid = c.mid),
         |assigned AS (
         | SELECT vec_id, emb, nrm, cl
         | FROM (SELECT *, row_number() OVER (PARTITION BY vec_id

@@ -177,8 +177,16 @@ object Similarity {
     val v = prepared(vecs)
     val a = v.select(col("vec_id").as("a_id"), col("emb").as("ea"), col("nrm").as("na"))
     val b = v.select(col("vec_id").as("b_id"), col("emb").as("eb"), col("nrm").as("nb"))
+    // raw prefilter before the 6dp round: round() on a double costs a
+    // BigDecimal round-trip through Double.toString (~µs) — gate the
+    // all-pairs stream on the cheap raw compare first. Any x with
+    // round(x,6) ≥ t has x ≥ t − 5×10⁻⁷, so t − 10⁻⁶ keeps every
+    // survivor (slack ≫ double repr error); the rounded filter stays
+    // as the semantic gate.
     a.join(broadcast(b), col("a_id") < col("b_id"))
-      .withColumn("sim", round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
+      .withColumn("rawsim", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("rawsim") >= threshold - 1e-6)
+      .withColumn("sim", round(col("rawsim"), 6))
       .filter(col("sim") >= threshold)
       .select("a_id", "b_id", "sim")
   }

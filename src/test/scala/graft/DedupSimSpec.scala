@@ -798,31 +798,40 @@ class DedupSimSpec extends AnyFunSuite with SharedSpark {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val dim = baseRows.head._3.length
     // the engine's r12 hierarchical coarse quantizer, replayed exactly:
-    // G = ⌈√g⌉ shards per group, level-1 argmax over the (label, grp)
-    // group centroids (mean over raw member vectors), level-2 over the
-    // winning group's leaf centroids — ties to the lower id at each level
-    val G = math.max(1L, math.ceil(math.sqrt(g.toDouble)).toLong)
-    val GN = (g + G - 1L) / G
+    // branching b = ⌈g^{1/3}⌉, level-1 argmax over the (label, top)
+    // centroids (mean over raw member vectors), level-2 over the
+    // winning top's mid centroids, level-3 over the winning mid's leaf
+    // centroids — ties to the lower id at each level
+    val b = graft.queries.DedupSim.cbrtCeil(g)
+    val NM = (g + b - 1L) / b
+    val NT = (g + b * b - 1L) / (b * b)
     def meanCent(rows: Array[(Long, Int, Array[Double])]): Array[Double] =
       Array.tabulate(dim)(d => round6(rows.map(_._3(d)).sum / rows.length))
-    val cents = baseRows.groupBy(r => (r._2.toLong, (r._1 % g) / G, r._1 % g))
-      .map { case ((label, grp, shard), rows) =>
+    val cents = baseRows.groupBy(r => (r._2.toLong, (r._1 % g) / b, r._1 % g))
+      .map { case ((label, mid, shard), rows) =>
         val c = meanCent(rows)
-        ((label, grp), label * g + shard, c, math.sqrt(dotLR(c, c)))
+        ((label, mid), label * g + shard, c, math.sqrt(dotLR(c, c)))
       }.toArray
-    val gcents = baseRows.groupBy(r => (r._2.toLong, (r._1 % g) / G))
-      .map { case ((label, grp), rows) =>
+    val mcents = baseRows.groupBy(r => (r._2.toLong, (r._1 % g) / (b * b), (r._1 % g) / b))
+      .map { case ((label, top, mid), rows) =>
         val c = meanCent(rows)
-        (label * GN + grp, c, math.sqrt(dotLR(c, c)))
+        ((label, top), label * NM + mid, c, math.sqrt(dotLR(c, c)))
+      }.toArray
+    val tcents = baseRows.groupBy(r => (r._2.toLong, (r._1 % g) / (b * b)))
+      .map { case ((label, top), rows) =>
+        val c = meanCent(rows)
+        (label * NT + top, c, math.sqrt(dotLR(c, c)))
       }.toArray
     val assigned = augRows.map { case (id, v) =>
-      val gid = gcents.map { case (gid, c, cn) =>
-        (-1.0 * dotLR(v, c) / cn, gid)
+      val tid = tcents.map { case (tid, c, cn) =>
+        (-1.0 * dotLR(v, c) / cn, tid)
       }.minBy(identity)._2
-      val key = (gid / GN, gid % GN)
-      val best = cents.filter(_._1 == key).map { case (_, cl, c, cn) =>
-        (-1.0 * dotLR(v, c) / cn, cl)
-      }.minBy(identity)
+      val midId = mcents.filter(_._1 == (tid / NT, tid % NT))
+        .map { case (_, mId, c, cn) => (-1.0 * dotLR(v, c) / cn, mId) }
+        .minBy(identity)._2
+      val best = cents.filter(_._1 == (midId / NM, midId % NM))
+        .map { case (_, cl, c, cn) => (-1.0 * dotLR(v, c) / cn, cl) }
+        .minBy(identity)
       (best._2, id, v, math.sqrt(dotLR(v, v)))
     }
     val expected = assigned.groupBy(_._1).toSeq.flatMap { case (cl, members) =>
