@@ -96,8 +96,11 @@ object GenScale {
     // replicas) stays ≤ 0.031 per dim — r·0.001 on one dim reaches ~1.0
     // at r=999, which is no longer ≪ inter-point distance and would
     // reshape cluster geometry instead of replicating it. (r%32, r/32)
-    // is unique per replica for r < 1024 and bit-identical to the old
-    // single-dim form for r < 32, so sf1/sf10 regenerate unchanged.
+    // is unique per replica for r < 1024; the dim-1 branch is only
+    // EMITTED when r ≥ 32 (r/32 > 0), so for r < 32 the plan is
+    // literally the old single-dim expression — `x + 0.0f` would
+    // otherwise canonicalize a -0.0f component to +0.0f and break the
+    // bit-identity claim for sf1/sf10 regeneration.
     //
     // SPARK_GRAFT_EMB_SEP=1 (r12): ROTATION-SEPARATED replicas for
     // threshold-dedup probe corpora. The tiny dim-0/1 shift keeps
@@ -110,20 +113,39 @@ object GenScale {
     // rotation (cyclic shift by r mod 64 + a 4-bit sign pattern from
     // r div 64 — 1024 distinct hyperoctahedral rotations): every
     // intra-replica inner product is EXACTLY preserved (the dedup/kNN
-    // structure of each world is byte-faithful up to cell labels),
-    // while cross-replica cosines collapse to ~0 — far below any
-    // threshold — so a near-dup query's answer scales linearly and a
-    // decade step measures WORK. Probe dirs only; default off keeps
-    // the standard corpora byte-identical.
+    // structure of each world is byte-faithful up to cell labels).
+    // Cross-replica separation is shift-driven: DIFFERENT shifts mix
+    // residue classes and collapse cosines to ~0; SAME-shift replicas
+    // (r ≡ r' mod 64, sign patterns differing in b bits) have cosine
+    // 1 − 2·(energy in the b flipped residue classes) ≈ 1 − b/2 in
+    // expectation — worst case ≈ 0.5 at b = 1, which sits below the
+    // 0.9-class dedup thresholds this mode exists for but NOT below an
+    // arbitrary one; skewed per-class energy could push such a pair
+    // back above a low threshold. Validity bounds enforced below:
+    // embeddings must be 64-dim (the rotation hardcodes the modulus)
+    // and replicas < 1024 (replica 1024 would be the identity rotation,
+    // colliding with the base world). Probe dirs only; default off
+    // keeps the standard corpora byte-identical.
     val sep = sys.env.get("SPARK_GRAFT_EMB_SEP").contains("1")
+    if (sep) {
+      require(replicas < 1024,
+        s"EMB_SEP supports < 1024 replicas (got $replicas): rotation 1024 " +
+          "is the identity and would collide with replica 0")
+      val embLen = read("embeddings")
+        .select(size(col("embedding"))).distinct().collect().map(_.getInt(0))
+      require(embLen.sameElements(Array(64)),
+        s"EMB_SEP rotation assumes 64-dim embeddings, found lengths " +
+          embLen.mkString("{", ",", "}"))
+    }
     write("embeddings", replicate(read("embeddings"), Seq("vec_id"),
       perturb = (d, r) =>
         if (r == 0) d
         else if (!sep) d.withColumn("embedding",
-          transform(col("embedding"),
-            (x, i) => when(i === 0, x + lit((r % 32) * 0.001f))
-              .when(i === 1, x + lit((r / 32) * 0.001f))
-              .otherwise(x)))
+          transform(col("embedding"), (x, i) => {
+            val dim0 = when(i === 0, x + lit((r % 32) * 0.001f))
+            if (r / 32 == 0) dim0.otherwise(x)
+            else dim0.when(i === 1, x + lit((r / 32) * 0.001f)).otherwise(x)
+          }))
         else {
           val shift = r % 64
           val k = r / 64

@@ -289,8 +289,17 @@ object Dedup {
     // At warehouse scale this frame is the persisted signature table
     // ([[SignatureStore]]), same shape.
     val sets = shingleHashSets(docs).localCheckpoint()
+    // r13 payload shrink: the set sizes do NOT ride the inverted index.
+    // Carrying nsh meant every index row shuffled 20 B instead of 16 and
+    // every joined pair row carried (na, nb) through the count aggregate
+    // — the single biggest spill surface at the third decade (the sf100
+    // working-set cliff, PLANS.md). Sizes are a per-DOC frame (n rows,
+    // derived free from the checkpointed sets), joined onto the POST-agg
+    // pair frame — orders of magnitude fewer rows than the pre-agg join
+    // output whose width they no longer inflate.
+    val sizes = sets.select(col("doc_id"), size(col("hs")).as("nsh"))
     val inv = sets
-      .select(col("doc_id"), size(col("hs")).as("nsh"), explode(col("hs")).as("hs"))
+      .select(col("doc_id"), explode(col("hs")).as("hs"))
       .repartition(col("hs"))
     val capped = maxDf != Int.MaxValue
     // hot = the (small by construction) set of shingle hashes above the cap
@@ -300,10 +309,11 @@ object Dedup {
       if (capped) inv.join(broadcast(hot), Seq("hs"), "left_anti") else inv
     val counted = indexed.as("a").join(indexed.as("b"), col("a.hs") === col("b.hs"))
       .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        col("a.nsh").as("na"), col("b.nsh").as("nb"))
-      .groupBy("a_id", "b_id", "na", "nb")
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("cold_common"))
+      .join(sizes.select(col("doc_id").as("a_id"), col("nsh").as("na")), Seq("a_id"))
+      .join(sizes.select(col("doc_id").as("b_id"), col("nsh").as("nb")), Seq("b_id"))
     val corrected =
       if (!capped) counted.withColumn("common", col("cold_common"))
       else {

@@ -24,15 +24,21 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * (12 MB at K = 20k × dim 64) and each input row runs a tight fused
   * multiply-add loop — no fanout, no aggregate, no shuffle.
   *
-  * Determinism contract (mirrors the DuckDB oracle's
-  * `row_number() OVER (ORDER BY score DESC, id ASC)`): the dot
-  * accumulates left-to-right exactly like [[DotProduct]] and the
-  * oracle's `list_sum(list_transform(...))`; the ascending scan with a
-  * strict `>` keeps the lowest id on exact ties; a NaN score never
-  * replaces a non-NaN best (Spark's struct-min orders NaN largest, so
-  * the aggregate form never chose NaN either); if every candidate
-  * scores NaN the lowest candidate id is returned, matching
-  * min(struct(NaN, id)) = lowest id.
+  * Determinism contract: the dot accumulates left-to-right exactly
+  * like [[DotProduct]] and the oracle's
+  * `list_sum(list_transform(...))`; the ascending scan with a strict
+  * `>` keeps the lowest id on exact ties. NaN handling matches the
+  * FORMER Spark min(struct(−score, id)) aggregate this expression
+  * replaced — a NaN score never replaces a non-NaN best (struct-min
+  * orders NaN largest, so the aggregate never chose NaN either), and
+  * if every candidate scores NaN the lowest candidate id wins. Note
+  * this is NOT what the DuckDB oracle's `row_number() OVER (ORDER BY
+  * score DESC, id ASC)` would do on a NaN: DuckDB sorts NaN above all
+  * numbers, so a NaN-scoring centroid (only reachable from a
+  * zero-norm centroid ⇒ 0/0) would win rn=1 there — a latent
+  * cross-engine divergence that cannot fire on this corpus (centroids
+  * are means of unit-normalized vectors; a zero norm would need an
+  * exactly-cancelling cluster) and is pinned Spark-side by spec.
   *
   * CodegenFallback: the per-row work is the internal loop (~10³–10⁶
   * fused multiply-adds), so the per-call boxing overhead is noise; a
@@ -83,7 +89,14 @@ case class TreeArgmaxDot(emb: Expression, ids: Expression,
       }
       hi = a
     }
-    if (lo >= hi) return if (n > 0) idArr.getLong(0) else null
+    // an empty child slice (want absent from parents) is unreachable
+    // with the current tree construction — every parent id the level-1
+    // argmax can emit owns ≥1 child — but if the packing or the id
+    // encoding ever changes, returning a fabricated assignment (e.g.
+    // the globally lowest id) would be a silent misassignment; return
+    // null instead and let the row drop, matching the oracle's
+    // inner-join behavior
+    if (lo >= hi) return null
     var best = Double.NaN
     var bestId = idArr.getLong(lo)
     var i = lo

@@ -23,19 +23,44 @@ object Analytics23 {
     * all id-keyed partial-agg'd shuffles; rounds bounded at 3;
     * labels checkpointed per round (the dupClusters discipline).
     * The deterministic argmax is max(struct(cnt, -label)) — no sort
-    * window. */
+    * window.
+    *
+    * BUCKETED-EDGE + BROADCAST-LABEL rounds (r13, the hedge named in
+    * PLANS.md's r12 adjudication, taken one step further after the
+    * dst-bucketed variant measured 17.5× — the join re-shuffle it
+    * removed was not the bottleneck; the per-round (src,lbl) count
+    * exchange still moved |edges| rows/round): the edge list is
+    * hash-partitioned on `src` ONCE before its checkpoint, and each
+    * round joins the NODE-sized label frame in as a broadcast on dst.
+    * The join output then carries the src partitioning, which
+    * satisfies both the (src,lbl) count grouping and the (src) argmax
+    * grouping (partition keys ⊆ grouping keys), so a round plans ZERO
+    * shuffles — the only per-round traffic is the |V|-row label
+    * broadcast. Labels here are the part dimension (|V| ≪ |E|, the
+    * dimension-vs-fact gap that makes this the right 100 TB plan: 10⁸
+    * nodes × 16 B ≈ 1.6 GB broadcast, fine on executor-class memory);
+    * for a node set too big to broadcast the dst-bucketed shuffle-join
+    * variant is the fallback, with the same oracle. PlanSpec asserts
+    * the zero-shuffle round shape. */
   val qLabelProp: Q = (s, d) => {
     val items = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
     val edges = items.as("a").join(items.as("b"), col("a.o") === col("b.o"))
       .filter(col("a.p") =!= col("b.p"))
-      .select(col("a.p").as("src"), col("b.p").as("dst")).distinct()
+      .select(col("a.p").as("src"), col("b.p").as("dst"))
+      .repartition(col("src"))
+      .distinct()
       .localCheckpoint()
+    // checkpoint BEFORE aliasing lbl = id: a Project aliasing the
+    // partition key reports PartitioningCollection(lbl, id) and the
+    // checkpoint's LogicalRDD keeps only its head (lbl), which a
+    // partitioning-reuse consumer on `id` can't use — checkpointing the
+    // bare id frame captures hashpartitioning(id), the alias rides on top
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id"))
       .localCheckpoint()
+      .withColumn("lbl", col("id"))
     for (_ <- 1 to 3) {
-      val neigh = edges.join(labels, edges("dst") === labels("id"))
+      val neigh = edges.join(broadcast(labels), edges("dst") === labels("id"))
         .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("cnt"))
       labels = neigh
         .groupBy(col("src").as("id"))

@@ -222,79 +222,82 @@ object DedupSim {
     * exact discipline the embed-dedup oracle already certifies.
     * Planted ±2% perturbed copies (cosine ≈ 0.9998) give the threshold
     * real positives, as in [[qDedupEmbed]]. */
-  /** Smallest b ≥ 1 with b³ ≥ g — round(g^{1/3}) plus an exact
-    * integer-cube correction, so Spark and DuckDB (same formula in the
-    * oracle) agree regardless of pow() ulps. */
-  def cbrtCeil(g: Long): Long = {
-    val b0 = math.rint(math.pow(g.toDouble, 1.0 / 3.0)).toLong
+  /** Smallest b ≥ 1 with b^levels ≥ g — round(g^{1/levels}) plus an
+    * exact integer-power correction, so Spark and DuckDB (same formula
+    * in the oracle) agree regardless of pow() ulps. */
+  def rootCeil(g: Long, levels: Int): Long = {
+    def ipow(x: Long, e: Int): Long = (0 until e).foldLeft(1L)((a, _) => a * x)
+    val b0 = math.rint(math.pow(g.toDouble, 1.0 / levels)).toLong
     math.max(1L,
-      if ((b0 - 1) * (b0 - 1) * (b0 - 1) >= g) b0 - 1
-      else if (b0 * b0 * b0 >= g) b0
+      if (ipow(b0 - 1, levels) >= g) b0 - 1
+      else if (ipow(b0, levels) >= g) b0
       else b0 + 1)
   }
 
-  def semdedup(base: org.apache.spark.sql.DataFrame, g: Long): org.apache.spark.sql.DataFrame = {
-    val b = cbrtCeil(g)              // tree branching factor
-    val NM = (g + b - 1L) / b        // mid nodes per label
-    val NT = (g + b * b - 1L) / (b * b) // top nodes per label
-    // one exploded (label, shard, mid, top, dim, v) frame feeds all
-    // three centroid aggs — three linear map-side-combined passes
+  /** Back-compat alias: the three-level branching factor. */
+  def cbrtCeil(g: Long): Long = rootCeil(g, 3)
+
+  def semdedup(base: org.apache.spark.sql.DataFrame, g: Long): org.apache.spark.sql.DataFrame =
+    semdedup(base, g, 3)
+
+  /** The descent generalized to `levels` L (r13, VERDICT r12 task 5):
+    * branching b = ⌈g^{1/L}⌉, level ℓ ∈ 0..L−1 keys shards by
+    * shard div b^{L−1−ℓ} (ℓ = L−1 is the leaf level, key = shard), so
+    * per-row assignment work is ~10·⌈g/b^{L−1}⌉ + (L−1)·b dots and
+    * total assignment cost Θ(n^{1+1/L}) — each extra level buys the
+    * next decade (the fourth decade's g = 30,000 runs at ~150 dots/row
+    * at L = 4 vs ~360 at L = 3). Every level is the same packed-array
+    * + per-row [[graft.functions.TreeArgmaxDot]] pattern; levels
+    * collapse automatically when b^{L−1−ℓ} ≥ g (one node per label), so
+    * deeper trees degrade gracefully to the flat argmax at small g. */
+  def semdedup(base: org.apache.spark.sql.DataFrame, g: Long,
+               levels: Int): org.apache.spark.sql.DataFrame = {
+    require(levels >= 1, s"levels must be >= 1 (got $levels)")
+    val b = rootCeil(g, levels)      // tree branching factor
+    def ipow(x: Long, e: Int): Long = (0 until e).foldLeft(1L)((a, _) => a * x)
+    // level ℓ: shard divisor b^{L-1-ℓ}; node count per label N_ℓ = ⌈g/div⌉
+    val divs = (0 until levels).map(l => ipow(b, levels - 1 - l))
+    val ns = divs.map(dv => (g + dv - 1L) / dv)
+    // one exploded (label, shard, dim, v) frame feeds every level's
+    // centroid agg — L linear map-side-combined passes
     val dims = base
       .select(col("label"), (col("vec_id") % g).as("shard"),
         posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
-      .withColumn("mid", expr(s"shard div ${b}L"))
-      .withColumn("top", expr(s"shard div ${b * b}L"))
-    // per-(label, shard) leaf centroids, 6dp-rounded; (10·g)×dim frame
-    val cents = dims
-      .groupBy("label", "mid", "shard", "dim").agg(round(avg("v"), 6).as("m"))
-      .groupBy("label", "mid", "shard")
-      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("p"))
-      .select(col("label").cast("long").as("label"), col("mid"),
-        (col("label") * g + col("shard")).cast("long").as("cl"),
-        expr("transform(p, x -> x.m)").as("cvec"))
-      .withColumn("cnorm", Similarity.l2norm(col("cvec")))
-    // per-(label, mid) MID centroids over the raw member vectors
-    val mcents = dims
-      .groupBy("label", "top", "mid", "dim").agg(round(avg("v"), 6).as("m"))
-      .groupBy("label", "top", "mid")
-      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("p"))
-      .select(col("label").cast("long").as("label"), col("top"),
-        (col("label") * NM + col("mid")).cast("long").as("mid_id"),
-        expr("transform(p, x -> x.m)").as("mvec"))
-      .withColumn("mnorm", Similarity.l2norm(col("mvec")))
-    // per-(label, top) TOP centroids — the 10·⌈g/b²⌉-row entry level
-    val tcents = dims
-      .groupBy("label", "top", "dim").agg(round(avg("v"), 6).as("m"))
-      .groupBy("label", "top")
-      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("p"))
-      .select((col("label") * NT + col("top")).cast("long").as("tid"),
-        expr("transform(p, x -> x.m)").as("tvec"))
-      .withColumn("tnorm", Similarity.l2norm(col("tvec")))
+    // per-level centroids over the RAW member vectors, 6dp-rounded;
+    // flat node id = label·N_ℓ + nk (lexicographic in (label, nk) since
+    // nk < N_ℓ — the cross-level tie order both engines share); parent
+    // id = label·N_{ℓ-1} + nk div b (monotone in the node id, so each
+    // parent's children pack into a contiguous binary-searchable slice)
+    val levelCents = (0 until levels).map { l =>
+      val keyed = dims.withColumn("nk", expr(s"shard div ${divs(l)}L"))
+        .groupBy("label", "nk", "dim").agg(round(avg("v"), 6).as("m"))
+        .groupBy("label", "nk")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("p"))
+      val par =
+        if (l == 0) lit(0L)
+        else (col("label") * ns(l - 1) + expr(s"nk div ${b}L")).cast("long")
+      keyed.select(
+        (col("label") * ns(l) + col("nk")).cast("long").as("id"),
+        par.as("par"),
+        expr("transform(p, x -> x.m)").as("vec"))
+        .withColumn("w", Similarity.l2norm(col("vec")))
+    }
     val aug = Similarity.prepared(Similarity.withPlantedDups(base))
       .select("vec_id", "emb", "nrm")
     // each centroid level packed into ONE row of aligned arrays sorted
-    // by id (parents monotone in id, so each parent's children are a
-    // contiguous binary-searchable slice) — the whole tree rides a
-    // single ~(K·dim·8)-byte broadcast row, no driver collect
-    def pack(df: org.apache.spark.sql.DataFrame, id: String, parent: String,
-             vec: String, nrm: String, pfx: String) = df
+    // by id — the whole tree rides a single ~(K·dim·8)-byte broadcast
+    // row, no driver collect
+    def pack(df: org.apache.spark.sql.DataFrame, pfx: String) = df
       .agg(array_sort(collect_list(struct(
-        col(id), col(parent).as("par"), col(vec).as("v"), col(nrm).as("w")))).as("p"))
-      .select(expr(s"transform(p, x -> x.$id)").as(s"${pfx}_ids"),
+        col("id"), col("par"), col("vec").as("v"), col("w")))).as("p"))
+      .select(expr("transform(p, x -> x.id)").as(s"${pfx}_ids"),
         expr("transform(p, x -> x.par)").as(s"${pfx}_par"),
         expr("transform(p, x -> x.v)").as(s"${pfx}_vecs"),
         expr("transform(p, x -> x.w)").as(s"${pfx}_nrms"))
-    val packed = pack(tcents.withColumn("zero", lit(0L)),
-        "tid", "zero", "tvec", "tnorm", "t")
-      .join(broadcast(pack(
-        mcents.select((col("label") * NT + col("top")).as("ptid"),
-          col("mid_id"), col("mvec"), col("mnorm")),
-        "mid_id", "ptid", "mvec", "mnorm", "m")))
-      .join(broadcast(pack(
-        cents.select((col("label") * NM + col("mid")).as("pmid"),
-          col("cl"), col("cvec"), col("cnorm")),
-        "cl", "pmid", "cvec", "cnorm", "c")))
-    // the 3-level descent as three per-row expressions — argmax of
+    val packed = levelCents.zipWithIndex
+      .map { case (df, l) => pack(df, s"l$l") }
+      .reduce((a, c) => a.join(broadcast(c)))
+    // the L-level descent as L nested per-row expressions — argmax of
     // dot(emb, c)/|c| over the current node's children, ties to the
     // lower id: the exact total order of the oracle's ORDER BY score
     // DESC, id ASC at each level. Replaces the former broadcast-join +
@@ -306,14 +309,12 @@ object DedupSim {
     // the multi-MB packed arrays into every intermediate output row
     // (n × pack-size memcpy); nesting keeps them read-only broadcast
     // references and emits only (cl, vec_id, emb, nrm)
-    val tid = tree_argmax_dot(col("emb"), col("t_ids"),
-      col("t_par"), col("t_vecs"), col("t_nrms"), lit(-1L))
-    val midId = tree_argmax_dot(col("emb"), col("m_ids"),
-      col("m_par"), col("m_vecs"), col("m_nrms"), tid)
+    val leafWant = (0 until levels).foldLeft(lit(-1L)) { (want, l) =>
+      tree_argmax_dot(col("emb"), col(s"l${l}_ids"),
+        col(s"l${l}_par"), col(s"l${l}_vecs"), col(s"l${l}_nrms"), want)
+    }
     val assigned = aug.join(broadcast(packed))
-      .select(tree_argmax_dot(col("emb"), col("c_ids"),
-        col("c_par"), col("c_vecs"), col("c_nrms"), midId).as("cl"),
-        col("vec_id"), col("emb"), col("nrm"))
+      .select(leafWant.as("cl"), col("vec_id"), col("emb"), col("nrm"))
     val a = assigned.select(col("cl"), col("vec_id").as("a_id"),
       col("emb").as("ea"), col("nrm").as("na"))
     // raw-double prefilter before the 6dp round: Spark's round() on a
@@ -345,6 +346,107 @@ object DedupSim {
     // one bounded driver-side scalar (like the codebook collects): g
     // parameterizes the plan, so it can't stay inside it
     semdedup(base, math.max(1L, base.count() / 1000L))
+  }
+
+  /** The SAME semantic-dedup contract at descent depth L = 4 — the
+    * fourth-decade configuration (per-row work ~10·⌈g/b³⌉ + 3b at
+    * b = ⌈g^{1/4}⌉), held to a DuckDB oracle GENERATED for depth 4 by
+    * [[semdedupOracle]]: the depth-parametric formula is mirrored
+    * engine-for-engine, not just the hand-unrolled depth-3 instance.
+    * At the driver SFs (g ≤ 2) the deeper tree collapses level by
+    * level, so this certifies the collapse arithmetic too. */
+  val qSemdedupDeep: Q = (s, d) => {
+    val base = Tables.embeddings(s, d)
+    semdedup(base, math.max(1L, base.count() / 1000L), 4)
+  }
+
+  /** DuckDB oracle for [[semdedup]] at an arbitrary descent depth —
+    * the generator that keeps the Spark formula and the oracle formula
+    * the same object. Structure per level ℓ: a (label, nk, dim) mean
+    * CTE over the raw member vectors (nk = shard div b^{L−1−ℓ}), a
+    * packed-list centroid CTE, and a scored/best descent CTE pair
+    * restricting level ℓ's candidates to the winner of level ℓ−1
+    * (c.nk div b = parent nk), ties ORDER BY score DESC, id ASC with
+    * id = label·N_ℓ + nk — the flat-id total order TreeArgmaxDot uses.
+    * Depth 3 reproduces the hand-written q_semdedup oracle semantics. */
+  private[graft] def semdedupOracle(levels: Int): String = {
+    require(levels >= 1)
+    def bpow(e: Int): String =
+      if (e == 0) "1" else Seq.fill(e)("p.b").mkString(" * ")
+    def b0pow(term: String, e: Int): String =
+      Seq.fill(e)(term).mkString("*")
+    // node count per label at level l: (g + div - 1) // div, div = b^(L-1-l)
+    def nExpr(l: Int): String =
+      if (l == levels - 1) "p.g"
+      else s"((p.g + ${bpow(levels - 1 - l)} - 1) // (${bpow(levels - 1 - l)}))"
+    val levelCtes = (0 until levels).map { l =>
+      val div = bpow(levels - 1 - l)
+      s"""d$l AS (
+         | SELECT label, (vec_id % p.g) // ($div) AS nk, u.i AS dim,
+         |  round(avg(emb[u.i + 1]), 6) AS m
+         | FROM base, params p, unnest(range(0, len(emb))) AS u(i)
+         | GROUP BY label, nk, u.i),
+         |c$l AS (
+         | SELECT label, nk, list(m ORDER BY dim) AS cvec
+         | FROM d$l GROUP BY label, nk),
+         |n$l AS (
+         | SELECT CAST(label AS BIGINT) AS label, nk,
+         |  CAST(label * ${nExpr(l)} + nk AS BIGINT) AS id, cvec,
+         |  sqrt(list_sum(list_transform(cvec, x -> x * x))) AS w
+         | FROM c$l, params p)""".stripMargin
+    }.mkString(",\n")
+    val descentCtes = (0 until levels).map { l =>
+      val from =
+        if (l == 0) "v bb, n0 c"
+        else s"best${l - 1} bb, params p, n$l c"
+      val cond =
+        if (l == 0) ""
+        else s" WHERE c.label = bb.label AND c.nk // p.b = bb.nk"
+      s"""scored$l AS (
+         | SELECT bb.vec_id, bb.emb, bb.nrm, c.label, c.nk, c.id,
+         |  list_sum(list_transform(range(1, len(bb.emb)+1),
+         |    i -> bb.emb[i] * c.cvec[i])) / c.w AS score
+         | FROM $from$cond),
+         |best$l AS (
+         | SELECT vec_id, emb, nrm, label, nk, id
+         | FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |         ORDER BY score DESC, id ASC) AS rn FROM scored$l)
+         | WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH params AS (
+       | SELECT g, b FROM (
+       |  SELECT g, greatest(1, CASE
+       |    WHEN ${b0pow("(b0-1)", levels)} >= g THEN b0-1
+       |    WHEN ${b0pow("b0", levels)} >= g THEN b0 ELSE b0+1 END) AS b
+       |  FROM (SELECT g, CAST(round(pow(g, 1.0/$levels)) AS BIGINT) AS b0
+       |        FROM (SELECT greatest(1, count(*) // 1000) AS g FROM embeddings)))),
+       |base AS (
+       | SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS emb
+       | FROM embeddings),
+       |$levelCtes,
+       |pert0 AS (
+       | SELECT vec_id, list_transform(range(0, len(emb)),
+       |   i -> emb[i+1] * (1.0 + CAST((vec_id*31 + i*7) % 11 - 5 AS DOUBLE) * 0.004)) AS emb
+       | FROM base WHERE vec_id % 2 = 0),
+       |aug AS (
+       | SELECT vec_id, emb FROM base
+       | UNION ALL
+       | SELECT vec_id + 100000 AS vec_id, emb FROM pert0),
+       |v AS (
+       | SELECT vec_id, emb,
+       |  sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm
+       | FROM aug),
+       |$descentCtes,
+       |pairs AS (
+       | SELECT a.id AS cl, a.vec_id AS a_id, b.vec_id AS b_id,
+       |  round(list_sum(list_transform(range(1, len(a.emb)+1),
+       |    i -> a.emb[i] * b.emb[i])) / (a.nrm * b.nrm), 6) AS sim
+       | FROM best${levels - 1} a JOIN best${levels - 1} b
+       |   ON a.id = b.id AND a.vec_id < b.vec_id)
+       |SELECT b_id AS vec_id, cl AS cluster,
+       | count(*) AS n_partners, max(sim) AS max_sim
+       |FROM pairs WHERE sim >= 0.9
+       |GROUP BY b_id, cl ORDER BY vec_id""".stripMargin
   }
 
   /** MinHash estimator calibration — the error profile that justifies a
@@ -393,6 +495,7 @@ object DedupSim {
     "q_minhash_calibration" -> qMinhashCalibration,
     "q_dedup_exact" -> qDedupExact,
     "q_semdedup" -> qSemdedup,
+    "q_semdedup_deep" -> qSemdedupDeep,
     "q_leakage_split" -> qLeakageSplit,
     "q_dedup_jaccard" -> qDedupJaccard,
     "q_dedup_clusters" -> qDedupClusters,
@@ -524,6 +627,7 @@ object DedupSim {
         |      WHEN bucket < 90 THEN 'val'
         |      ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+    "q_semdedup_deep" -> semdedupOracle(4),
     "q_semdedup" ->
       """WITH params AS (
         | SELECT g, b, (g + b - 1) // b AS nm, (g + b*b - 1) // (b*b) AS nt

@@ -147,7 +147,15 @@ object Ml {
     * accuracy/agreement/determinism are spec-pinned (MlSpec). */
   val qQualityClassifier: Q = (s, d) => {
     import graft.ml.QualityClassifier
+    // materialize the featurized frame ONCE, slimmed to what training
+    // and scoring actually read (r13): without the checkpoint the
+    // tokenize+hash+assemble lineage re-runs for the scoring pass and
+    // for spark.ml's own instances conversion, and the heavy toks/tf
+    // intermediates ride every replay — the measured source of the
+    // 2.5× med/min spread at sf10 (VERDICT r12 task 6)
     val feat = QualityClassifier.featurize(Tables.documents(s, d))
+      .select("doc_id", "label", "features")
+      .localCheckpoint()
     val model = QualityClassifier.fit(feat)
     QualityClassifier.score(model, feat)
       .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")

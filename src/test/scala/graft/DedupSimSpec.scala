@@ -765,19 +765,17 @@ class DedupSimSpec extends AnyFunSuite with SharedSpark {
     * equality — the same certification the DuckDB oracle gives at
     * sf0.1's n = 2000 (g = 2, green in the 3-SF sweep), here at spec
     * speed on a denser fixture. */
-  test("semdedup dense-corpus replay: exact equality at g = 2 (n = 2500)") {
+  /** Driver-side exact replay of the L-level descent (the r13
+    * generalization of the r12 three-level replay): recomputes
+    * centroids (mean over raw member vectors, 6dp HALF_UP), the
+    * level-by-level argmax with the engine's float discipline
+    * (left-to-right dots, (−score, id) tie order, parent-restricted
+    * candidates located by id arithmetic), and the within-cluster
+    * pairing — then asserts row-exact equality with the engine. */
+  private def replaySemdedup(dense: org.apache.spark.sql.DataFrame,
+                             g: Long, levels: Int): Unit = {
     import org.apache.spark.sql.functions._
-    val base0 = Tables.embeddings(spark, sfDir)
-    val dense = (0 until 5).map { r =>
-      val off = base0.withColumn("vec_id", col("vec_id") + lit(r * 1000000000L))
-      if (r == 0) off
-      else off.withColumn("embedding",
-        transform(col("embedding"),
-          (x, i) => when(i === 0, x + lit(r * 0.001f)).otherwise(x)))
-    }.reduce(_ unionByName _)
-    val g = 2L
-    assert(dense.count() / 1000L == g, "fixture must trigger the sharded path")
-    val engine = graft.queries.DedupSim.semdedup(dense, g).collect()
+    val engine = graft.queries.DedupSim.semdedup(dense, g, levels).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
 
     def round6(x: Double): Double =
@@ -797,42 +795,32 @@ class DedupSimSpec extends AnyFunSuite with SharedSpark {
     val augRows = Similarity.withPlantedDups(dense).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val dim = baseRows.head._3.length
-    // the engine's r12 hierarchical coarse quantizer, replayed exactly:
-    // branching b = ⌈g^{1/3}⌉, level-1 argmax over the (label, top)
-    // centroids (mean over raw member vectors), level-2 over the
-    // winning top's mid centroids, level-3 over the winning mid's leaf
-    // centroids — ties to the lower id at each level
-    val b = graft.queries.DedupSim.cbrtCeil(g)
-    val NM = (g + b - 1L) / b
-    val NT = (g + b * b - 1L) / (b * b)
+    val b = graft.queries.DedupSim.rootCeil(g, levels)
+    def ipow(x: Long, e: Int): Long = (0 until e).foldLeft(1L)((a, _) => a * x)
+    val divs = (0 until levels).map(l => ipow(b, levels - 1 - l))
+    val ns = divs.map(dv => (g + dv - 1L) / dv)
     def meanCent(rows: Array[(Long, Int, Array[Double])]): Array[Double] =
       Array.tabulate(dim)(d => round6(rows.map(_._3(d)).sum / rows.length))
-    val cents = baseRows.groupBy(r => (r._2.toLong, (r._1 % g) / b, r._1 % g))
-      .map { case ((label, mid, shard), rows) =>
-        val c = meanCent(rows)
-        ((label, mid), label * g + shard, c, math.sqrt(dotLR(c, c)))
-      }.toArray
-    val mcents = baseRows.groupBy(r => (r._2.toLong, (r._1 % g) / (b * b), (r._1 % g) / b))
-      .map { case ((label, top, mid), rows) =>
-        val c = meanCent(rows)
-        ((label, top), label * NM + mid, c, math.sqrt(dotLR(c, c)))
-      }.toArray
-    val tcents = baseRows.groupBy(r => (r._2.toLong, (r._1 % g) / (b * b)))
-      .map { case ((label, top), rows) =>
-        val c = meanCent(rows)
-        (label * NT + top, c, math.sqrt(dotLR(c, c)))
-      }.toArray
+    // per level: (id = label·N_ℓ + nk, parent id, centroid, norm)
+    val levelCents = (0 until levels).map { l =>
+      baseRows.groupBy(r => (r._2.toLong, (r._1 % g) / divs(l)))
+        .map { case ((label, nk), rows) =>
+          val c = meanCent(rows)
+          val par = if (l == 0) 0L else label * ns(l - 1) + nk / b
+          (label * ns(l) + nk, par, c, math.sqrt(dotLR(c, c)))
+        }.toArray
+    }
     val assigned = augRows.map { case (id, v) =>
-      val tid = tcents.map { case (tid, c, cn) =>
-        (-1.0 * dotLR(v, c) / cn, tid)
-      }.minBy(identity)._2
-      val midId = mcents.filter(_._1 == (tid / NT, tid % NT))
-        .map { case (_, mId, c, cn) => (-1.0 * dotLR(v, c) / cn, mId) }
-        .minBy(identity)._2
-      val best = cents.filter(_._1 == (midId / NM, midId % NM))
-        .map { case (_, cl, c, cn) => (-1.0 * dotLR(v, c) / cn, cl) }
-        .minBy(identity)
-      (best._2, id, v, math.sqrt(dotLR(v, v)))
+      var want = -1L
+      for (l <- 0 until levels) {
+        val cands =
+          if (want < 0L) levelCents(l)
+          else levelCents(l).filter(_._2 == want)
+        want = cands.map { case (cid, _, c, cn) =>
+          (-1.0 * dotLR(v, c) / cn, cid)
+        }.minBy(identity)._2
+      }
+      (want, id, v, math.sqrt(dotLR(v, v)))
     }
     val expected = assigned.groupBy(_._1).toSeq.flatMap { case (cl, members) =>
       val pairs = for {
@@ -847,8 +835,39 @@ class DedupSimSpec extends AnyFunSuite with SharedSpark {
     }.sortBy(_._1)
     assert(expected.nonEmpty, "fixture must produce near-dup pairs")
     assert(engine.toSeq == expected,
-      s"engine=${engine.take(3).toSeq} expected=${expected.take(3)} " +
+      s"L=$levels g=$g engine=${engine.take(3).toSeq} expected=${expected.take(3)} " +
         s"(sizes ${engine.length}/${expected.size})")
+  }
+
+  /** GenScale-style dense fixture: `replicas` key-offset copies of the
+    * base corpus, dim-0 perturbed so replicas aren't exact duplicates. */
+  private def denseFixture(replicas: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base0 = Tables.embeddings(spark, sfDir)
+    (0 until replicas).map { r =>
+      val off = base0.withColumn("vec_id", col("vec_id") + lit(r * 1000000000L))
+      if (r == 0) off
+      else off.withColumn("embedding",
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x + lit(r * 0.001f)).otherwise(x)))
+    }.reduce(_ unionByName _)
+  }
+
+  test("semdedup dense-corpus replay: exact equality at g = 2 (n = 2500)") {
+    val dense = denseFixture(5)
+    assert(dense.count() / 1000L == 2L, "fixture must trigger the sharded path")
+    replaySemdedup(dense, 2L, 3)
+  }
+
+  test("semdedup generalized depth: replay equality at g = 5, L = 3 and L = 4") {
+    // g = 5 with b = 2 gives a non-collapsed tree at BOTH depths (top
+    // nodes 2 per label at L=3; levels 1..3 all restrict at L=4), so
+    // the parent arithmetic and the per-level candidate restriction —
+    // not just the g≤2 collapse — face the exact replay
+    val dense = denseFixture(10)
+    assert(dense.count() / 1000L == 5L, "fixture must reach g = 5")
+    replaySemdedup(dense, 5L, 3)
+    replaySemdedup(dense, 5L, 4)
   }
 
   test("leakage-free split keeps every near-dup cluster in one split") {

@@ -216,6 +216,45 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("label-prop round: src-bucketed edges + broadcast labels = zero shuffles") {
+    // the r13 claim in Analytics23.qLabelProp: after the one-time
+    // repartition(src) + localCheckpoint, a round joins the node-sized
+    // label frame as a BROADCAST on dst, and the join output's src
+    // partitioning satisfies both the (src,lbl) count grouping and the
+    // (src) argmax grouping — a round plans NO hash exchange at all.
+    // (The dst-bucketed shuffle-join variant measured 17.5× on the
+    // sf1→sf10 decade because the count agg still moved |edges| rows
+    // per round; this shape moved it to 4.4×.) AQE off so the asserted
+    // plan is the static one the claim is about.
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val aqe = conf.get("spark.sql.adaptive.enabled")
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val e = spark.range(1000)
+        .select((col("id") % 100).as("src"), ((col("id") + 7) % 100).as("dst"))
+      val edges = e.repartition(col("src")).distinct().localCheckpoint()
+      val labels = edges.select(col("src").as("id")).distinct()
+        .localCheckpoint().withColumn("lbl", col("id"))
+      val round = edges.join(broadcast(labels), edges("dst") === labels("id"))
+        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("src").as("id"))
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("m"))
+        .select(col("id"), (-col("m.neg")).as("lbl"))
+      val p = round.queryExecution.executedPlan.toString
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(shuffles == 0, s"expected a shuffle-free round, got $shuffles:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        "labels should broadcast into the round join:\n" + p)
+      // the seed-label derivation is also exchange-free: distinct on src
+      // rides the edges' src partitioning (partition keys ⊆ grouping keys)
+      val seedPlan = edges.select(col("src").as("id")).distinct()
+        .queryExecution.executedPlan.toString
+      assert(!seedPlan.contains("Exchange hashpartitioning"),
+        "seed ids should ride the edge bucketing:\n" + seedPlan)
+    } finally conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("no query plans a CartesianProduct (sweep over the full registry)") {
     // pair generators must arrive as equality joins (inverted index, LSH
     // bands, buckets) or broadcast nested loops — an unbroadcast cartesian
@@ -239,7 +278,7 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
       // r12 (ADVICE): g = max(1, n/1000) is a bounded driver scalar, so
       // construction runs a count() job — covered by the dedicated
       // semdedup test below at a literal g (plan shape is g-independent)
-      "q_semdedup")
+      "q_semdedup", "q_semdedup_deep")
     SparkEntry.queries.keys.filterNot(skip).foreach { name =>
       val p = planString(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
@@ -254,5 +293,10 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
       .semdedup(Tables.embeddings(spark, sfDir), 2L)
       .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), s"semdedup plans a cartesian:\n$p")
+    // and the generalized depth keeps the property (r13)
+    val p4 = graft.queries.DedupSim
+      .semdedup(Tables.embeddings(spark, sfDir), 2L, 4)
+      .queryExecution.executedPlan.toString
+    assert(!p4.contains("CartesianProduct"), s"L=4 semdedup plans a cartesian:\n$p4")
   }
 }
