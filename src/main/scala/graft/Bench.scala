@@ -102,8 +102,14 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         }
         val t1 = once()
+        // SPARK_GRAFT_BENCH_RUNS (r13): run-count override for manual
+        // hour-class scale probes (a 3×-repeated 500 s sf100 query buys
+        // little statistical power for 25 minutes of box time). The
+        // driver sets nothing and keeps the median-of-3 default.
+        val nRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3)
         val times =
-          if (t1 >= medianThresholdSec) (t1 +: Seq.fill(2)(once())).sorted
+          if (t1 >= medianThresholdSec && nRuns > 1)
+            (t1 +: Seq.fill(nRuns - 1)(once())).sorted
           else Seq(t1)
         (name, Some(times), Option.empty[String])
       } catch {
