@@ -37,10 +37,49 @@ object Bench {
     * correspondingly sub-second. */
   private val medianThresholdSec = 1.0
 
+  /** Box-state provenance (r14, VERDICT r13 task 3): the r13 +24%
+    * headline was box-state (probe-order page-cache thrash), not code,
+    * and cost a judge-session to adjudicate. Record 1-min load and
+    * page-cache residency AT BENCH START plus an optional operator note
+    * (SPARK_GRAFT_BENCH_NOTE, e.g. "idle-first, pre-probe") so the next
+    * cross-round comparison carries its own context. Best-effort: on a
+    * box without /proc the fields are null, never a crash. */
+  private def boxState(): String = {
+    def readNum(path: String, pick: Iterator[String] => Option[Double]): Option[Double] =
+      try {
+        val src = scala.io.Source.fromFile(path)
+        try pick(src.getLines()) finally src.close()
+      } catch { case _: Throwable => None }
+    val load1 = readNum("/proc/loadavg",
+      _.nextOption().flatMap(_.split("\\s+").headOption).flatMap(_.toDoubleOption))
+    val cachedGib = readNum("/proc/meminfo",
+      _.find(_.startsWith("Cached:")).flatMap(_.split("\\s+").lift(1))
+        .flatMap(_.toDoubleOption).map(_ / 1048576.0))
+    val note = sys.env.get("SPARK_GRAFT_BENCH_NOTE")
+      .map(n => "\"" + BenchUtil.jsonEscape(n) + "\"").getOrElse("null")
+    val fmt = (v: Option[Double]) => v.map(x => f"$x%.2f").getOrElse("null")
+    s"""{"loadavg1":${fmt(load1)},"page_cache_gib":${fmt(cachedGib)},"note":$note}"""
+  }
+
   def main(args: Array[String]): Unit = {
     // optional trailing names restrict the run for local iteration; the
     // driver passes none and gets the full registry
     val only: Set[String] = args.toSet
+    // SPARK_GRAFT_BENCH_RUNS (r13): run-count override for manual
+    // hour-class scale probes (a 3×-repeated 500 s sf100 query buys
+    // little statistical power for 25 minutes of box time). Validated
+    // ONCE here (r14, ADVICE): inside the per-query try a malformed
+    // value was caught and misreported as a query failure, and <= 0
+    // silently disabled the median-of-N repeat.
+    val nRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS") match {
+      case None => 3
+      case Some(v) => v.toIntOption match {
+        case Some(n) if n >= 1 => n
+        case _ => sys.error(
+          s"SPARK_GRAFT_BENCH_RUNS must be a positive integer, got '$v'")
+      }
+    }
+    val provenance = boxState()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Shuffle-partition override for scale-factor sweeps (r12). Measured
@@ -102,11 +141,6 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         }
         val t1 = once()
-        // SPARK_GRAFT_BENCH_RUNS (r13): run-count override for manual
-        // hour-class scale probes (a 3×-repeated 500 s sf100 query buys
-        // little statistical power for 25 minutes of box time). The
-        // driver sets nothing and keeps the median-of-3 default.
-        val nRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3)
         val times =
           if (t1 >= medianThresholdSec && nRuns > 1)
             (t1 +: Seq.fill(nRuns - 1)(once())).sorted
@@ -137,7 +171,7 @@ object Bench {
     // across runs can't mistake a broken-query drop for a speedup
     // without ignoring an explicit failure count
     val nErr = results.count(_._3.isDefined)
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","n_errors":$nErr,"queries":$qs,"mins":$mins,"runs":$runs,"errors":$errs,"sf":"$sfDir","materialization":"noop-write","timing":"median-of-3 for queries >= ${medianThresholdSec}s, single-shot below; mins = fastest run"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","n_errors":$nErr,"queries":$qs,"mins":$mins,"runs":$runs,"errors":$errs,"sf":"$sfDir","box_state":$provenance,"materialization":"noop-write","timing":"median-of-3 for queries >= ${medianThresholdSec}s, single-shot below; mins = fastest run"}"""
     println(json)
     // The launching harness captures only a TAIL WINDOW of stdout; the
     // full per-query line above is tens of KB, so on its own it is
@@ -153,7 +187,7 @@ object Bench {
       .flatMap(k => ok.find(_._1 == k))
       .map { case (k, ts) => s"\"" + k + "\":" + ts(ts.size / 2) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_errors":$nErr,"n_queries":${ok.size},"queries":$headline,"sf":"$sfDir","detail":"target/bench.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_errors":$nErr,"n_queries":${ok.size},"queries":$headline,"sf":"$sfDir","box_state":$provenance,"detail":"target/bench.json"}""")
     // Stdout of this run may be tail-truncated by the harness that
     // launched it; the on-disk copy keeps the complete per-query map
     // available for cross-round diffing regardless. Restricted runs are

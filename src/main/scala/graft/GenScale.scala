@@ -131,11 +131,15 @@ object GenScale {
       require(replicas < 1024,
         s"EMB_SEP supports < 1024 replicas (got $replicas): rotation 1024 " +
           "is the identity and would collide with replica 0")
+      // coalesce(size(...), -1): a null embedding row must surface in
+      // the require MESSAGE as length -1, not as an NPE from getInt on
+      // a null cell (r14, ADVICE)
       val embLen = read("embeddings")
-        .select(size(col("embedding"))).distinct().collect().map(_.getInt(0))
+        .select(coalesce(size(col("embedding")), lit(-1)).as("len"))
+        .distinct().collect().map(_.getInt(0))
       require(embLen.sameElements(Array(64)),
         s"EMB_SEP rotation assumes 64-dim embeddings, found lengths " +
-          embLen.mkString("{", ",", "}"))
+          embLen.mkString("{", ",", "}") + " (-1 = null embedding)")
     }
     write("embeddings", replicate(read("embeddings"), Seq("vec_id"),
       perturb = (d, r) =>

@@ -312,6 +312,18 @@ object Dedup {
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("cold_common"))
+      // the two sizes joins carry NO static broadcast hint on purpose
+      // (r14, ADVICE adjudication): sizes is a per-DOC frame — DATA-
+      // sized, not dimension-sized — so a hard broadcast() would ship
+      // ~16 GB at 10⁹ docs and OOM the executors exactly where this
+      // pipeline must survive. AQE is the right mechanism: at runtime
+      // it sees the actual post-agg sizes (n × 16 B) and converts both
+      // joins to broadcasts whenever they fit (DedupSpec pins this at
+      // test scale), while at 10⁹ docs it keeps the sort-merge join of
+      // two id-keyed POST-agg frames — the scale-safe fallback. The
+      // r13 payload-shrink win is unaffected either way: what these
+      // joins move is the post-agg pair frame, never the pre-agg join
+      // output the shrink was about.
       .join(sizes.select(col("doc_id").as("a_id"), col("nsh").as("na")), Seq("a_id"))
       .join(sizes.select(col("doc_id").as("b_id"), col("nsh").as("nb")), Seq("b_id"))
     val corrected =

@@ -91,12 +91,13 @@ case class TreeArgmaxDot(emb: Expression, ids: Expression,
     }
     // an empty child slice (want absent from parents) is unreachable
     // with the current tree construction — every parent id the level-1
-    // argmax can emit owns ≥1 child — but if the packing or the id
-    // encoding ever changes, returning a fabricated assignment (e.g.
-    // the globally lowest id) would be a silent misassignment; return
-    // null instead and let the row drop, matching the oracle's
-    // inner-join behavior
-    if (lo >= hi) return null
+    // argmax can emit owns ≥1 child — so a hit here IS a tree-packing
+    // or id-encoding bug. Fail loudly (r14, ADVICE): returning null let
+    // the row silently drop through the downstream equi-join, turning
+    // an invariant violation into quietly-shrunk dedup output.
+    if (lo >= hi) throw new IllegalStateException(
+      s"TreeArgmaxDot: no child has parent id $w (packed tree holds $n " +
+        "nodes) — tree packing / id encoding violated its invariant")
     var best = Double.NaN
     var bestId = idArr.getLong(lo)
     var i = lo

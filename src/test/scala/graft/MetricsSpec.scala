@@ -56,6 +56,39 @@ class MetricsSpec extends AnyFunSuite with SharedSpark {
       s"q_star_join shuffled $shuffled records against $inputRows fact rows")
   }
 
+  test("jaccardPairs sizes joins: AQE converts both to broadcasts at small scale") {
+    // r14 ADVICE adjudication: the two post-agg joins against the
+    // per-doc `sizes` frame carry NO static broadcast hint — sizes is
+    // data-sized (n docs), so a hard broadcast() would OOM at 10⁹ docs.
+    // The contract is instead: AQE sees the runtime size and converts
+    // both joins to broadcasts whenever sizes fits (always, at any SF a
+    // single box can host), and keeps the id-keyed sort-merge join at
+    // the scales where broadcast would be fatal. Pin the first half:
+    // post-AQE executed plan has a BroadcastHashJoin keyed on a_id and
+    // one keyed on b_id.
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val docs = Tables.documents(spark, sfDir)
+    val pairs = graft.dedup.Dedup.jaccardPairs(docs, 0.6, maxDf = 16)
+    pairs.collect()
+    var bhjKeys = List.empty[Set[String]]
+    def walk(p: SparkPlan): Unit = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case b: BroadcastHashJoinExec =>
+        bhjKeys ::= (b.leftKeys ++ b.rightKeys).flatMap(_.references)
+          .map(_.name).toSet
+        b.children.foreach(walk)
+      case other =>
+        other.children.foreach(walk)
+        other.subqueries.foreach(walk)
+    }
+    walk(pairs.queryExecution.executedPlan)
+    assert(bhjKeys.exists(_.contains("a_id")) && bhjKeys.exists(_.contains("b_id")),
+      s"expected AQE-broadcast sizes joins on a_id and b_id, got keys: $bhjKeys\n" +
+        pairs.queryExecution.executedPlan.toString)
+  }
+
   test("q_topk_count's TakeOrdered ships only per-partition heads") {
     val df = SparkEntry.queries("q_topk_count")(spark, sfDir)
     val shuffled = walkTotal(df)
