@@ -123,6 +123,52 @@ object Phash {
       .select("a_id", "b_id", "hamming")
   }
 
+  /** Bounded PORTABLE corpus for the full-chain SQL oracle (r14): 200
+    * 32×32 PNGs (doc_id < 200 — dense base ids, so the bound holds at
+    * every SF and probe corpus) whose every pixel is exact INTEGER
+    * arithmetic of (id, x, y): luma = ((x+1)·(y+3)·(gid+7)) mod 251, a
+    * non-separable product-mod-prime pattern (pseudo-random spread ⇒
+    * every AC coefficient sits hundreds away from the median, vs the
+    * ~1e-10 cross-engine wobble from StrictMath-vs-libm cos), odd twin
+    * retouched +45 on the 4×4 corner (measured twin hamming 0–10,
+    * mean ≈ 4 — real near-dup distances, so the pairing arithmetic is
+    * certified on non-trivial values). At 32×32 the phash grid equals
+    * the image grid (nearest sampling = identity) and gray pixels make
+    * luma exact (c·1000/1000.0), so a DuckDB replay of the DCT +
+    * median + bit-pack sees bit-identical pixel input — q_phash_portable
+    * holds the REAL decode→hash code path to a full oracle, the
+    * q_simhash_portable pattern. The splitmix64 spectrum corpus below
+    * stays the recall/precision fixture (its float synthesis has no
+    * cheap SQL form). */
+  def portablePngs(spark: SparkSession, ids: DataFrame): DataFrame = {
+    import spark.implicits._
+    ids.select(col("doc_id")).filter(col("doc_id") < 200)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Long].mapPartitions { it =>
+        Multimodal.disableImageIoFileCache()
+        it.map { id =>
+          val gid = id / 2
+          val img = new java.awt.image.BufferedImage(
+            32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < 32) {
+            var x = 0
+            while (x < 32) {
+              val base = (((x + 1).toLong * (y + 3) * (gid + 7)) % 251L).toInt
+              val c = if (id % 2 == 1 && x < 4 && y < 4) math.min(base + 45, 255)
+                else base
+              img.setRGB(x, y, (c << 16) | (c << 8) | c)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray)
+        }
+      }.toDF("media_id", "payload")
+  }
+
   private def splitmix64(seed: Long): Long = {
     var z = seed + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L

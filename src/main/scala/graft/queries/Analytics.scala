@@ -164,14 +164,21 @@ object Analytics {
 
   /** Farthest-first k-center coreset (k = 8) over the embeddings
     * ([[graft.similarity.Coreset]]): the selection order, each pick's
-    * vec_id, and the coverage radius the pick reduced. Rows-only
-    * (float-argmax selection); the greedy invariants are spec-pinned
-    * (non-increasing radii, brute-force parity at sf0.001). */
+    * vec_id, and the coverage radius the pick reduced. Full oracle
+    * (r14, was rows-only): the greedy is replayed in DuckDB as a
+    * recursive CTE over the packed embedding lists — the
+    * q_mmr_diversify pattern — with the identical sequential-sum
+    * distance, the identical (d² desc, id asc) argmax as a struct max,
+    * and HALF_UP round-6 radii on both sides (Spark-side BigDecimal,
+    * matching DuckDB's round(); `rint`'s half-even would diverge on
+    * exact halves). The brute-force greedy referee and the
+    * non-increasing-radii invariant stay spec-pinned. */
   val qCoreset: Q = (s, d) => {
     val picked = graft.similarity.Coreset.kCenter(embDouble(s, d), 8)
     import s.implicits._
     picked.zipWithIndex.map { case ((id, _, r), i) =>
-      (i + 1L, id, if (r.isNaN) 0.0 else math.rint(r * 1e6) / 1e6)
+      (i + 1L, id, if (r.isNaN) 0.0
+        else BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }.toDF("sel_idx", "vec_id", "radius").orderBy("sel_idx")
   }
 
@@ -335,6 +342,49 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    // r14 upgrade (was rows-only): the farthest-first greedy replayed as
+    // a recursive CTE over one packed-lists row (ids + embeddings sorted
+    // by vec_id). Each step argmaxes {'d2', 'negid'} structs — the same
+    // (distance desc, id asc) total order as the Spark
+    // orderBy(desc(d2), asc(vec_id)) — where d2 is the identical
+    // left-to-right sequential sum of (x−c)² over the identical
+    // float→double casts, so the compared doubles are bit-equal
+    // cross-engine (the q_mmr_diversify precedent). Radii are
+    // round(sqrt(d2), 6) on both sides; the seed pick is the min vec_id
+    // (= packed index 1) with radius 0.0 standing in for the undefined
+    // first coverage radius, exactly as the Spark side emits.
+    "q_coreset" ->
+      """WITH v AS (
+        | SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+        | FROM embeddings),
+        |p AS (
+        | SELECT list(vec_id ORDER BY vec_id) AS ids,
+        |        list(emb ORDER BY vec_id) AS embs,
+        |        count(*)::BIGINT AS n FROM v),
+        |rec AS (
+        | WITH RECURSIVE r(step, picked, radii) AS (
+        |  SELECT 1, CAST([1] AS BIGINT[]), CAST([0.0] AS DOUBLE[]) FROM p
+        |  UNION ALL
+        |  SELECT r.step + 1,
+        |   list_append(r.picked,
+        |    (list_max(list_transform(range(1, p.n + 1), i ->
+        |      {'d2': list_min(list_transform(r.picked, c ->
+        |               list_sum(list_transform(range(1, len(p.embs[i]) + 1), k ->
+        |                 (p.embs[i][k] - p.embs[c][k]) * (p.embs[i][k] - p.embs[c][k]))))),
+        |       'negid': -p.ids[i], 'i': i}))).i),
+        |   list_append(r.radii,
+        |    round(sqrt((list_max(list_transform(range(1, p.n + 1), i ->
+        |      {'d2': list_min(list_transform(r.picked, c ->
+        |               list_sum(list_transform(range(1, len(p.embs[i]) + 1), k ->
+        |                 (p.embs[i][k] - p.embs[c][k]) * (p.embs[i][k] - p.embs[c][k]))))),
+        |       'negid': -p.ids[i], 'i': i}))).d2), 6))
+        |  FROM r, p WHERE r.step < 8)
+        | SELECT picked, radii FROM r WHERE step = 8)
+        |SELECT CAST(t.k AS BIGINT) AS sel_idx,
+        | p.ids[rec.picked[t.k]] AS vec_id,
+        | rec.radii[t.k] AS radius
+        |FROM rec, p, range(1, 9) t(k)
+        |ORDER BY sel_idx""".stripMargin,
     "q_epoch_shuffle" ->
       """WITH t AS (
         | SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':' || '1') AS h

@@ -45,12 +45,21 @@ object Analytics23 {
   val qLabelProp: Q = (s, d) => {
     val items = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    // DISK_ONLY edge checkpoint (r14, VERDICT r13 task 1): the edge
+    // list is |E|-sized (~930 M rows at sf31) and is scanned only 3×
+    // (once per round) — memory-resident localCheckpoint blocks
+    // competed with execution memory and OOM'd the sf31 probe at the
+    // box's 64 g ceiling, while serialized disk blocks cost one
+    // sequential read per round and bound the heap to the node-sized
+    // label frames. Same LogicalRDD mechanics, so the captured
+    // hashpartitioning(src) — the zero-shuffle round shape — is
+    // unchanged (PlanSpec asserts it).
     val edges = items.as("a").join(items.as("b"), col("a.o") === col("b.o"))
       .filter(col("a.p") =!= col("b.p"))
       .select(col("a.p").as("src"), col("b.p").as("dst"))
       .repartition(col("src"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // checkpoint BEFORE aliasing lbl = id: a Project aliasing the
     // partition key reports PartitioningCollection(lbl, id) and the
     // checkpoint's LogicalRDD keeps only its head (lbl), which a

@@ -114,9 +114,32 @@ object Media {
         col("detected_freq_hz"))
       .orderBy("media_id")
 
+  /** Full-oracle pHash over the bounded integer-pattern corpus
+    * ([[graft.multimodal.Phash.portablePngs]] — 200 32×32 PNGs whose
+    * pixels are exact integer arithmetic of (id, x, y)): per twin pair,
+    * both 64-bit hashes and their hamming distance. Runs the REAL
+    * decode→sample→luma→DCT→median→bit-pack path (`Phash.phash64`, the
+    * same code q_image_phash uses); the DuckDB oracle replays the whole
+    * chain arithmetically — cos tables, row-major DCT sums in the
+    * identical IEEE order, lower-median datum, bit packing — so a green
+    * row certifies the hash function bit-for-bit, upgrading the pHash
+    * component from rows-only (r14; the spectrum corpus keeps the
+    * recall/precision spec). */
+  val qPhashPortable: Q = (s, d) => {
+    val hs = graft.multimodal.Phash.hashes(s,
+      graft.multimodal.Phash.portablePngs(s, Tables.documents(s, d)))
+    hs.groupBy(expr("media_id div 2").as("gid"))
+      .agg(min(when(col("media_id") % 2 === 0, col("phash"))).as("phash_even"),
+        min(when(col("media_id") % 2 === 1, col("phash"))).as("phash_odd"))
+      .withColumn("hamming",
+        bit_count(col("phash_even").bitwiseXOR(col("phash_odd"))).cast("long"))
+      .orderBy("gid")
+  }
+
   val all: Map[String, Q] = Map(
     "q_audio_spectrum" -> qAudioSpectrum,
     "q_image_phash" -> qImagePhash,
+    "q_phash_portable" -> qPhashPortable,
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_media_features" -> qMediaFeatures,
     "q_image_decode" -> qImageDecode,
@@ -126,6 +149,48 @@ object Media {
   )
 
   val oracles: Map[String, String] = Map(
+    // r14: the full pHash chain replayed arithmetically. Pixels are
+    // integers by construction (bit-identical cross-engine); the DCT
+    // sums run in the IDENTICAL IEEE order as Phash.phash64 (row-major
+    // i ascending, (g·cosU)·cosV per term); the only cross-engine
+    // wobble is StrictMath-vs-libm cos at ~1 ulp, ~1e-10 absolute on
+    // coefficients whose median margins are O(100) by the corpus
+    // design. ct[t] packs cos((2x+1)uπ/64) at t = u·32 + x; the AC list
+    // is uv = u·8+v ascending, k = uv−1, threshold strictly-greater
+    // against the lower-median datum (sorted[32], 1-based) — exactly
+    // the Scala code.
+    "q_phash_portable" ->
+      """WITH ct AS (
+        | SELECT list_transform(range(0, 256), t ->
+        |   cos(((2 * (t % 32) + 1) * (t // 32)) * pi() / 64.0)) AS l),
+        |px AS (
+        | SELECT doc_id AS media_id,
+        |  list_transform(range(0, 1024), i -> CAST(
+        |    CASE WHEN doc_id % 2 = 1 AND i % 32 < 4 AND i // 32 < 4
+        |     THEN least((i % 32 + 1) * (i // 32 + 3) * (doc_id // 2 + 7) % 251 + 45, 255)
+        |     ELSE (i % 32 + 1) * (i // 32 + 3) * (doc_id // 2 + 7) % 251
+        |    END AS DOUBLE)) AS g
+        | FROM documents WHERE doc_id < 200),
+        |ac AS (
+        | SELECT media_id,
+        |  list_transform(range(1, 64), uv ->
+        |    list_sum(list_transform(range(0, 1024), i ->
+        |      (g[i + 1] * ct.l[(uv // 8) * 32 + (i // 32) + 1])
+        |        * ct.l[(uv % 8) * 32 + (i % 32) + 1]))) AS a
+        | FROM px, ct),
+        |md AS (SELECT media_id, a, list_sort(a)[32] AS med FROM ac),
+        |hs AS (
+        | SELECT media_id,
+        |  CAST(list_sum(list_transform(range(0, 63), k ->
+        |    CASE WHEN a[k + 1] > med THEN 1::BIGINT << k ELSE 0::BIGINT END))
+        |   AS BIGINT) AS phash
+        | FROM md)
+        |SELECT media_id // 2 AS gid,
+        | min(CASE WHEN media_id % 2 = 0 THEN phash END) AS phash_even,
+        | min(CASE WHEN media_id % 2 = 1 THEN phash END) AS phash_odd,
+        | CAST(bit_count(xor(min(CASE WHEN media_id % 2 = 0 THEN phash END),
+        |   min(CASE WHEN media_id % 2 = 1 THEN phash END))) AS BIGINT) AS hamming
+        |FROM hs GROUP BY 1 ORDER BY gid""".stripMargin,
     "q_audio_spectrum" ->
       """SELECT doc_id AS media_id,
         | CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS sample_rate,

@@ -56,19 +56,35 @@ object Pq {
     * narrow projection and computes every (subspace, code, dim) mean in
     * ONE shuffle. Codebooks are driver-sized (m·ksub·dsub doubles).
     *
-    * Training runs on a DETERMINISTIC half-sample (seedless xxhash64 of
-    * vec_id — stable across runs and engines): codebook quality needs a
-    * representative sample, not the corpus (Jégou trains 10⁶-vector
-    * codebooks from 10⁵ samples), and at 10⁹ vectors a full-corpus Lloyd
-    * pass per iteration is pure waste. ENCODING still covers every
-    * vector. PqSpec's recall and quantization-error bounds hold on the
-    * sampled codebooks; A/B at sf0.1 (min of 3 warm runs): q_knn_pq
-    * 3.69 → 3.34 s, q_knn_ivfpq 5.21 → 4.73 s — the win grows with
-    * corpus size since only training scales down. */
+    * Training runs on a DETERMINISTIC BOUNDED sample (seedless xxhash64
+    * of vec_id thresholded to target ~`trainTarget` rows — stable
+    * across runs and engines): codebook quality needs a representative
+    * sample, not the corpus (Jégou trains 10⁶-vector codebooks from
+    * 10⁵ samples), and at 10⁹ vectors a full-corpus Lloyd pass per
+    * iteration is pure waste. r14 (VERDICT r13 task 2): the former
+    * constant HALF-sample kept per-iteration training work linear in
+    * corpus size; the hash threshold is now ∝ target/corpus-count, so
+    * the training set is ~10⁵ rows no matter the corpus — "only
+    * training scales down" is delivered, at the price of one up-front
+    * count() (a column-pruned scan, amortized over the Lloyd
+    * aggregations it shrinks). Corpora at or under the target train on
+    * everything. ENCODING still covers every vector. PqSpec's
+    * recall and quantization-error bounds hold on the bounded-sample
+    * codebooks; A/B at sf0.1 in PLANS.md r14. */
   def train(vecs: DataFrame, m: Int = 8, ksub: Int = 16,
-            iters: Int = 2): Codebooks = {
-    val v = prepared(vecs).select(col("vec_id"), col("emb"))
-      .filter(pmod(xxhash64(col("vec_id")), lit(2L)) === 0L)
+            iters: Int = 2, trainTarget: Long = 100000L): Codebooks = {
+    val allV = prepared(vecs).select(col("vec_id"), col("emb"))
+    val total = allV.count()
+    // hash-threshold sampling: keep vec_id iff pmod(hash, 2^20) < keep,
+    // keep = ceil(2^20 · target/total) — expected sample size ≈ target,
+    // deterministic membership (no RNG, no sampleBy), one narrow filter
+    val Buckets = 1L << 20
+    val keep =
+      if (total <= trainTarget) Buckets
+      else (Buckets * trainTarget + total - 1) / total
+    val v =
+      if (keep >= Buckets) allV
+      else allV.filter(pmod(xxhash64(col("vec_id")), lit(Buckets)) < lit(keep))
     val dim = v.select(size(col("emb"))).head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
@@ -164,8 +180,8 @@ object Pq {
     * kNN paths: (q_id, rank, n_id, sim) with EXACT sims. */
   def adcTopK(vecs: DataFrame, queries: DataFrame, k: Int,
               m: Int = 8, ksub: Int = 16, iters: Int = 2,
-              rerank: Int = 50): DataFrame = {
-    val books = train(vecs, m, ksub, iters)
+              rerank: Int = 50, trainTarget: Long = 100000L): DataFrame = {
+    val books = train(vecs, m, ksub, iters, trainTarget)
     val bits = bitsFor(ksub)
     val enc = encode(vecs, books)
     val qRows = prepared(queries).select(col("vec_id"), col("emb"))
