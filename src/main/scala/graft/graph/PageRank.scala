@@ -42,7 +42,13 @@ object PageRank {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val withDeg = edges.join(deg, "src")
       .repartition(col("src"))
-      .localCheckpoint()
+      // |E|-sized checkpoint → DISK_ONLY (r14, the q_label_prop
+      // discipline): scanned once per iteration, so serialized disk
+      // blocks bound the heap to the |V|-sized rank table instead of
+      // holding ~10⁹ edge rows resident at the third decade. The
+      // captured hashpartitioning(src) — the once-shuffled-edges
+      // contract in the Scaladoc above — is unchanged.
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val n = deg.count()
     var ranks = deg.select(col("src").as("node"), lit(1.0 / n).as("pr"))
     for (_ <- 1 to iterations) {

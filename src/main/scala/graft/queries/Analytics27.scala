@@ -31,7 +31,13 @@ object Analytics27 {
     val edges = items.as("a").join(items.as("b"), col("a.o") === col("b.o"))
       .filter(col("a.p") =!= col("b.p"))
       .select(col("a.p").as("src"), col("b.p").as("dst")).distinct()
-      .localCheckpoint()
+      // |E|-sized checkpoint → DISK_ONLY (r14, the q_label_prop
+      // discipline): the sf100 probe killed the context at 64 g with
+      // the memory-resident default — deserialized unroll of ~3.6 G
+      // edge rows competes with execution memory, while disk blocks
+      // cost one sequential read per round. Node-sized frames (labels,
+      // ≤ seeds·|V|) stay memory-resident.
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val seeds = items.groupBy("p").agg(count(lit(1)).as("deg"))
       .orderBy(col("deg").desc, col("p")).limit(20)
       .select(col("p").as("seed"))

@@ -200,7 +200,8 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
         .select((col("id") % 100).as("src"), ((col("id") + 7) % 100).as("dst"))
       val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
-      val withDeg = und.join(deg, "src").repartition(col("src")).localCheckpoint()
+      val withDeg = und.join(deg, "src").repartition(col("src"))
+        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
       val ranks = deg.select(col("src").as("node"), lit(0.01).as("pr"))
       val iter = withDeg.join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), (col("pr") / col("deg")).as("c"))
