@@ -42,13 +42,17 @@ object PageRank {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val withDeg = edges.join(deg, "src")
       .repartition(col("src"))
-      // |E|-sized checkpoint → DISK_ONLY (r14, the q_label_prop
-      // discipline): scanned once per iteration, so serialized disk
-      // blocks bound the heap to the |V|-sized rank table instead of
-      // holding ~10⁹ edge rows resident at the third decade. The
-      // captured hashpartitioning(src) — the once-shuffled-edges
+      // |E|-sized checkpoint → MEMORY_AND_DISK_SER (r15, VERDICT r14
+      // task 1; supersedes r14 DISK_ONLY): scanned once per iteration.
+      // Deserialized residency OOM'd the heavy tail (unrolled row
+      // objects compete with execution memory); DISK_ONLY avoided that
+      // but paid +20% at sf10 by re-reading from disk where the edges
+      // fit in RAM. Serialized blocks keep the bounded incremental
+      // unroll (compact byte buffers, spill on pressure) and stay
+      // RAM-resident when they fit — A/B'd per SF in PLANS.md r15.
+      // The captured hashpartitioning(src) — the once-shuffled-edges
       // contract in the Scaladoc above — is unchanged.
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val n = deg.count()
     var ranks = deg.select(col("src").as("node"), lit(1.0 / n).as("pr"))
     for (_ <- 1 to iterations) {

@@ -45,21 +45,26 @@ object Analytics23 {
   val qLabelProp: Q = (s, d) => {
     val items = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    // DISK_ONLY edge checkpoint (r14, VERDICT r13 task 1): the edge
-    // list is |E|-sized (~930 M rows at sf31) and is scanned only 3×
-    // (once per round) — memory-resident localCheckpoint blocks
-    // competed with execution memory and OOM'd the sf31 probe at the
-    // box's 64 g ceiling, while serialized disk blocks cost one
-    // sequential read per round and bound the heap to the node-sized
-    // label frames. Same LogicalRDD mechanics, so the captured
-    // hashpartitioning(src) — the zero-shuffle round shape — is
-    // unchanged (PlanSpec asserts it).
+    // MEMORY_AND_DISK_SER edge checkpoint (r15, VERDICT r14 task 1;
+    // supersedes r14's blanket DISK_ONLY): the edge list is |E|-sized
+    // (~930 M rows at sf31) and scanned 3× (once per round). The r14
+    // lesson stands — memory-resident DESERIALIZED blocks OOM'd the
+    // sf31 probe (unrolled row objects compete with execution memory)
+    // — but DISK_ONLY overpaid at mid-scale (harmonic sf10 2.5×) by
+    // forfeiting RAM residency where the edges fit. Serialized blocks
+    // keep the bounded incremental unroll that prevents the OOM class
+    // (a block is one compact byte buffer, unrolled via the memory
+    // manager with spill-to-disk on pressure), yet stay RAM-resident
+    // when they fit — strictly dominating DISK_ONLY on this box
+    // (PLANS.md r15 A/B: sf1/sf10/sf31). Same LogicalRDD mechanics,
+    // so the captured hashpartitioning(src) — the zero-shuffle round
+    // shape — is unchanged (PlanSpec asserts it).
     val edges = items.as("a").join(items.as("b"), col("a.o") === col("b.o"))
       .filter(col("a.p") =!= col("b.p"))
       .select(col("a.p").as("src"), col("b.p").as("dst"))
       .repartition(col("src"))
       .distinct()
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // checkpoint BEFORE aliasing lbl = id: a Project aliasing the
     // partition key reports PartitioningCollection(lbl, id) and the
     // checkpoint's LogicalRDD keeps only its head (lbl), which a

@@ -31,13 +31,19 @@ object Analytics27 {
     val edges = items.as("a").join(items.as("b"), col("a.o") === col("b.o"))
       .filter(col("a.p") =!= col("b.p"))
       .select(col("a.p").as("src"), col("b.p").as("dst")).distinct()
-      // |E|-sized checkpoint → DISK_ONLY (r14, the q_label_prop
-      // discipline): the sf100 probe killed the context at 64 g with
-      // the memory-resident default — deserialized unroll of ~3.6 G
-      // edge rows competes with execution memory, while disk blocks
-      // cost one sequential read per round. Node-sized frames (labels,
-      // ≤ seeds·|V|) stay memory-resident.
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      // |E|-sized checkpoint → MEMORY_AND_DISK_SER (r15, VERDICT r14
+      // task 1; supersedes r14 DISK_ONLY): the sf100 probe killed the
+      // context at 64 g with the memory-resident DESERIALIZED default
+      // (unrolled row objects compete with execution memory), but
+      // DISK_ONLY cost this query 2.5× at sf10 (50.7 → 124.9 s) —
+      // harmonic re-reads the edge list against 20 seed frontiers per
+      // hop, the most re-read-intensive inner loop in the repo, so
+      // forfeiting RAM residency where the edges FIT is the worst
+      // possible default here. Serialized blocks bound the unroll
+      // (compact byte buffers, spill on pressure) AND stay resident
+      // when they fit — A/B'd per SF in PLANS.md r15. Node-sized
+      // frames (labels, ≤ seeds·|V|) stay memory-resident.
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val seeds = items.groupBy("p").agg(count(lit(1)).as("deg"))
       .orderBy(col("deg").desc, col("p")).limit(20)
       .select(col("p").as("seed"))
