@@ -57,7 +57,13 @@ object Bench {
         .flatMap(_.toDoubleOption).map(_ / 1048576.0))
     val note = sys.env.get("SPARK_GRAFT_BENCH_NOTE")
       .map(n => "\"" + BenchUtil.jsonEscape(n) + "\"").getOrElse("null")
-    val fmt = (v: Option[Double]) => v.map(x => f"$x%.2f").getOrElse("null")
+    // Locale.ROOT (r15, ADVICE): f"$x%.2f" uses the JVM default locale
+    // — a comma-decimal locale (de_DE) would emit "6,10" and corrupt
+    // the JSON line the driver parses. Match the locale-independent
+    // Double.toString used elsewhere in the line.
+    val fmt = (v: Option[Double]) => v
+      .map(x => String.format(java.util.Locale.ROOT, "%.2f", Double.box(x)))
+      .getOrElse("null")
     s"""{"loadavg1":${fmt(load1)},"page_cache_gib":${fmt(cachedGib)},"note":$note}"""
   }
 

@@ -318,8 +318,9 @@ object Dedup {
       // ~16 GB at 10⁹ docs and OOM the executors exactly where this
       // pipeline must survive. AQE is the right mechanism: at runtime
       // it sees the actual post-agg sizes (n × 16 B) and converts both
-      // joins to broadcasts whenever they fit (DedupSpec pins this at
-      // test scale), while at 10⁹ docs it keeps the sort-merge join of
+      // joins to broadcasts whenever they fit (MetricsSpec's
+      // "jaccardPairs sizes joins" test pins this at test scale),
+      // while at 10⁹ docs it keeps the sort-merge join of
       // two id-keyed POST-agg frames — the scale-safe fallback. The
       // r13 payload-shrink win is unaffected either way: what these
       // joins move is the post-agg pair frame, never the pre-agg join

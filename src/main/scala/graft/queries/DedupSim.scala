@@ -244,9 +244,16 @@ object DedupSim {
     * branching b = ⌈g^{1/L}⌉, level ℓ ∈ 0..L−1 keys shards by
     * shard div b^{L−1−ℓ} (ℓ = L−1 is the leaf level, key = shard), so
     * per-row assignment work is ~10·⌈g/b^{L−1}⌉ + (L−1)·b dots and
-    * total assignment cost Θ(n^{1+1/L}) — each extra level buys the
-    * next decade (the fourth decade's g = 30,000 runs at ~150 dots/row
-    * at L = 4 vs ~360 at L = 3). Every level is the same packed-array
+    * total assignment cost Θ(n^{1+1/L}). MEASURED crossover (PLANS.md
+    * r14 depth probe, g = 30,000 direct): the per-row dots the depth
+    * knob optimizes stop being the bottleneck once any descent exists
+    * — each extra level costs a FULL-CORPUS centroid aggregation
+    * (explode to (label, node, dim)) plus one more per-row pass, all
+    * ∝ n, so **L = 4 is 2.2× slower than L = 3 at 620 k rows and 4.1×
+    * at 2 M** and the gap widens with corpus size. L = 3 stays the
+    * default until g reaches ~10⁶, where an L = 3 leaf slice
+    * (10·⌈g/b²⌉) is again thousands of dots. Every level is the same
+    * packed-array
     * + per-row [[graft.functions.TreeArgmaxDot]] pattern; levels
     * collapse automatically when b^{L−1−ℓ} ≥ g (one node per label), so
     * deeper trees degrade gracefully to the flat argmax at small g. */
@@ -348,8 +355,11 @@ object DedupSim {
     semdedup(base, math.max(1L, base.count() / 1000L))
   }
 
-  /** The SAME semantic-dedup contract at descent depth L = 4 — the
-    * fourth-decade configuration (per-row work ~10·⌈g/b³⌉ + 3b at
+  /** The SAME semantic-dedup contract at descent depth L = 4 — a
+    * CORRECTNESS certificate of the depth generalization, NOT a
+    * performance path (the r14 probe measured L = 4 losing 2.2–4.1×
+    * to L = 3 at g = 30,000, gap widening with n — see [[semdedup]]'s
+    * scaladoc and PLANS.md r14; per-row work ~10·⌈g/b³⌉ + 3b at
     * b = ⌈g^{1/4}⌉), held to a DuckDB oracle GENERATED for depth 4 by
     * [[semdedupOracle]]: the depth-parametric formula is mirrored
     * engine-for-engine, not just the hand-unrolled depth-3 instance.

@@ -63,29 +63,41 @@ class MetricsSpec extends AnyFunSuite with SharedSpark {
     // The contract is instead: AQE sees the runtime size and converts
     // both joins to broadcasts whenever sizes fits (always, at any SF a
     // single box can host), and keeps the id-keyed sort-merge join at
-    // the scales where broadcast would be fatal. Pin the first half:
-    // post-AQE executed plan has a BroadcastHashJoin keyed on a_id and
-    // one keyed on b_id.
+    // the scales where broadcast would be fatal. Pin the SIZES joins
+    // specifically (r15, ADVICE — with maxDf=16 the hotPerDoc left
+    // joins are ALSO unhinted a_id/b_id joins, so a bare "some BHJ on
+    // a_id" assert could pass while the sizes joins regress to SMJ):
+    // the sizes build sides are the only frames carrying the nsh
+    // aliases na/nb, so assert a BHJ keyed on a_id whose BUILD side
+    // outputs `na`, and one keyed on b_id whose build side outputs
+    // `nb`.
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
     import org.apache.spark.sql.execution.adaptive.QueryStageExec
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     val docs = Tables.documents(spark, sfDir)
     val pairs = graft.dedup.Dedup.jaccardPairs(docs, 0.6, maxDf = 16)
     pairs.collect()
-    var bhjKeys = List.empty[Set[String]]
+    // (join keys, build-side output column names) per BroadcastHashJoin
+    var bhjs = List.empty[(Set[String], Set[String])]
     def walk(p: SparkPlan): Unit = p match {
       case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
       case q: QueryStageExec => walk(q.plan)
       case b: BroadcastHashJoinExec =>
-        bhjKeys ::= (b.leftKeys ++ b.rightKeys).flatMap(_.references)
+        val keys = (b.leftKeys ++ b.rightKeys).flatMap(_.references)
           .map(_.name).toSet
+        val build = if (b.buildSide == BuildLeft) b.left else b.right
+        bhjs ::= (keys, build.output.map(_.name).toSet)
         b.children.foreach(walk)
       case other =>
         other.children.foreach(walk)
         other.subqueries.foreach(walk)
     }
     walk(pairs.queryExecution.executedPlan)
-    assert(bhjKeys.exists(_.contains("a_id")) && bhjKeys.exists(_.contains("b_id")),
-      s"expected AQE-broadcast sizes joins on a_id and b_id, got keys: $bhjKeys\n" +
+    assert(
+      bhjs.exists(j => j._1.contains("a_id") && j._2.contains("na")) &&
+        bhjs.exists(j => j._1.contains("b_id") && j._2.contains("nb")),
+      s"expected AQE-broadcast SIZES joins (build side carrying na/nb) " +
+        s"on a_id and b_id, got (keys, buildOutput): $bhjs\n" +
         pairs.queryExecution.executedPlan.toString)
   }
 
