@@ -162,6 +162,39 @@ object Analytics {
       .orderBy("label")
   }
 
+  /** Portable-PCA certificate (r15, VERDICT r14 task 5 — the
+    * q_phash_portable pattern): the IDENTICAL [[graft.ml.Pca]] code
+    * path — one-pass distributed sufficient statistics, 30-sweep
+    * cyclic-Jacobi driver eigensolve, sign-fixed top-2 components,
+    * 0.0-seeded left-fold projection — held to a FULL arithmetic
+    * DuckDB oracle at d = 4 over integer-quantized features
+    * (floor(emb·1000)). Why this is ulp-safe where q_pca_project is
+    * not: every sufficient-statistic sum is a sum of integer-valued
+    * doubles — EXACT in IEEE while |Σ| < 2⁵³, so partition order
+    * cannot perturb a bit — and everything downstream is a
+    * deterministic float-op sequence the oracle replays op-for-op
+    * (the Jacobi schedule as a 360-step recursive CTE = 30 sweeps ×
+    * 6 pairs × 2 rotation phases, eigen sort by (λ desc, idx), the
+    * largest-|entry| sign pivot, the left-fold dot). q_pca_project
+    * itself (d = 64, float inputs) stays permanently adjudicated
+    * rows-only: its statistic sums are genuinely order-dependent in
+    * IEEE and its replay would be 121k CTE steps × 8k cells — see
+    * PLANS.md r15. */
+  val qPcaPortable: Q = (s, d) => {
+    val base = Tables.embeddings(s, d)
+    val v4 = base.select(col("vec_id"), col("label").cast("long").as("label"),
+      array((1 to 4).map(i =>
+        floor(element_at(col("embedding"), i).cast("double") * lit(1000.0))
+          .cast("double")): _*).as("emb"))
+    val fit = graft.ml.Pca.fit(v4, 4, k = 2)
+    v4.withColumn("pc1", graft.ml.Pca.projection(col("emb"), fit.components(0)))
+      .withColumn("pc2", graft.ml.Pca.projection(col("emb"), fit.components(1)))
+      .select(col("vec_id"), col("label"), col("pc1"), col("pc2"),
+        lit(fit.eigenvalues(0)).as("eig1"), lit(fit.eigenvalues(1)).as("eig2"),
+        lit(fit.totalVar).as("total_var"))
+      .orderBy("vec_id")
+  }
+
   /** Farthest-first k-center coreset (k = 8) over the embeddings
     * ([[graft.similarity.Coreset]]): the selection order, each pick's
     * vec_id, and the coverage radius the pick reduced. Full oracle
@@ -337,11 +370,165 @@ object Analytics {
     "q_ngram_novelty" -> qNgramNovelty,
     "q_attribution" -> qAttribution,
     "q_pca_project" -> qPcaProject,
+    "q_pca_portable" -> qPcaPortable,
     "q_coreset" -> qCoreset,
     "q_cdc_chunks" -> qCdcChunks,
   )
 
   val oracles: Map[String, String] = Map(
+    // r15 (VERDICT r14 task 5): full arithmetic replay of the d=4
+    // Pca path — exact-integer sufficient statistics, the 30-sweep
+    // cyclic-Jacobi rotation schedule unrolled as a 360-step recursive
+    // CTE over the 32 (a, v) matrix cells (window functions fetch the
+    // pivot row/column within one step; c,s carry phase 1 → phase 2),
+    // then eigen sort, sign pivot and the 0.0-seeded left-fold
+    // projection — every double bit-equal cross-engine.
+    "q_pca_portable" ->
+      """WITH RECURSIVE
+        |feat AS (
+        |  SELECT vec_id, label::BIGINT AS label,
+        |    floor(embedding[1]::DOUBLE * 1000.0) AS e1,
+        |    floor(embedding[2]::DOUBLE * 1000.0) AS e2,
+        |    floor(embedding[3]::DOUBLE * 1000.0) AS e3,
+        |    floor(embedding[4]::DOUBLE * 1000.0) AS e4
+        |  FROM embeddings
+        |),
+        |stats AS (
+        |  SELECT COUNT(*)::DOUBLE AS n,
+        |    SUM(e1) AS s1, SUM(e2) AS s2, SUM(e3) AS s3, SUM(e4) AS s4,
+        |    SUM(e1 * e1) AS s11,
+        |    SUM(e1 * e2) AS s12,
+        |    SUM(e1 * e3) AS s13,
+        |    SUM(e1 * e4) AS s14,
+        |    SUM(e2 * e1) AS s21,
+        |    SUM(e2 * e2) AS s22,
+        |    SUM(e2 * e3) AS s23,
+        |    SUM(e2 * e4) AS s24,
+        |    SUM(e3 * e1) AS s31,
+        |    SUM(e3 * e2) AS s32,
+        |    SUM(e3 * e3) AS s33,
+        |    SUM(e3 * e4) AS s34,
+        |    SUM(e4 * e1) AS s41,
+        |    SUM(e4 * e2) AS s42,
+        |    SUM(e4 * e3) AS s43,
+        |    SUM(e4 * e4) AS s44
+        |  FROM feat
+        |),
+        |covw AS (
+        |  SELECT n,
+        |    s11 / n - (s1 / n) * (s1 / n) AS c00,
+        |    s12 / n - (s1 / n) * (s2 / n) AS c01,
+        |    s13 / n - (s1 / n) * (s3 / n) AS c02,
+        |    s14 / n - (s1 / n) * (s4 / n) AS c03,
+        |    s21 / n - (s2 / n) * (s1 / n) AS c10,
+        |    s22 / n - (s2 / n) * (s2 / n) AS c11,
+        |    s23 / n - (s2 / n) * (s3 / n) AS c12,
+        |    s24 / n - (s2 / n) * (s4 / n) AS c13,
+        |    s31 / n - (s3 / n) * (s1 / n) AS c20,
+        |    s32 / n - (s3 / n) * (s2 / n) AS c21,
+        |    s33 / n - (s3 / n) * (s3 / n) AS c22,
+        |    s34 / n - (s3 / n) * (s4 / n) AS c23,
+        |    s41 / n - (s4 / n) * (s1 / n) AS c30,
+        |    s42 / n - (s4 / n) * (s2 / n) AS c31,
+        |    s43 / n - (s4 / n) * (s3 / n) AS c32,
+        |    s44 / n - (s4 / n) * (s4 / n) AS c33
+        |  FROM stats
+        |),
+        |cells AS (
+        |  SELECT 'a' AS mat, t.i, t.j, CASE t.i * 4 + t.j WHEN 0 THEN c00 WHEN 1 THEN c01 WHEN 2 THEN c02 WHEN 3 THEN c03 WHEN 4 THEN c10 WHEN 5 THEN c11 WHEN 6 THEN c12 WHEN 7 THEN c13 WHEN 8 THEN c20 WHEN 9 THEN c21 WHEN 10 THEN c22 WHEN 11 THEN c23 WHEN 12 THEN c30 WHEN 13 THEN c31 WHEN 14 THEN c32 ELSE c33 END AS val
+        |  FROM covw, (VALUES (0, 0), (0, 1), (0, 2), (0, 3), (1, 0), (1, 1), (1, 2), (1, 3), (2, 0), (2, 1), (2, 2), (2, 3), (3, 0), (3, 1), (3, 2), (3, 3)) t(i, j)
+        |  UNION ALL
+        |  SELECT 'v', t.i, t.j, CASE WHEN t.i = t.j THEN 1.0 ELSE 0.0 END
+        |  FROM (VALUES (0, 0), (0, 1), (0, 2), (0, 3), (1, 0), (1, 1), (1, 2), (1, 3), (2, 0), (2, 1), (2, 2), (2, 3), (3, 0), (3, 1), (3, 2), (3, 3)) t(i, j)
+        |),
+        |jac(it, mat, i, j, val, c, s) AS (
+        |  SELECT 0, mat, i, j, val, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM cells
+        |  UNION ALL
+        |  SELECT it, mat, i, j,
+        |    CASE
+        |      WHEN skip THEN val
+        |      WHEN phase = 1 AND mat = 'a' AND j = p THEN cc * colP - ss * colQ
+        |      WHEN phase = 1 AND mat = 'a' AND j = q THEN ss * colP + cc * colQ
+        |      WHEN phase = 2 AND mat = 'a' AND i = p THEN cc * rowP - ss * rowQ
+        |      WHEN phase = 2 AND mat = 'a' AND i = q THEN ss * rowP + cc * rowQ
+        |      WHEN phase = 2 AND mat = 'v' AND j = p THEN cc * colP - ss * colQ
+        |      WHEN phase = 2 AND mat = 'v' AND j = q THEN ss * colP + cc * colQ
+        |      ELSE val
+        |    END AS val,
+        |    CASE WHEN phase = 1 AND NOT skip THEN cc END AS c,
+        |    CASE WHEN phase = 1 AND NOT skip THEN ss END AS s
+        |  FROM (
+        |    SELECT *,
+        |      CASE WHEN phase = 1 THEN abs(apq) <= 1e-300 ELSE cp IS NULL END AS skip,
+        |      CASE WHEN phase = 1 THEN 1.0 / sqrt(t * t + 1.0) ELSE cp END AS cc,
+        |      CASE WHEN phase = 1 THEN t * (1.0 / sqrt(t * t + 1.0)) ELSE sp END AS ss
+        |    FROM (
+        |      SELECT *,
+        |        CASE WHEN theta >= 0 THEN 1.0 / (theta + sqrt(theta * theta + 1.0))
+        |             ELSE -1.0 / (-theta + sqrt(theta * theta + 1.0)) END AS t
+        |      FROM (
+        |        SELECT *, (aqq - app) / (2.0 * apq) AS theta
+        |        FROM (
+        |          SELECT it0 + 1 AS it, mat, i, j, val, cp, sp, phase, p, q,
+        |            MAX(CASE WHEN mat = 'a' AND i = p AND j = q THEN val END) OVER () AS apq,
+        |            MAX(CASE WHEN mat = 'a' AND i = p AND j = p THEN val END) OVER () AS app,
+        |            MAX(CASE WHEN mat = 'a' AND i = q AND j = q THEN val END) OVER () AS aqq,
+        |            MAX(CASE WHEN j = p THEN val END) OVER (PARTITION BY mat, i) AS colP,
+        |            MAX(CASE WHEN j = q THEN val END) OVER (PARTITION BY mat, i) AS colQ,
+        |            MAX(CASE WHEN i = p THEN val END) OVER (PARTITION BY mat, j) AS rowP,
+        |            MAX(CASE WHEN i = q THEN val END) OVER (PARTITION BY mat, j) AS rowQ
+        |          FROM (
+        |            SELECT it AS it0, mat, i, j, val, c AS cp, s AS sp,
+        |              (it % 2) + 1 AS phase,
+        |              CASE (it0 // 2) % 6 WHEN 0 THEN 0 WHEN 1 THEN 0 WHEN 2 THEN 0 WHEN 3 THEN 1 WHEN 4 THEN 1 ELSE 2 END AS p,
+        |              CASE (it0 // 2) % 6 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 3 WHEN 3 THEN 2 WHEN 4 THEN 3 ELSE 3 END AS q
+        |            FROM jac WHERE it < 360
+        |          )
+        |        )
+        |      )
+        |    )
+        |  )
+        |),
+        |fin AS (SELECT mat, i, j, val FROM jac WHERE it = 360),
+        |eig AS (
+        |  SELECT i AS idx, val, row_number() OVER (ORDER BY val DESC, i) AS rn
+        |  FROM fin WHERE mat = 'a' AND i = j
+        |),
+        |rawcomp AS (
+        |  SELECT t.rn, f.i AS r, f.val AS x, t.val AS eigval
+        |  FROM eig t JOIN fin f ON f.mat = 'v' AND f.j = t.idx
+        |  WHERE t.rn <= 2
+        |),
+        |piv AS (
+        |  SELECT rn, x AS pval FROM (
+        |    SELECT rn, x, row_number() OVER (PARTITION BY rn ORDER BY abs(x) DESC, r ASC) AS k
+        |    FROM rawcomp) WHERE k = 1
+        |),
+        |comp AS (
+        |  SELECT rc.rn, rc.r, CASE WHEN p.pval < 0 THEN -rc.x ELSE rc.x END AS w, rc.eigval
+        |  FROM rawcomp rc JOIN piv p USING (rn)
+        |),
+        |wrow AS (
+        |  SELECT
+        |    MAX(CASE WHEN rn = 1 AND r = 0 THEN w END) AS w10,
+        |    MAX(CASE WHEN rn = 1 AND r = 1 THEN w END) AS w11,
+        |    MAX(CASE WHEN rn = 1 AND r = 2 THEN w END) AS w12,
+        |    MAX(CASE WHEN rn = 1 AND r = 3 THEN w END) AS w13,
+        |    MAX(CASE WHEN rn = 2 AND r = 0 THEN w END) AS w20,
+        |    MAX(CASE WHEN rn = 2 AND r = 1 THEN w END) AS w21,
+        |    MAX(CASE WHEN rn = 2 AND r = 2 THEN w END) AS w22,
+        |    MAX(CASE WHEN rn = 2 AND r = 3 THEN w END) AS w23,
+        |    MAX(CASE WHEN rn = 1 THEN eigval END) AS eig1,
+        |    MAX(CASE WHEN rn = 2 THEN eigval END) AS eig2
+        |  FROM comp
+        |),
+        |tv AS (SELECT (((0.0 + c00) + c11) + c22) + c33 AS total_var FROM covw)
+        |SELECT f.vec_id, f.label,
+        |  ((((0.0 + (f.e1 * w.w10)) + (f.e2 * w.w11)) + (f.e3 * w.w12)) + (f.e4 * w.w13)) AS pc1,
+        |  ((((0.0 + (f.e1 * w.w20)) + (f.e2 * w.w21)) + (f.e3 * w.w22)) + (f.e4 * w.w23)) AS pc2,
+        |  w.eig1, w.eig2, t.total_var
+        |FROM feat f, wrow w, tv t
+        |ORDER BY f.vec_id""".stripMargin,
     // r14 upgrade (was rows-only): the farthest-first greedy replayed as
     // a recursive CTE over one packed-lists row (ids + embeddings sorted
     // by vec_id). Each step argmaxes {'d2', 'negid'} structs — the same
