@@ -237,10 +237,12 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
       conf.set("spark.sql.adaptive.enabled", "false")
       val e = spark.range(1000)
         .select((col("id") % 100).as("src"), ((col("id") + 7) % 100).as("dst"))
-      // DISK_ONLY as in qLabelProp (r14): the storage level must not
-      // change the captured partitioning the zero-shuffle claim rests on
+      // MEMORY_AND_DISK_SER as in qLabelProp (r15): the storage level
+      // must not change the captured partitioning the zero-shuffle
+      // claim rests on
       val edges = e.repartition(col("src")).distinct()
-        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val labels = edges.select(col("src").as("id")).distinct()
         .localCheckpoint().withColumn("lbl", col("id"))
       val round = edges.join(broadcast(labels), edges("dst") === labels("id"))
@@ -260,6 +262,27 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
       assert(!seedPlan.contains("Exchange hashpartitioning"),
         "seed ids should ride the edge bucketing:\n" + seedPlan)
     } finally conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
+  test("|E| edge checkpoint persists SERIALIZED with memory AND disk") {
+    // r15 storage policy (VERDICT r14 task 1): the |E|-sized graph
+    // checkpoints must be serialized (bounded incremental unroll — the
+    // deserialized default OOM'd sf31/sf100) AND memory-eligible (the
+    // blanket DISK_ONLY forfeited RAM residency where the edges fit,
+    // 2.5× at harmonic sf10) AND disk-backed (spill, not eviction-and-
+    // recompute, under pressure). Run a label-prop round end to end and
+    // assert some persisted RDD carries exactly that level — the
+    // node-sized label frames keep the deserialized default, so the
+    // serialized one is the edge checkpoint.
+    import org.apache.spark.sql.functions._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    SparkEntry.queries("q_label_prop")(spark, sfDir).collect()
+    val fresh = spark.sparkContext.getPersistentRDDs
+      .filterNot { case (id, _) => before(id) }.values.map(_.getStorageLevel)
+    assert(fresh.exists(l => l.useMemory && l.useDisk && !l.deserialized),
+      s"expected a MEMORY_AND_DISK_SER-class checkpoint among: $fresh")
+    assert(!fresh.exists(l => l.useDisk && !l.useMemory),
+      s"a DISK_ONLY checkpoint survived the r15 policy change: $fresh")
   }
 
   test("no query plans a CartesianProduct (sweep over the full registry)") {
