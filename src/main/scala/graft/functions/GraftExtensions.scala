@@ -45,6 +45,9 @@ object GraftExtensions {
     ("zorder2",
       new ExpressionInfo(classOf[ZOrder2].getName, "zorder2"),
       (args: Seq[Expression]) => ZOrder2(args(0), args(1))),
+    ("vector_stats",
+      new ExpressionInfo(classOf[VectorStats].getName, "vector_stats"),
+      (args: Seq[Expression]) => VectorStats(args(0)).toAggregateExpression()),
     ("cms_estimate",
       new ExpressionInfo(classOf[CountMinEstimate].getName, "cms_estimate"),
       (args: Seq[Expression]) =>

@@ -6,11 +6,17 @@ import org.apache.spark.sql.functions._
 /** Distributed PCA over an embedding column, Spark-first:
   *
   *  - ONE pass over the data computes the sufficient statistics
-  *    (Σx per dim and Σ x·xᵀ per dim pair) as a (flat-index)-keyed
-  *    hash-agg over per-row outer products — map-side combined, so the
-  *    shuffle carries d + d² doubles PER TASK regardless of row count.
-  *    The per-row d² products are one codegen'd `transform` over a
-  *    `sequence` literal — no UDF, no mapPartitions.
+  *    (Σx per dim and Σ x·xᵀ per dim pair) as a single
+  *    [[graft.functions.VectorStats]] typed aggregate — each task
+  *    accumulates one (d + d² + 1)-double buffer and partial
+  *    aggregation merges buffers elementwise, so the shuffle carries
+  *    d + d² + 1 doubles PER TASK regardless of row count and the
+  *    map side does ZERO row amplification. (The original
+  *    posexplode(flat-stats) → groupBy(idx) → sum formulation computed
+  *    identical sums but materialized d + d² UnsafeRows per input row
+  *    — 4,160× amplification at d = 64 — purely to feed a hash-agg;
+  *    r15 measured q_pca_project 4.55 → 0.9 s at sf0.1 (~5×) and the
+  *    gap is amplification-bound, so it widens with d.)
   *  - The d×d covariance (E[xxᵀ] − μμᵀ) is DRIVER-SIZED by construction
   *    (d = embedding width, 64 here → 32 KB), so the eigensolve runs on
   *    the driver: classical cyclic-Jacobi sweeps — deterministic
@@ -37,26 +43,20 @@ object Pca {
   /** One-pass sufficient statistics → covariance → driver Jacobi.
     * `vecs` must expose `emb: array<double>` of constant width `dim`. */
   def fit(vecs: DataFrame, dim: Int, k: Int): Fit = {
-    val stats = vecs
-      .select(posexplode(flatStats(col("emb"), dim)).as(Seq("idx", "v")))
-      .groupBy("idx").agg(sum("v").as("s"), count(lit(1)).as("n"))
-      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2)))
-    val n = stats.head._3.toDouble
+    val flatN = vecs
+      .select(graft.functions.VectorStats.vector_stats(col("emb")))
+      .head().getSeq[Double](0).toArray
+    require(flatN.length == dim + dim * dim + 1,
+      s"Pca.fit: vector_stats returned ${flatN.length} cells for dim=$dim")
+    val n = flatN.last
     val flat = new Array[Double](dim + dim * dim)
-    stats.foreach { case (i, s, _) => flat(i) = s / n }
+    var i = 0
+    while (i < flat.length) { flat(i) = flatN(i) / n; i += 1 }
     val mean = flat.take(dim)
     val cov = Array.tabulate(dim, dim)((i, j) =>
       flat(dim + i * dim + j) - mean(i) * mean(j))
     jacobi(cov, k)
   }
-
-  /** Per-row flat statistics vector: [x₀..x_{d−1}, x₀x₀, x₀x₁, …] —
-    * d + d² doubles, built by one codegen'd transform (no explode-join,
-    * no per-row loop outside codegen). */
-  private def flatStats(emb: Column, dim: Int): Column =
-    concat(emb, transform(sequence(lit(0), lit(dim * dim - 1)),
-      t => element_at(emb, floor(t / dim).cast("int") + 1) *
-        element_at(emb, pmod(t, lit(dim)).cast("int") + 1)))
 
   /** Cyclic Jacobi eigensolver for a symmetric matrix — 30 fixed sweeps
     * (far past convergence for d ≤ 256; deterministic by construction).

@@ -63,6 +63,24 @@ class PcaSpec extends AnyFunSuite with SharedSpark {
       s"projected var $proj vs eigenvalue ${fit.eigenvalues(0)}")
   }
 
+  test("vector_stats: [Σx, Σxxᵀ row-major, n] layout, nulls skipped, ragged loud") {
+    import spark.implicits._
+    import graft.functions.VectorStats.vector_stats
+    val r = Seq(Array(1.0, 2.0), Array(3.0, 5.0)).toDF("emb")
+      .select(vector_stats(col("emb"))).head().getSeq[Double](0)
+    assert(r == Seq(4.0, 7.0, 10.0, 17.0, 17.0, 29.0, 2.0))
+    val withNull = Seq(Some(Array(1.0, 2.0)), None).toDF("emb")
+      .select(vector_stats(col("emb"))).head().getSeq[Double](0)
+    assert(withNull == Seq(1.0, 2.0, 1.0, 2.0, 2.0, 4.0, 1.0))
+    // a ragged width must fail loudly — a silent truncation would
+    // corrupt every moment downstream
+    val ex = intercept[Exception] {
+      Seq(Array(1.0), Array(1.0, 2.0)).toDF("emb")
+        .select(vector_stats(col("emb"))).head()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("sign convention makes the fit deterministic") {
     val fit2 = Pca.fit(vecs, dim, k = 2)
     assert(fit.components(0).sameElements(fit2.components(0)))
