@@ -10,7 +10,10 @@ import graft.similarity.Similarity
   * Oracle-paired where the algorithm is portable ANSI SQL (exact dedup,
   * inverted-index Jaccard, brute-force cosine); hash-dependent variants
   * (MinHash/SimHash/LSH — xxhash64 isn't portable) are deterministic
-  * rows-only queries verified against planted duplicates in the specs.
+  * rows-only queries verified against planted duplicates in the specs,
+  * with portable-hash variants ([[qMinhashPortable]], and
+  * q_simhash_portable in Analytics38) holding the shared pipeline
+  * shapes to full DuckDB oracles.
   */
 object DedupSim {
   type Q = (SparkSession, String) => DataFrame
@@ -39,6 +42,67 @@ object DedupSim {
   val qDedupMinhash: Q = (s, d) =>
     Dedup.minhashPairs(Tables.documents(s, d), 0.6)
       .orderBy("a_id", "b_id")
+
+  /** Portable-MinHash certificate (r15 — the q_simhash_portable /
+    * q_pca_portable pattern): the COMPLETE minhash-LSH pipeline shape —
+    * distinct word-3-gram shingles ([[graft.text.TextFunctions.shingles3]]
+    * via [[Dedup.shingled]], the identical prep the production path
+    * runs), per-shingle base hash, k = 16 signature mins, 4×4 banding,
+    * bucket-join candidates, then EXACT verification over the hash sets
+    * — held to a full arithmetic DuckDB oracle. The base hash is the
+    * proven-portable md5 word (`conv(substr(md5(shingle),1,8),16,10)`)
+    * and the k permutations are universal hashes (aⱼ·h + bⱼ) mod p with
+    * literal aⱼ,bⱼ and p = 4294967311 (prime > 2³²) — injective over
+    * h < p, so equal mins imply a SHARED shingle hash and every
+    * candidate pair has n_common ≥ 1 by construction. Output is
+    * all-integer (sizes, intersections, signature agreement count,
+    * τ = 0.6 verdict via 5·common ≥ 3·union), so the oracle is
+    * bit-exact with no float discipline needed. The production
+    * q_dedup_minhash keeps xxhash64 (one multiply-xor chain per
+    * shingle, no digest) and stays adjudicated rows-only; this row
+    * certifies the banding/verification ALGORITHM cross-engine,
+    * including its false-candidate behavior (band collisions that fail
+    * exact verification surface as is_dup = 0 rows). */
+  val qMinhashPortable: Q = (s, d) => {
+    val P = 4294967311L
+    val hs = Dedup.shingled(Tables.documents(s, d))
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"),
+        expr("CAST(conv(substring(md5(shingle), 1, 8), 16, 10) AS BIGINT)").as("h"))
+      .distinct()
+    val perms = array((0 until 16).map(j => struct(
+      lit(j).as("j"), lit(1000003L + 2L * j).as("a"), lit(777007L + j).as("b"))): _*)
+    val pm = hs.select(col("doc_id"), col("h"), explode(perms).as("p"))
+      .groupBy(col("doc_id"), col("p.j").as("j"))
+      .agg(min((col("p.a") * col("h") + col("p.b")) % lit(P)).as("m"))
+    val bk = pm.groupBy(col("doc_id"), expr("j div 4").as("band"))
+      .agg(concat_ws(",", (0 until 4).map(r =>
+        max(when(pmod(col("j"), lit(4)) === r, col("m"))).cast("string")): _*)
+        .as("key"))
+    val cand = bk.as("x").join(bk.as("y"), Seq("band", "key"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val sizes = hs.groupBy("doc_id").agg(count(lit(1)).as("nh"))
+    val common = cand
+      .join(hs.select(col("doc_id").as("a_id"), col("h")), Seq("a_id"))
+      .join(hs.select(col("doc_id").as("b_id"), col("h")), Seq("b_id", "h"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_common"))
+    val sigm = cand
+      .join(pm.select(col("doc_id").as("a_id"), col("j"), col("m").as("ma")), Seq("a_id"))
+      .join(pm.select(col("doc_id").as("b_id"), col("j"), col("m").as("mb")), Seq("b_id", "j"))
+      .groupBy("a_id", "b_id")
+      .agg(sum(when(col("ma") === col("mb"), 1L).otherwise(0L)).as("sig_matches"))
+    cand.join(common, Seq("a_id", "b_id"))
+      .join(sigm, Seq("a_id", "b_id"))
+      .join(sizes.select(col("doc_id").as("a_id"), col("nh").as("na")), Seq("a_id"))
+      .join(sizes.select(col("doc_id").as("b_id"), col("nh").as("nb")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"), col("na"), col("nb"),
+        col("n_common"), col("sig_matches"),
+        when(lit(5) * col("n_common") >= lit(3) * (col("na") + col("nb") - col("n_common")),
+          1L).otherwise(0L).as("is_dup"))
+      .orderBy("a_id", "b_id")
+  }
 
   /** SimHash near-dup pairs (64-bit signature, hamming ≤ 10). */
   val qDedupSimhash: Q = (s, d) =>
@@ -510,6 +574,7 @@ object DedupSim {
     "q_dedup_jaccard" -> qDedupJaccard,
     "q_dedup_clusters" -> qDedupClusters,
     "q_dedup_minhash" -> qDedupMinhash,
+    "q_minhash_portable" -> qMinhashPortable,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_incremental" -> qDedupIncremental,
     "q_dedup_embed" -> qDedupEmbed,
@@ -523,6 +588,57 @@ object DedupSim {
   )
 
   val oracles: Map[String, String] = Map(
+    // r15: full integer replay of the portable minhash-LSH pipeline —
+    // shingles (the q_dedup_jaccard idiom), md5 base hash (the
+    // q_simhash_portable idiom), universal-hash mins, ordered band
+    // keys, bucket-join candidates, exact set verification.
+    "q_minhash_portable" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents),
+        |sh AS (
+        | SELECT doc_id, list_distinct(list_transform(range(1, len(ts)-1),
+        |   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+        | FROM toks WHERE len(ts) >= 3),
+        |hs AS (
+        | SELECT DISTINCT doc_id,
+        |   CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h
+        | FROM (SELECT doc_id, unnest(s) AS shingle FROM sh) u),
+        |perm AS (
+        | SELECT doc_id, p.j, min((p.a * h + p.b) % 4294967311) AS m
+        | FROM hs, (SELECT j, 1000003 + 2 * j AS a, 777007 + j AS b
+        |           FROM range(0, 16) t(j)) p
+        | GROUP BY 1, 2),
+        |bk AS (
+        | SELECT doc_id, j // 4 AS band,
+        |        string_agg(CAST(m AS VARCHAR), ',' ORDER BY j) AS key
+        | FROM perm GROUP BY 1, 2),
+        |cand AS (
+        | SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        | FROM bk x JOIN bk y
+        |   ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS nh FROM hs GROUP BY 1),
+        |common AS (
+        | SELECT c.a_id, c.b_id, count(*) AS n_common
+        | FROM cand c
+        | JOIN hs a ON a.doc_id = c.a_id
+        | JOIN hs b ON b.doc_id = c.b_id AND b.h = a.h
+        | GROUP BY 1, 2),
+        |sigm AS (
+        | SELECT c.a_id, c.b_id,
+        |   CAST(sum(CASE WHEN x.m = y.m THEN 1 ELSE 0 END) AS BIGINT) AS sig_matches
+        | FROM cand c
+        | JOIN perm x ON x.doc_id = c.a_id
+        | JOIN perm y ON y.doc_id = c.b_id AND y.j = x.j
+        | GROUP BY 1, 2)
+        |SELECT c.a_id, c.b_id, sa.nh AS na, sb.nh AS nb, co.n_common, sg.sig_matches,
+        |  CASE WHEN 5 * co.n_common >= 3 * (sa.nh + sb.nh - co.n_common)
+        |       THEN 1 ELSE 0 END AS is_dup
+        |FROM cand c
+        |JOIN common co ON co.a_id = c.a_id AND co.b_id = c.b_id
+        |JOIN sigm sg ON sg.a_id = c.a_id AND sg.b_id = c.b_id
+        |JOIN sizes sa ON sa.doc_id = c.a_id
+        |JOIN sizes sb ON sb.doc_id = c.b_id
+        |ORDER BY c.a_id, c.b_id""".stripMargin,
     "q_embed_centroids" ->
       """WITH e AS (
         | SELECT label, u.i AS dim, CAST(embedding[u.i + 1] AS DOUBLE) AS v
