@@ -19,22 +19,14 @@ object Ivf {
 
   private type Centroids = Array[(Int, Array[Double])]
 
-  /** d²(emb, c) + cid structs for every centroid, as one expression. */
-  private def distStructs(emb: Column, cents: Centroids): Column = {
-    val emb2 = dot(emb, emb)
-    array(cents.toIndexedSeq.map { case (cid, cv) =>
-      val cvLit = array(cv.toIndexedSeq.map(lit): _*)
-      val c2 = cv.map(x => x * x).sum
-      struct((emb2 - lit(2.0) * dot(emb, cvLit) + lit(c2)).as("d2"),
-        lit(cid).as("cid"))
-    }: _*)
-  }
-
-  /** Nearest-centroid cell id (min d², cid tiebreak) — array_min over the
-    * per-centroid (d2, cid) structs, lexicographic like the former
-    * min(struct(...)) aggregate but with no grouping shuffle. */
+  /** Nearest-centroid cell id (min d², cid tiebreak) — one
+    * [[graft.functions.PqOps]] typed expression over a single centroid
+    * literal (r15): the former per-centroid inlined-literal struct/dot
+    * array cost seconds of driver-side Catalyst analysis per query.
+    * Same d² = (emb² − 2·⟨emb,c⟩) + |c|² association order, same
+    * lexicographic (d², cid) winner — still no grouping shuffle. */
   private def assignExpr(emb: Column, cents: Centroids): Column =
-    array_min(distStructs(emb, cents)).getField("cid")
+    graft.functions.PqOps.ivf_assign(emb, cents)
 
   private def collectCentroids(df: DataFrame): Centroids =
     df.collect().map { r =>
@@ -174,8 +166,7 @@ object Ivf {
     val q = prepared(queries)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))
       .withColumn("cid",
-        explode(slice(array_sort(distStructs(col("q_emb"), cents)), 1, nprobe)
-          .getField("cid")))
+        explode(graft.functions.PqOps.ivf_probe(col("q_emb"), cents, nprobe)))
     val sims = assigned.join(q, Seq("cid"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("sim", round(dot(col("emb"), col("q_emb")) / (col("nrm") * col("q_nrm")), 6))

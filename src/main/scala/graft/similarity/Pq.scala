@@ -35,21 +35,16 @@ object Pq {
   /** codebooks(j)(c) = the dsub-dim codeword c of subspace j. */
   type Codebooks = Array[Array[Array[Double]]]
 
-  /** Argmin-code expression for subspace j against inlined codeword
-    * literals. d² ordering drops the constant |sub|² term (argmin over c
-    * of −2·⟨sub,c⟩+|c|² — fewer float ops, same winner); ties break to
-    * the lower code. */
-  private def assignSub(emb: Column, j: Int, dsub: Int,
-                        book: Array[Array[Double]]): Column = {
-    val sub = slice(emb, j * dsub + 1, dsub)
-    array_min(array(book.indices.map { c =>
-      val cv = book(c)
-      val cvLit = array(cv.toIndexedSeq.map(lit): _*)
-      val c2 = cv.map(x => x * x).sum
-      struct((lit(-2.0) * dot(sub, cvLit) + lit(c2)).as("d2"),
-        lit(c).as("code"))
-    }: _*)).getField("code")
-  }
+  /** Per-subspace argmin codes, packed — one [[graft.functions.PqOps]]
+    * typed expression over a single codebook literal (r15): the former
+    * per-codeword inlined-literal struct/dot subtrees cost seconds of
+    * driver-side Catalyst analysis per query (ProfileQuery, sf0.1). d²
+    * ordering drops the constant |sub|² term (argmin over c of
+    * −2·⟨sub,c⟩+|c|² — fewer float ops, same winner); ties break to the
+    * lower code. Identical arithmetic and tie order to the replaced
+    * array_min formulation (PqSpec parity holds). */
+  private def packedCodes(emb: Column, books: Codebooks, bits: Int): Column =
+    graft.functions.PqOps.pq_encode(emb, books, bits)
 
   /** Train the m per-subspace codebooks: first-ksub-by-id seeding, then
     * `iters` Lloyd steps — each step assigns all m codes per row in one
@@ -74,7 +69,10 @@ object Pq {
   def train(vecs: DataFrame, m: Int = 8, ksub: Int = 16,
             iters: Int = 2, trainTarget: Long = 100000L): Codebooks = {
     val allV = prepared(vecs).select(col("vec_id"), col("emb"))
-    val total = allV.count()
+    // one fused job for (count, dim) — formerly a count() plus a separate
+    // size() head, two sequential driver actions per train call (r15)
+    val statRow = allV.agg(count(lit(1)), first(size(col("emb")))).head()
+    val total = statRow.getLong(0)
     // hash-threshold sampling: keep vec_id iff pmod(hash, 2^20) < keep,
     // keep = ceil(2^20 · target/total) — expected sample size ≈ target,
     // deterministic membership (no RNG, no sampleBy), one narrow filter
@@ -85,7 +83,7 @@ object Pq {
     val v =
       if (keep >= Buckets) allV
       else allV.filter(pmod(xxhash64(col("vec_id")), lit(Buckets)) < lit(keep))
-    val dim = v.select(size(col("emb"))).head.getInt(0)
+    val dim = if (total == 0L) 0 else statRow.getInt(1)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
     val seeds = v.orderBy("vec_id").limit(ksub)
@@ -94,10 +92,17 @@ object Pq {
     var books: Codebooks = Array.tabulate(m) { j =>
       seeds.map(_.slice(j * dsub, (j + 1) * dsub))
     }
+    val bits = bitsFor(ksub)
+    val mask = (1L << bits) - 1
     for (_ <- 0 until iters) {
-      val codes = array((0 until m).map(j =>
-        assignSub(col("emb"), j, dsub, books(j))): _*)
-      val means = v.select(col("emb"), posexplode(codes).as(Seq("j", "code")))
+      // pc materialized as its own projection so the non-cheap encode
+      // expression is evaluated ONCE per row (CollapseProject keeps
+      // non-cheap aliases un-inlined); the m shift/mask extracts are free
+      val means = v.select(col("emb"),
+          packedCodes(col("emb"), books, bits).as("pc"))
+        .select(col("emb"), posexplode(array((0 until m).map(j =>
+          shiftright(col("pc"), j * bits).bitwiseAND(lit(mask)).cast("int")): _*))
+          .as(Seq("j", "code")))
         .select(col("j"), col("code"),
           posexplode(slice(col("emb"), col("j") * dsub + 1, lit(dsub)))
             .as(Seq("dim", "x")))
@@ -122,33 +127,25 @@ object Pq {
   def encode(vecs: DataFrame, books: Codebooks): DataFrame = {
     val m = books.length
     val ksub = books(0).length
-    val dsub = books(0)(0).length
     val bits = bitsFor(ksub)
     require(m * bits <= 64, s"$m×$bits-bit codes exceed one long")
-    val packed = (0 until m).map { j =>
-      assignSub(col("emb"), j, dsub, books(j)).cast("long") *
-        lit(1L << (j * bits))
-    }.reduce(_ + _)
     prepared(vecs).select(col("vec_id"), col("emb"), col("nrm"),
-      packed.as("pq_code"))
+      packedCodes(col("emb"), books, bits).as("pq_code"))
   }
 
-  /** Per-subspace squared-distance lookup table for one query subvector
-    * against codebook j, summed across subspaces by indexing each code
-    * nibble into an inlined array literal. */
-  private def lutSum(q: Array[Double], books: Codebooks, bits: Int,
-                     code: Column): Column = {
-    val m = books.length
+  /** Per-subspace squared-distance lookup tables for one query vector —
+    * the DRIVER-side arithmetic is unchanged from the former inlined
+    * form; the tables now ride one literal into the
+    * [[graft.functions.PqOps.pq_lut_sum]] expression (same ascending-j
+    * left-fold sum, same nibble indexing). */
+  private def queryLuts(q: Array[Double], books: Codebooks): Array[Array[Double]] = {
     val dsub = books(0)(0).length
-    (0 until m).map { j =>
+    books.zipWithIndex.map { case (book, j) =>
       val qsub = q.slice(j * dsub, (j + 1) * dsub)
-      val lut = books(j).map { cv =>
+      book.map { cv =>
         cv.zip(qsub).map { case (c, x) => (c - x) * (c - x) }.sum
       }
-      val nibble = shiftright(code, j * bits)
-        .bitwiseAND(lit((1L << bits) - 1)).cast("int")
-      element_at(array(lut.toIndexedSeq.map(lit): _*), nibble + 1)
-    }.reduce(_ + _)
+    }
   }
 
   /** Shared tail: keep the `rerank` best ADC candidates per query
@@ -190,7 +187,8 @@ object Pq {
     val scored = enc.select(col("vec_id"), col("emb"), col("nrm"),
       explode(array(qRows.toIndexedSeq.map { case (qid, q) =>
         struct(lit(qid).as("q_id"),
-          lutSum(q, books, bits, col("pq_code")).as("adc"))
+          graft.functions.PqOps.pq_lut_sum(col("pq_code"),
+            queryLuts(q, books), bits).as("adc"))
       }: _*)).as("qs"))
       .select(col("vec_id"), col("emb"), col("nrm"),
         col("qs.q_id").as("q_id"), col("qs.adc").as("adc"))
@@ -218,20 +216,17 @@ object Pq {
     val cents: Array[(Int, Array[Double])] = centroidDf.collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
     require(cents.nonEmpty, "empty centroid table")
-    val centMapLit = map(cents.toIndexedSeq.flatMap { case (cid, cv) =>
-      Seq(lit(cid), array(cv.toIndexedSeq.map(lit): _*))
-    }: _*)
+    // one map LITERAL (typedlit) instead of a per-row CreateMap over
+    // k×dim inlined component literals (r15 — the CreateMap tree was
+    // re-analyzed per query and rebuilt per row before constant folding)
+    val centMapLit = typedlit(cents.map { case (cid, cv) => (cid, cv.toSeq) }.toMap)
     val withRes = assigned.withColumn("res",
       zip_with(col("emb"), element_at(centMapLit, col("cid")), (a, b) => a - b))
     val books = train(
       withRes.select(col("vec_id"), col("res").as("embedding")), m, ksub, pqIters)
-    val dsub = books(0)(0).length
     val bits = bitsFor(ksub)
-    val packed = (0 until m).map { j =>
-      assignSub(col("res"), j, dsub, books(j)).cast("long") *
-        lit(1L << (j * bits))
-    }.reduce(_ + _)
-    val enc = withRes.withColumn("pq_code", packed)
+    val enc = withRes.withColumn("pq_code",
+        packedCodes(col("res"), books, bits))
       .select("vec_id", "emb", "nrm", "cid", "pq_code")
     val qRows = prepared(queries).select(col("vec_id"), col("emb"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
@@ -247,7 +242,8 @@ object Pq {
       probed.foldLeft(null: Column) { case (acc, (_, cid)) =>
         val cv = cents.find(_._1 == cid).get._2
         val qres = q.indices.map(i => q(i) - cv(i)).toArray
-        val e = lutSum(qres, books, bits, col("pq_code"))
+        val e = graft.functions.PqOps.pq_lut_sum(col("pq_code"),
+          queryLuts(qres, books), bits)
         if (acc == null) when(col("cid") === cid, e)
         else acc.when(col("cid") === cid, e)
       }

@@ -132,4 +132,70 @@ class PqSpec extends AnyFunSuite with SharedSpark {
         "ADC path must report the same exact cosine as brute")
     }
   }
+
+  test("typed PqOps expressions match the inlined-literal reference formulation") {
+    // r15: pq_encode / pq_lut_sum / ivf_assign replaced per-codeword
+    // inlined-literal subtrees (seconds of driver-side Catalyst analysis
+    // per ANN query). This pins BIT-IDENTICAL arithmetic against the
+    // replaced formulation, rebuilt here as the reference.
+    import graft.functions.PqOps
+    val books = Pq.train(vecs)
+    val m = books.length
+    val ksub = books(0).length
+    val dsub = books(0)(0).length
+    val bits = 4
+    val prepped = Similarity.prepared(vecs).select(col("vec_id"), col("emb"))
+    // reference: the former array_min over (d2, code) structs, per subspace
+    def refAssign(j: Int) = {
+      val sub = slice(col("emb"), j * dsub + 1, dsub)
+      array_min(array(books(j).indices.map { c =>
+        val cv = books(j)(c)
+        val cvLit = array(cv.toIndexedSeq.map(lit): _*)
+        val c2 = cv.map(x => x * x).sum
+        struct((lit(-2.0) * Similarity.dot(sub, cvLit) + lit(c2)).as("d2"),
+          lit(c).as("code"))
+      }: _*)).getField("code")
+    }
+    val refPacked = (0 until m).map { j =>
+      refAssign(j).cast("long") * lit(1L << (j * bits))
+    }.reduce(_ + _)
+    val mismatch = prepped
+      .select(PqOps.pq_encode(col("emb"), books, bits).as("a"), refPacked.as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(mismatch == 0L, s"pq_encode diverged from reference on $mismatch rows")
+    // reference LUT sum: the former element_at chain over inlined arrays
+    val q = prepped.orderBy("vec_id").head.getSeq[Double](1).toArray
+    val refLut = (0 until m).map { j =>
+      val qsub = q.slice(j * dsub, (j + 1) * dsub)
+      val lut = books(j).map(cv =>
+        cv.zip(qsub).map { case (c, x) => (c - x) * (c - x) }.sum)
+      val nibble = shiftright(col("pc"), j * bits)
+        .bitwiseAND(lit((1L << bits) - 1)).cast("int")
+      element_at(array(lut.toIndexedSeq.map(lit): _*), nibble + 1)
+    }.reduce(_ + _)
+    val luts = books.zipWithIndex.map { case (book, j) =>
+      val qsub = q.slice(j * dsub, (j + 1) * dsub)
+      book.map(cv => cv.zip(qsub).map { case (c, x) => (c - x) * (c - x) }.sum)
+    }
+    val lutMismatch = prepped
+      .select(PqOps.pq_encode(col("emb"), books, bits).as("pc"))
+      .select(PqOps.pq_lut_sum(col("pc"), luts, bits).as("a"), refLut.as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(lutMismatch == 0L, s"pq_lut_sum diverged on $lutMismatch rows")
+    // reference IVF assignment: array_min over (d2, cid) structs with the
+    // same (emb2 - 2*dot) + c2 association order
+    val cents: Array[(Int, Array[Double])] =
+      books(0).zipWithIndex.map { case (cv, i) => (i, cv ++ cv.reverse ++ cv ++ cv.reverse ++ q.slice(0, 32)) }
+    val refIvf = array_min(array(cents.toIndexedSeq.map { case (cid, cv) =>
+      val cvLit = array(cv.toIndexedSeq.map(lit): _*)
+      val c2 = cv.map(x => x * x).sum
+      struct((Similarity.dot(col("emb"), col("emb")) - lit(2.0) *
+        Similarity.dot(col("emb"), cvLit) + lit(c2)).as("d2"),
+        lit(cid).as("cid"))
+    }: _*)).getField("cid")
+    val ivfMismatch = prepped
+      .select(PqOps.ivf_assign(col("emb"), cents).as("a"), refIvf.as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(ivfMismatch == 0L, s"ivf_assign diverged on $ivfMismatch rows")
+  }
 }
