@@ -24,9 +24,13 @@ import graft.text.TextFunctions._
   */
 object Dedup {
 
-  /** (doc_id, shingles) with shingle-count — shared prep. */
+  /** (doc_id, shingles) with shingle-count — shared prep. The scan is
+    * fanned out first (r15, [[graft.operators.Scale.fanOutScan]]):
+    * tokenize+shingle+hash is the repo's most CPU-heavy per-row stage,
+    * and a one-row-group parquet input otherwise pins it to one core
+    * (measured 0.5–0.6 s single-task stages at sf0.1). No-op at scale. */
   def shingled(docs: DataFrame): DataFrame =
-    docs
+    graft.operators.Scale.fanOutScan(docs)
       .withColumn("toks", tokens(col("text")))
       .filter(size(col("toks")) >= 3)
       .withColumn("sh", shingles3(col("toks")))
@@ -585,7 +589,7 @@ object Dedup {
     * the aggregated path (explode emitted no row for them). */
   def simhash(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
-    docs
+    graft.operators.Scale.fanOutScan(docs)
       .filter(size(toks) > 0)
       .select(col("doc_id"),
         graft.functions.SimHash64.simhash64(toks).as("sig"))
@@ -631,7 +635,8 @@ object Dedup {
     * windows (a tiny set) survive carrying text, for collision-proof
     * re-verification downstream. */
   private def dupWindowCandidates(docs: DataFrame, w: Int): DataFrame = {
-    val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val toks = graft.operators.Scale.fanOutScan(docs)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
     // sequence(0, n-w) is DESCENDING for n < w — filter short docs first
     val wins = toks.filter(size(col("toks")) >= w)
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
@@ -666,7 +671,10 @@ object Dedup {
   }
 
   def dupSpans(docs: DataFrame, w: Int): DataFrame = {
-    val cand = dupWindowCandidates(docs, w)
+    // candidates are the tiny cross-doc-colliding subset; checkpoint so
+    // the two consumers (dup-window census, position semi-join) don't
+    // each replay the full window-explode pipeline (r15)
+    val cand = dupWindowCandidates(docs, w).localCheckpoint()
     val dupWin = cand.groupBy("win")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") > 1).select("win")
@@ -692,8 +700,10 @@ object Dedup {
     * candidates shuffle, hash-first as everywhere. Returns (doc_id,
     * n_before, n_after, text_after) for every document. */
   def exciseDupSpans(docs: DataFrame, w: Int): DataFrame = {
-    val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-    val cand = dupWindowCandidates(docs, w)
+    val toks = graft.operators.Scale.fanOutScan(docs)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    // same two-consumer checkpoint as [[dupSpans]] (r15)
+    val cand = dupWindowCandidates(docs, w).localCheckpoint()
     val winStats = cand.groupBy("win")
       .agg(countDistinct(col("doc_id")).as("nd"),
         min(struct(col("doc_id"), col("pos"))).as("canon"))

@@ -11,6 +11,25 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** Scale-ADAPTIVE scan fan-out for CPU-heavy per-row stages (r15,
+    * optimization guide §2.5 "input skew — one huge unsplittable file
+    * … repartition immediately after the read"): a small dimension-ish
+    * table written as one parquet row group plans as ONE scan task, so
+    * every narrow stage fused onto it (tokenize → shingle → hash, the
+    * most CPU-intensive per-row work in the repo) runs on one core
+    * while the rest idle — measured 3.4 s single-task stages at sf0.1
+    * on a 32-core box. Repartition ONLY when the scan's own splits
+    * can't feed half the cores: at warehouse scale the input has
+    * thousands of row groups, the condition is false, and NO extra
+    * exchange is planned — this is not a local-mode constant, it is a
+    * floor that self-disables exactly where the shuffle would cost.
+    * Round-robin keeps sortBeforeRepartition's deterministic
+    * row-to-partition assignment (guide §2.5 retry-safety). */
+  def fanOutScan(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target) else df
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
     f.delete(): Unit

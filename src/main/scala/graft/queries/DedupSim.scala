@@ -65,16 +65,24 @@ object DedupSim {
     * exact verification surface as is_dup = 0 rows). */
   val qMinhashPortable: Q = (s, d) => {
     val P = 4294967311L
+    // hs feeds FOUR consumers (signatures, sizes, both sides of the
+    // exact-verify join) and pm three (banding, both sides of the
+    // signature-agreement join) — without materialization each consumer
+    // replayed the md5+explode+distinct pipeline (ProfileQuery r15:
+    // duplicate 1.8 s broadcast-build jobs). Both frames are compact
+    // ((doc, hash) longs / (doc, j, min) longs); checkpoint once.
     val hs = Dedup.shingled(Tables.documents(s, d))
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
       .select(col("doc_id"),
         expr("CAST(conv(substring(md5(shingle), 1, 8), 16, 10) AS BIGINT)").as("h"))
       .distinct()
+      .localCheckpoint()
     val perms = array((0 until 16).map(j => struct(
       lit(j).as("j"), lit(1000003L + 2L * j).as("a"), lit(777007L + j).as("b"))): _*)
     val pm = hs.select(col("doc_id"), col("h"), explode(perms).as("p"))
       .groupBy(col("doc_id"), col("p.j").as("j"))
       .agg(min((col("p.a") * col("h") + col("p.b")) % lit(P)).as("m"))
+      .localCheckpoint()
     val bk = pm.groupBy(col("doc_id"), expr("j div 4").as("band"))
       .agg(concat_ws(",", (0 until 4).map(r =>
         max(when(pmod(col("j"), lit(4)) === r, col("m"))).cast("string")): _*)
