@@ -39,9 +39,19 @@ object PageRank {
     */
   def run(edges: DataFrame, iterations: Int = 3,
       damping: Double = 0.85): (DataFrame, Long) = {
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val withDeg = edges.join(deg, "src")
+    // Degrees via a count window over the ONE src exchange (r15): the
+    // former groupBy-deg + join-back made the caller's edge pipeline
+    // (lineitem⋈orders + distinct + union) execute three times — once
+    // for the join's edge side, once under deg for n = deg.count(), and
+    // once more under the rank seed. The window computes the identical
+    // integer count on the already-repartitioned frame, and the node
+    // frame below derives from the CHECKPOINT, so the edge pipeline now
+    // runs exactly once. (No orderBy → whole-partition frame; WindowExec
+    // groups by the partition key it is already clustered on.)
+    val withDeg = edges
       .repartition(col("src"))
+      .withColumn("deg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src")))
       // |E|-sized checkpoint → MEMORY_AND_DISK_SER (r15, VERDICT r14
       // task 1; supersedes r14 DISK_ONLY): scanned once per iteration.
       // Deserialized residency OOM'd the heavy tail (unrolled row
@@ -53,8 +63,11 @@ object PageRank {
       // The captured hashpartitioning(src) — the once-shuffled-edges
       // contract in the Scaladoc above — is unchanged.
       .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val n = deg.count()
-    var ranks = deg.select(col("src").as("node"), lit(1.0 / n).as("pr"))
+    // node frame from the checkpoint — |V|-sized, seeds every iteration's
+    // rank table, so it is materialized once too
+    val nodes = withDeg.select(col("src").as("node")).distinct().localCheckpoint()
+    val n = nodes.count()
+    var ranks = nodes.select(col("node"), lit(1.0 / n).as("pr"))
     for (_ <- 1 to iterations) {
       ranks = withDeg
         .join(ranks.withColumnRenamed("node", "src"), "src")

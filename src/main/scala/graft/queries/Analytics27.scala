@@ -26,8 +26,12 @@ object Analytics27 {
     * 20×|parts| labels; edges built once and checkpointed; every round
     * is one equi-join + min-agg — no all-pairs anywhere. */
   val qHarmonicCentrality: Q = (s, d) => {
+    // checkpoint: items feeds the edge self-join AND the degree-ranked
+    // seed census (different grouping keys, so no exchange reuse) —
+    // each otherwise re-scans lineitem and re-distincts (r15)
     val items = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      .localCheckpoint()
     val edges = items.as("a").join(items.as("b"), col("a.o") === col("b.o"))
       .filter(col("a.p") =!= col("b.p"))
       .select(col("a.p").as("src"), col("b.p").as("dst")).distinct()

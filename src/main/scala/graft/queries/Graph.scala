@@ -66,6 +66,11 @@ object Graph {
     val items = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("pkey"))
       .distinct()
+    // checkpoint: the oriented edge list feeds THREE join legs (e1, e2,
+    // e3) — without materialization each leg replayed the items
+    // self-join + weight agg (r15; ReuseExchange does not cover the
+    // post-agg filter/projection). |E|-sized, same storage policy as
+    // the other graph checkpoints.
     val edges = items.as("x")
       .join(items.as("y"),
         col("x.okey") === col("y.okey") && col("x.pkey") < col("y.pkey"))
@@ -73,6 +78,7 @@ object Graph {
       .agg(count(lit(1)).as("w"))
       .filter(col("w") >= 2)
       .select("a", "b")
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val wedges = edges.as("e1")
       .join(edges.as("e2"), col("e1.b") === col("e2.a"))
       .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
@@ -106,7 +112,11 @@ object Graph {
     * shuffle-join when it explodes; the visited set carries (node, hop)
     * only. Oracle: the same 3 rounds unrolled as CTEs. */
   val qBfsHops: Q = (s, d) => {
+    // checkpoint: the edge list feeds the source scan plus one join per
+    // round (4 consumers) — each otherwise rebuilt lineitem⋈orders +
+    // distinct + union from scratch (r15)
     val edges = undirectedEdges(s, d)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val source = edges.agg(min("src")).collect().head.getLong(0)
     var visited = edges.sparkSession.range(1)
       .select(lit(source).as("node"), lit(0L).as("hop")).localCheckpoint(true)
@@ -117,7 +127,10 @@ object Graph {
         .join(visited.select(col("node").as("seen")), col("node") === col("seen"),
           "left_anti")
         .select(col("node"), lit(h.toLong).as("hop")).localCheckpoint(true)
-      visited = visited.union(next).localCheckpoint(true)
+      // visited stays a UNION of already-checkpointed frontiers — the
+      // former per-round re-checkpoint re-materialized every previously
+      // visited row each round for no lineage benefit (r15)
+      visited = visited.union(next)
       frontier = next.select("node")
     }
     visited.groupBy("hop").agg(count(lit(1)).as("n_nodes"))
