@@ -143,6 +143,10 @@ object Analytics14 {
       .agg(count(lit(1)).as("w"))
       .filter(col("w") >= 2)
       .select("a", "b")
+      // checkpoint: edges feeds the degree census plus THREE triangle
+      // join legs — each otherwise replayed the items self-join + weight
+      // agg (r15, the q_triangles fix)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val deg = edges.select(col("a").as("node"))
       .union(edges.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))

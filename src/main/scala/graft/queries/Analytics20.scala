@@ -68,8 +68,12 @@ object Analytics20 {
     * order size (≤ 7 items in TPC-H — Σ|order|² linear), the pair agg
     * is partial-aggregable, and degree is a map-side count join. */
   val qLinkPredict: Q = (s, d) => {
+    // checkpoint: items feeds the per-order degree census and the
+    // self-join pair expansion — each otherwise re-scans lineitem and
+    // re-distincts (r15)
     val items = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      .localCheckpoint()
     val deg = items.groupBy("o").agg(count(lit(1)).as("deg"))
     val withDeg = items.join(deg, "o")
     withDeg.as("a").join(withDeg.as("b"),

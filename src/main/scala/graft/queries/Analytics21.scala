@@ -214,12 +214,16 @@ object Analytics21 {
     * 100 TB shape: frontier joins are id-keyed; rounds bounded by the
     * hop cap, labels checkpointed per round. */
   val qBfsLayers: Q = (s, d) => {
+    // items checkpointed: it feeds the edge self-join AND the seed
+    // census (no shared exchange); edges at MEMORY_AND_DISK_SER like
+    // every other |E|-sized graph checkpoint (r15)
     val items = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      .localCheckpoint()
     val edges = items.as("a").join(items.as("b"), col("a.o") === col("b.o"))
       .filter(col("a.p") =!= col("b.p"))
       .select(col("a.p").as("src"), col("b.p").as("dst")).distinct()
-      .localCheckpoint()
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val source = items.groupBy("p").agg(count(lit(1)).as("deg"))
       .orderBy(col("deg").desc, col("p")).limit(1)
       .select(col("p").as("id"), lit(0L).as("hop"))

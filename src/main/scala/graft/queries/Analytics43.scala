@@ -71,12 +71,18 @@ object Analytics43 {
     * census-to-census on the trigram key (Σ|langs(tri)|² ≤ 25·|tris|),
     * never touching the corpus twice. */
   val qLangDistance: Q = (s, d) => {
-    val tri = Tables.documents(s, d)
+    // fan out the one-row-group doc scan (the trigram explode is the
+    // CPU-heavy map side) and checkpoint the census: tri feeds FIVE
+    // consumers (totals, both sides of the shared-term join, both sides
+    // of the B-only anti-join) — each otherwise replayed the full
+    // explode + census (r15; measured 13 s of job time in a 3.9 s query)
+    val tri = graft.operators.Scale.fanOutScan(Tables.documents(s, d))
       .select(col("lang"), lower(col("text")).as("t"))
       .filter(length(col("t")) >= 3)
       .select(col("lang"), explode(expr(
         "transform(sequence(1, length(t) - 2), i -> substring(t, CAST(i AS INT), 3))")).as("tri"))
       .groupBy("lang", "tri").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val tot = tri.groupBy("lang").agg(sum("c").as("n"))
     // dense pair frame: for each lang pair, A-side terms come from a
     // left join (covers shared + A-only), B-only terms from an anti join

@@ -225,10 +225,14 @@ object Analytics8 {
     * 100 TB shape: candidate volume is bounded by the df cap; degrees
     * and the verify join are partial-agg'd equality joins throughout. */
   val qLinkPredict: Q = (s, d) => {
+    // checkpoint: the bipartite edge list feeds the degree census, the
+    // part census, and the cold-part join — each otherwise replayed
+    // orders⋈lineitem + distinct (r15)
     val edges = Tables.orders(s, d)
       .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
       .distinct()
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val deg = edges.groupBy("cust").agg(count(lit(1)).as("deg"))
     val partDf = edges.groupBy("part").agg(count(lit(1)).as("n_cust"))
     val cold = edges.join(partDf.filter(col("n_cust") <= 100), Seq("part"))

@@ -56,10 +56,15 @@ object Analytics9 {
     * node-sized aggregates, broadcastable) + a partial-agg'd groupBy —
     * the PageRank traffic pattern, fixed depth. */
   val qHits: Q = (s, d) => {
+    // checkpoint: the bipartite edge list feeds five consumers (h1 and
+    // one join per hub/authority half-step) — each otherwise replayed
+    // orders⋈lineitem + distinct (r15). |E|-sized, same storage policy
+    // as the other graph checkpoints.
     val edges = Tables.orders(s, d)
       .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
       .distinct()
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val h1 = edges.groupBy("cust").agg(count(lit(1)).as("h1"))
     val a1 = edges.join(h1, "cust").groupBy("part").agg(sum("h1").as("a1"))
     val h2 = edges.join(a1, "part").groupBy("cust").agg(sum("a1").as("h2"))
