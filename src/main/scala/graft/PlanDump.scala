@@ -24,6 +24,12 @@ object PlanDump {
         df.collect() // drive AQE so the final plan is the real one
         println(s"==== $name ====")
         println(df.queryExecution.executedPlan.toString)
+        // the formatted tree too (r15): operator list + per-node details
+        // (PushedFilters, ReadSchema, join strategy/build side) — the
+        // artifact plans/r15/<query>_{before,after}.txt commits
+        println(s"---- $name formatted ----")
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
       }
     } finally spark.stop()
   }
