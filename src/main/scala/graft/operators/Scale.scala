@@ -24,10 +24,41 @@ object Scale {
     * exchange is planned — this is not a local-mode constant, it is a
     * floor that self-disables exactly where the shuffle would cost.
     * Round-robin keeps sortBeforeRepartition's deterministic
-    * row-to-partition assignment (guide §2.5 retry-safety). */
+    * row-to-partition assignment (guide §2.5 retry-safety).
+    *
+    * The split count is ESTIMATED from the scan's file index (sizes +
+    * file count run through the same openCost/maxSplitBytes packing
+    * formula `FilePartition` uses), NOT from `df.rdd` (r16): `.rdd`
+    * forced a full analysis+physical-planning pass of the
+    * un-repartitioned frame on every call — pure driver latency — and
+    * it THROWS on streaming DataFrames, which broke
+    * `Streaming.incrementalDedupStream` via `Dedup.shingled` in r15.
+    * Streaming frames and frames with no file-source leaf (in-memory
+    * test data) pass through untouched: the floor exists for one-row-
+    * group FILE scans, and micro-batch sources size their own splits. */
   def fanOutScan(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target) else df
+    if (df.isStreaming) return df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val conf = spark.sessionState.conf
+    val leaves = df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation
+    }.collect {
+      case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation => fs
+    }
+    if (leaves.isEmpty) return df
+    val openCost = conf.filesOpenCostInBytes
+    val estSplits = leaves.map { fs =>
+      val totalBytes = fs.location.sizeInBytes
+      val nFiles = math.max(1L, fs.location.inputFiles.length.toLong)
+      val padded = totalBytes + nFiles * openCost
+      val bytesPerCore = padded / math.max(1, target)
+      val maxSplit = math.min(conf.filesMaxPartitionBytes,
+        math.max(openCost, bytesPerCore))
+      math.max(1L, (padded + maxSplit - 1) / maxSplit)
+    }.sum
+    if (estSplits * 2 <= target) df.repartition(target) else df
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

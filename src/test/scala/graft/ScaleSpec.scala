@@ -34,6 +34,29 @@ class ScaleSpec extends AnyFunSuite with SharedSpark {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("fanOutScan: fans out tiny file scans, passes streaming and in-memory frames through") {
+    // tiny parquet scan (1 row group) on a 4-core session: estimated
+    // splits*2 <= cores, so the floor repartitions to defaultParallelism
+    val docs = Tables.documents(spark, sfDir)
+    val fanned = Scale.fanOutScan(docs)
+    assert(fanned.queryExecution.executedPlan.toString
+      .contains("Exchange RoundRobinPartitioning"),
+      "tiny one-row-group scan not fanned out:\n" +
+        fanned.queryExecution.executedPlan.toString)
+    assert(fanned.count() == docs.count())
+    // in-memory frame: no file leaf, returned untouched (no exchange)
+    import spark.implicits._
+    val mem = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    assert(Scale.fanOutScan(mem) eq mem)
+    // streaming frame: must NOT touch df.rdd (r15 regression: analysis
+    // exception from Streaming.incrementalDedupStream via Dedup.shingled)
+    val dir = java.nio.file.Files.createTempDirectory("fanout_stream").toString
+    docs.limit(2).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    val passed = Scale.fanOutScan(stream)
+    assert(passed.isStreaming && (passed eq stream))
+  }
+
   test("salted aggregation equals plain aggregation") {
     val li = Tables.lineitem(spark, sfDir)
     val salted = Scale.saltedSumCount(li, "l_returnflag", "l_quantity", 8)
