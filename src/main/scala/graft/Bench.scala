@@ -189,7 +189,13 @@ object Bench {
     // with the full one ("queries" present) while staying well inside
     // any plausible tail window
     val headline = Seq("q1_agg", "q_dedup_jaccard", "q_record_linkage",
-        "q_try_arithmetic", "q_knn_brute", "q_cc_bigstar")
+        "q_try_arithmetic", "q_knn_brute", "q_cc_bigstar",
+        // r16 (VERDICT r15 task 3, additions only — timers untouched):
+        // the heavy-tail queries the optimization rounds actually move,
+        // so the round-over-round summary can see them
+        "q_harmonic_centrality", "q_label_prop", "q_gif_frames",
+        "q_curate_full", "q_bfs_layers", "q_link_predict", "q_pagerank",
+        "q_kcore", "q_knn_ivfpq", "q_simhash_portable")
       .flatMap(k => ok.find(_._1 == k))
       .map { case (k, ts) => s"\"" + k + "\":" + ts(ts.size / 2) }
       .mkString("{", ",", "}")

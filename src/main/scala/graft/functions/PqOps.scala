@@ -25,7 +25,8 @@ import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType}
   * d² combines as `(emb² − 2.0·dot) + c²` / `(−2.0·dot) + c²` in that
   * association order; argmin ties break to the LOWER code/centroid id
   * via strict `<`. Outputs are bit-identical to the replaced trees —
-  * PqSpec/IvfSpec recall and parity properties pin this.
+  * PqSpec recall and parity properties pin this (all four expressions,
+  * ivf_probe included).
   *
   * CodegenFallback: per-row work is m·ksub·dsub (PQ assign ≈ 1024) or
   * k·dim (IVF assign ≈ 1024) fused multiply-adds — boxing overhead is

@@ -73,7 +73,10 @@ object Analytics20 {
     // re-distincts (r15)
     val items = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      .localCheckpoint()
+      // |E|-scale frame: serialized residency like every other |E|-sized
+      // checkpoint (r16, ADVICE r15 — the deserialized default is the
+      // unroll-OOM class the r14/r15 probes documented)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val deg = items.groupBy("o").agg(count(lit(1)).as("deg"))
     val withDeg = items.join(deg, "o")
     withDeg.as("a").join(withDeg.as("b"),

@@ -31,7 +31,10 @@ object Analytics27 {
     // each otherwise re-scans lineitem and re-distincts (r15)
     val items = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      .localCheckpoint()
+      // |E|-scale frame: serialized residency like every other |E|-sized
+      // checkpoint (r16, ADVICE r15 — the deserialized default is the
+      // unroll-OOM class the r14/r15 probes documented)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val edges = items.as("a").join(items.as("b"), col("a.o") === col("b.o"))
       .filter(col("a.p") =!= col("b.p"))
       .select(col("a.p").as("src"), col("b.p").as("dst")).distinct()

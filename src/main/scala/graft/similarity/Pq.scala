@@ -83,7 +83,10 @@ object Pq {
     val v =
       if (keep >= Buckets) allV
       else allV.filter(pmod(xxhash64(col("vec_id")), lit(Buckets)) < lit(keep))
-    val dim = if (total == 0L) 0 else statRow.getInt(1)
+    // fail fast on an empty training set (dim=0 would pass the
+    // divisibility check and defer to an obscure downstream error)
+    require(total > 0, "empty training set")
+    val dim = statRow.getInt(1)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
     val seeds = v.orderBy("vec_id").limit(ksub)

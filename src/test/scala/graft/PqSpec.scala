@@ -197,5 +197,23 @@ class PqSpec extends AnyFunSuite with SharedSpark {
       .select(PqOps.ivf_assign(col("emb"), cents).as("a"), refIvf.as("b"))
       .filter(col("a") =!= col("b")).count()
     assert(ivfMismatch == 0L, s"ivf_assign diverged on $ivfMismatch rows")
+    // reference probe: the former array_sort over (d2, cid) structs +
+    // slice + cid extraction — the formulation ivf_probe replaced.
+    // Ordering ties and NaN placement must match (struct sort ascending
+    // with NaN-last doubles = Double.TotalOrdering in the expression).
+    val nprobe = 4
+    val refProbe = transform(
+      slice(array_sort(array(cents.toIndexedSeq.map { case (cid, cv) =>
+        val cvLit = array(cv.toIndexedSeq.map(lit): _*)
+        val c2 = cv.map(x => x * x).sum
+        struct((Similarity.dot(col("emb"), col("emb")) - lit(2.0) *
+          Similarity.dot(col("emb"), cvLit) + lit(c2)).as("d2"),
+          lit(cid).as("cid"))
+      }: _*)), 1, nprobe), s => s.getField("cid"))
+    val probeMismatch = prepped
+      .select(PqOps.ivf_probe(col("emb"), cents, nprobe).as("a"),
+        refProbe.as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(probeMismatch == 0L, s"ivf_probe diverged on $probeMismatch rows")
   }
 }
