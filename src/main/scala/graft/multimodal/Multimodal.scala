@@ -88,7 +88,8 @@ object Multimodal {
     * JVM — zero new deps), distributed and streaming, never collected. */
   def syntheticPngs(spark: SparkSession, ids: DataFrame): DataFrame = {
     import spark.implicits._
-    ids.select(col("doc_id")).as[Long].mapPartitions { it =>
+    graft.operators.Scale.fanOutScan(ids.select(col("doc_id")))
+      .as[Long].mapPartitions { it =>
       disableImageIoFileCache()
       it.map { id =>
         val w = 4 + (id % 60).toInt
@@ -246,7 +247,8 @@ object Multimodal {
     * every JVM — the honest stand-in for video frame extraction. */
   def syntheticGifs(spark: SparkSession, ids: DataFrame): DataFrame = {
     import spark.implicits._
-    ids.select(col("doc_id")).as[Long].mapPartitions { it =>
+    graft.operators.Scale.fanOutScan(ids.select(col("doc_id")))
+      .as[Long].mapPartitions { it =>
       val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
       it.map { id =>
         val nFrames = 2 + (id % 6).toInt

@@ -33,32 +33,39 @@ object Scale {
     * un-repartitioned frame on every call — pure driver latency — and
     * it THROWS on streaming DataFrames, which broke
     * `Streaming.incrementalDedupStream` via `Dedup.shingled` in r15.
-    * Streaming frames and frames with no file-source leaf (in-memory
-    * test data) pass through untouched: the floor exists for one-row-
-    * group FILE scans, and micro-batch sources size their own splits. */
+    * Streaming frames and frames with other leaf kinds (in-memory test
+    * data) pass through untouched: the floor exists for one-row-group
+    * FILE scans and narrow checkpoint residues, and micro-batch sources
+    * size their own splits. A checkpointed upstream (LogicalRDD leaf,
+    * e.g. the curation pipeline's dedup residue) contributes its RDD's
+    * KNOWN partition count — the RDD already exists, so reading it
+    * plans nothing. */
   def fanOutScan(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
     val conf = spark.sessionState.conf
-    val leaves = df.queryExecution.analyzed.collect {
-      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-        l.relation
-    }.collect {
-      case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation => fs
-    }
-    if (leaves.isEmpty) return df
     val openCost = conf.filesOpenCostInBytes
-    val estSplits = leaves.map { fs =>
-      val totalBytes = fs.location.sizeInBytes
-      val nFiles = math.max(1L, fs.location.inputFiles.length.toLong)
-      val padded = totalBytes + nFiles * openCost
-      val bytesPerCore = padded / math.max(1, target)
-      val maxSplit = math.min(conf.filesMaxPartitionBytes,
-        math.max(openCost, bytesPerCore))
-      math.max(1L, (padded + maxSplit - 1) / maxSplit)
+    var known = true
+    val estSplits = df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            val totalBytes = fs.location.sizeInBytes
+            val nFiles = math.max(1L, fs.location.inputFiles.length.toLong)
+            val padded = totalBytes + nFiles * openCost
+            val bytesPerCore = padded / math.max(1, target)
+            val maxSplit = math.min(conf.filesMaxPartitionBytes,
+              math.max(openCost, bytesPerCore))
+            math.max(1L, (padded + maxSplit - 1) / maxSplit)
+          case _ => known = false; 0L
+        }
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.getNumPartitions.toLong
+      case leaf if leaf.children.isEmpty => known = false; 0L
     }.sum
-    if (estSplits * 2 <= target) df.repartition(target) else df
+    if (known && estSplits > 0 && estSplits * 2 <= target) df.repartition(target)
+    else df
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

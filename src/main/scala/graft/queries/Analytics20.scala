@@ -134,12 +134,25 @@ object Analytics20 {
       .groupBy(col("o_orderdate").as("day"))
       .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("rev_c"))
       .withColumn("i", expr("CAST(datediff(day, DATE '1992-01-01') AS BIGINT)"))
-    val slopes = daily.as("a").join(daily.as("b"), col("a.i") < col("b.i"))
+    // spread the bounded |days| frame across the cores before the pair
+    // expansion (r16): AQE coalesces the tiny post-agg frame to 1-2
+    // partitions, so the O(|days|^2) nested-loop join otherwise runs on
+    // 2 tasks (measured 1.2 s of the query in that one job). |days| is
+    // bounded at any corpus scale, so this is constant-size traffic.
+    val fanned = daily.repartition(s.sparkContext.defaultParallelism)
+    val slopes = fanned.as("a").join(daily.as("b"), col("a.i") < col("b.i"))
       .select(((col("b.rev_c") - col("a.rev_c")).cast("double") /
         (col("b.i") - col("a.i")).cast("double")).as("slope"))
-    val w = Window.orderBy("slope")
-    val ranked = slopes.withColumn("rn", row_number().over(w))
-    val cnt = slopes.agg(count(lit(1)).as("n_pairs"))
+    // parallel global-rank selection (r16): row_number().over(orderBy)
+    // planned a SINGLE-partition sort of the |days|²/2 pair frame
+    // (measured 2.3 s in one 3-task job at sf0.1), and the separate
+    // count branch re-executed the pair join. denseIds assigns the
+    // identical ascending rank via range-partition + frozen offsets
+    // (fully parallel), its checkpoint feeds the count branch too, and
+    // rank permutation WITHIN equal slopes cannot change the selected
+    // VALUE — the only thing the output reads.
+    val ranked = graft.operators.Scale.denseIds(slopes, "rn", Seq("slope"))
+    val cnt = ranked.agg(count(lit(1)).as("n_pairs"))
     ranked.crossJoin(broadcast(cnt))
       .filter(col("rn") === expr("(n_pairs + 1) div 2"))
       .select(col("n_pairs"), col("slope").as("slope_med"))

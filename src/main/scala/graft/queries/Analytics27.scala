@@ -86,10 +86,19 @@ object Analytics27 {
       .groupBy(col("o_orderdate").cast("date").as("day"))
       .agg(sum(revC).as("y"))
       .withColumn("i", expr("CAST(datediff(day, DATE '1992-01-01') AS BIGINT)"))
-    val sums = daily.as("a").join(daily.as("b"), col("a.i") <= col("b.i"))
+    // same bounded-frame fan-out before the pair expansion as qTheilSen
+    val fanned = daily.repartition(s.sparkContext.defaultParallelism)
+    val sums = fanned.as("a").join(daily.as("b"), col("a.i") <= col("b.i"))
       .select((col("a.y") + col("b.y")).as("walsh_c2"))
-    val ranked = sums.withColumn("rn", row_number().over(Window.orderBy("walsh_c2")))
-    val cnt = sums.agg(count(lit(1)).as("n_pairs"))
+    // parallel global-rank selection (r16, the qTheilSen treatment —
+    // supersedes the r15 "left alone" note now that the value-selection
+    // argument is pinned): rank permutation within equal walsh_c2 values
+    // cannot change the selected VALUE, and every output column is a
+    // function of that value, so range-partitioned ranking is exact;
+    // the denseIds checkpoint also stops the count branch from
+    // re-executing the pair join.
+    val ranked = graft.operators.Scale.denseIds(sums, "rn", Seq("walsh_c2"))
+    val cnt = ranked.agg(count(lit(1)).as("n_pairs"))
     ranked.crossJoin(broadcast(cnt))
       .filter(col("rn") === expr("(n_pairs + 1) div 2"))
       .select(col("n_pairs"), col("walsh_c2"),

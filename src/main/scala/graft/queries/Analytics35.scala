@@ -62,11 +62,17 @@ object Analytics35 {
     * customer/supplier disjointly (2k / 2k+1, the Graph.scala
     * convention). */
   val qKatzCentrality: Q = (s, d) => {
+    // checkpoint: the directed edge set feeds THREE walk legs (deg, w2,
+    // w3) — each otherwise replays the lineitem⋈orders + distinct
+    // pipeline (r16; measured three back-to-back 0.8 s build jobs at
+    // sf0.1). |E|-sized → serialized residency like the rest of the
+    // graph family.
     val eo = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
       .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
       .distinct()
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val edges = eo.union(eo.select(col("b").as("a"), col("a").as("b")))
     val deg = edges.groupBy("a").agg(count(lit(1)).as("deg"))
     val w2 = edges.join(deg.withColumnRenamed("a", "b"), "b")

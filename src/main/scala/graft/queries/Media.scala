@@ -89,6 +89,12 @@ object Media {
         Multimodal.syntheticGifs(s, Tables.documents(s, d)), every = 2)
       .select(col("media_id"), col("n_frames"), col("frame_idx"),
         col("width"), col("height"), col("mean_r"))
+      // checkpoint before the global sort: RangePartitioning's sampling
+      // pass otherwise EXECUTES the whole encode→decode pipeline a
+      // second time just to pick boundaries (r16; measured two ~2 s
+      // pipeline runs back to back) — the narrow decoded rows
+      // materialize once and both passes read them
+      .localCheckpoint()
       .orderBy("media_id", "frame_idx")
 
   /** Perceptual near-dup image pairs ([[graft.multimodal.Phash]]):
@@ -112,6 +118,8 @@ object Media {
         Multimodal.syntheticWavs(s, Tables.documents(s, d)))
       .select(col("media_id"), col("sample_rate"), col("n_frames"),
         col("detected_freq_hz"))
+      // same sort-sampler double-execution guard as qGifFrames (r16)
+      .localCheckpoint()
       .orderBy("media_id")
 
   /** Full-oracle pHash over the bounded integer-pattern corpus

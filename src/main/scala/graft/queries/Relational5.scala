@@ -256,7 +256,13 @@ object Relational5 {
       col("l_orderkey"), col("l_linenumber"),
       col("l_returnflag"), col("l_linestatus"),
       col("l_quantity").cast("long"))
-    Tables.lineitem(s, d)
+    // project to the 5 fingerprinted columns, THEN fan out (r16): the
+    // per-row polynomial hash is CPU-bound and the few-split scan pinned
+    // it to 3 tasks (measured 3.4 s of the query's 3.7 s in one 3-task
+    // job at sf0.1); projecting first keeps the exchange narrow
+    graft.operators.Scale.fanOutScan(
+        Tables.lineitem(s, d).select("l_returnflag", "l_orderkey",
+          "l_linenumber", "l_linestatus", "l_quantity"))
       .select(col("l_returnflag"),
         graft.text.TextFunctions.fingerprint(rowStr).as("fp"))
       .groupBy("l_returnflag")

@@ -470,6 +470,13 @@ object Text {
     * for the cluster closure). */
   val qCurateFull: Q = (s, d) => {
     import graft.dedup.Dedup
+    // r16 A/B NOTE: three rewrites were measured and REVERTED — fanning
+    // the scan before redact (bench-median 5.6 s), checkpointing base
+    // against its two consumers (5.6 s), and both (6.1 s profile) all
+    // LOSE to this shape (5.3 s): the query's local cost is ~40 small
+    // orchestration jobs from the dedup pipeline, and AQE already
+    // overlaps the two base replays, so extra exchanges/materialization
+    // barriers only add wall. Numbers in OPTIMIZATION_r16.md.
     val base = Tables.documents(s, d)
       .withColumn("text", redact(col("text")))
     // localCheckpoint: the deduped corpus feeds BOTH the pair generator
