@@ -72,7 +72,12 @@ object Analytics20 {
     // self-join pair expansion — each otherwise re-scans lineitem and
     // re-distincts (r15)
     val items = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      // o-partitioned BEFORE the distinct (r16): hashpartitioning(o)
+      // satisfies the (o,p) distinct, the per-order degree census, the
+      // items⋈deg join AND both sides of the pair self-join — the whole
+      // chain below plans zero exchanges until the pair aggregation
+      .repartition(col("o")).distinct()
       // |E|-scale frame: serialized residency like every other |E|-sized
       // checkpoint (r16, ADVICE r15 — the deserialized default is the
       // unroll-OOM class the r14/r15 probes documented)

@@ -218,14 +218,21 @@ object Analytics21 {
     // census (no shared exchange); edges at MEMORY_AND_DISK_SER like
     // every other |E|-sized graph checkpoint (r15)
     val items = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      // o-partitioned BEFORE the distinct (r16, the qHarmonicCentrality
+      // treatment): satisfies the (o,p) distinct AND both self-join
+      // sides — the join plans zero exchanges
+      .repartition(col("o")).distinct()
       // |E|-scale frame: serialized residency like every other |E|-sized
       // checkpoint (r16, ADVICE r15 — the deserialized default is the
       // unroll-OOM class the r14/r15 probes documented)
       .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val edges = items.as("a").join(items.as("b"), col("a.o") === col("b.o"))
       .filter(col("a.p") =!= col("b.p"))
-      .select(col("a.p").as("src"), col("b.p").as("dst")).distinct()
+      .select(col("a.p").as("src"), col("b.p").as("dst"))
+      // dst-partitioned checkpoint so each round's wedge pre-agg runs on
+      // the hop-join output in place (r16, see qHarmonicCentrality)
+      .repartition(col("dst")).distinct()
       .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val source = items.groupBy("p").agg(count(lit(1)).as("deg"))
       .orderBy(col("deg").desc, col("p")).limit(1)
@@ -233,8 +240,13 @@ object Analytics21 {
     var labels = source.localCheckpoint()
     for (h <- 1 to 3) {
       val frontier = labels.filter(col("hop") === (h - 1))
+      // wedge pre-agg before the union-merge (r16, §2.3 — min over
+      // (labels ∪ next) = min over (labels ∪ min-per-key of next)); on
+      // the broadcast-join output it rides the dst partitioning with no
+      // exchange, so the merge shuffles node-sized frames only
       val next = edges.join(frontier, edges("src") === frontier("id"))
         .select(col("dst").as("id"), lit(h.toLong).as("hop"))
+        .groupBy("id").agg(min("hop").as("hop"))
       labels = labels.union(next)
         .groupBy("id").agg(min("hop").as("hop"))
         .localCheckpoint()

@@ -43,8 +43,16 @@ object Analytics23 {
     * variant is the fallback, with the same oracle. PlanSpec asserts
     * the zero-shuffle round shape. */
   val qLabelProp: Q = (s, d) => {
+    // o-partitioned checkpoint (r16, the qHarmonicCentrality treatment):
+    // items feeds both sides of the o-keyed self-join — un-checkpointed,
+    // each side replayed the lineitem scan + distinct, and each paid its
+    // own exchange; hashpartitioning(o) satisfies the (o,p) distinct and
+    // both join sides, so the edge build now plans one items exchange
+    // total
     val items = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .repartition(col("o")).distinct()
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // MEMORY_AND_DISK_SER edge checkpoint (r15, VERDICT r14 task 1;
     // supersedes r14's blanket DISK_ONLY): the edge list is |E|-sized
     // (~930 M rows at sf31) and scanned 3× (once per round). The r14

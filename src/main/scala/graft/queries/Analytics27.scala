@@ -28,16 +28,29 @@ object Analytics27 {
   val qHarmonicCentrality: Q = (s, d) => {
     // checkpoint: items feeds the edge self-join AND the degree-ranked
     // seed census (different grouping keys, so no exchange reuse) —
-    // each otherwise re-scans lineitem and re-distincts (r15)
+    // each otherwise re-scans lineitem and re-distincts (r15).
+    // Partitioned by o BEFORE the distinct (r16, guide §2.4 two ops
+    // sharing one exchange): hashpartitioning(o) satisfies the (o,p)
+    // distinct (partition key ⊆ grouping keys) AND both sides of the
+    // o-keyed self-join below, so the join plans ZERO exchanges where it
+    // re-shuffled the items frame twice.
     val items = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .repartition(col("o")).distinct()
       // |E|-scale frame: serialized residency like every other |E|-sized
       // checkpoint (r16, ADVICE r15 — the deserialized default is the
       // unroll-OOM class the r14/r15 probes documented)
       .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val edges = items.as("a").join(items.as("b"), col("a.o") === col("b.o"))
       .filter(col("a.p") =!= col("b.p"))
-      .select(col("a.p").as("src"), col("b.p").as("dst")).distinct()
+      .select(col("a.p").as("src"), col("b.p").as("dst"))
+      // partition by dst BEFORE the distinct (r16): one exchange either
+      // way (dst replaces the (src,dst) distinct shuffle), but the
+      // checkpoint then captures hashpartitioning(dst) = the hop joins'
+      // OUTPUT key, so each round's wedge pre-aggregation below runs on
+      // the join output IN PLACE — the per-round shuffle carries the
+      // ≤seeds·|V| min-set, never the wedge product
+      .repartition(col("dst")).distinct()
       // |E|-sized checkpoint → MEMORY_AND_DISK_SER (r15, VERDICT r14
       // task 1; supersedes r14 DISK_ONLY): the sf100 probe killed the
       // context at 64 g with the memory-resident DESERIALIZED default
@@ -59,8 +72,16 @@ object Analytics27 {
       .localCheckpoint()
     for (h <- 1 to 3) {
       val frontier = labels.filter(col("hop") === (h - 1))
+      // pre-aggregate the wedge product BEFORE the union-merge (r16,
+      // guide §2.3 aggregate before you shuffle): the hop join emits
+      // |frontier|·deg rows, and the old union-merge shuffled all of
+      // them; min over (labels ∪ next) = min over (labels ∪ min-per-key
+      // of next), so dedup next first — on the broadcast-join output
+      // this agg rides the checkpoint's dst partitioning with NO
+      // exchange, and the merge below shuffles two node-sized frames
       val next = edges.join(frontier, edges("src") === frontier("id"))
         .select(col("seed"), col("dst").as("id"), lit(h.toLong).as("hop"))
+        .groupBy("seed", "id").agg(min("hop").as("hop"))
       labels = labels.union(next)
         .groupBy("seed", "id").agg(min("hop").as("hop"))
         .localCheckpoint()

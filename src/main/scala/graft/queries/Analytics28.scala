@@ -22,8 +22,14 @@ object Analytics28 {
     * 100 TB shape: two equi-joins on the order key with p1<p2<p3
     * orientation (each triple built exactly once), then two hash aggs. */
   val qItemset3: Q = (s, d) => {
+    // o-partitioned checkpoint (r16, the qLinkPredict treatment): items
+    // feeds all THREE legs of the triple self-join — un-checkpointed,
+    // each leg replayed the lineitem scan + distinct, and the o
+    // partitioning makes both o-keyed joins exchange-free
     val items = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .repartition(col("o")).distinct()
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val triples = items.as("a")
       .join(items.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
       .join(items.as("c"), col("b.o") === col("c.o") && col("b.p") < col("c.p"))

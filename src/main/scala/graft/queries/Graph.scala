@@ -193,14 +193,23 @@ object Graph {
   val qKcorePeel: Q = (s, d) => {
     import s.implicits._
     val k = 3
-    var edges = undirectedEdges(s, d).localCheckpoint(true)
+    // src-partitioned SERIALIZED checkpoint (r16): every round's degree
+    // census groups by src, so capturing hashpartitioning(src) once
+    // makes all 5 of them exchange-free — the broadcast anti-joins
+    // preserve the partitioning and each re-checkpoint re-captures it,
+    // so no round ever re-shuffles the (shrinking) edge list. |E|-sized
+    // → MEMORY_AND_DISK_SER like the rest of the graph family.
+    var edges = undirectedEdges(s, d).repartition(col("src"))
+      .localCheckpoint(true)
     val rounds = (1 to 5).map { r =>
       val low = edges.groupBy("src").agg(count(lit(1)).as("c"))
         .filter(col("c") < k).select(col("src").as("n"))
         .localCheckpoint(true)
+      // the low set is frontier-sized — broadcast it explicitly so the
+      // anti-joins never shuffle the edge side (r16)
       edges = edges
-        .join(low, edges("src") === low("n"), "left_anti")
-        .join(low, edges("dst") === low("n"), "left_anti")
+        .join(broadcast(low), edges("src") === low("n"), "left_anti")
+        .join(broadcast(low), edges("dst") === low("n"), "left_anti")
         .localCheckpoint(true)
       val Array(nLeft, heLeft) = edges
         .agg(countDistinct("src"), count(lit(1))).collect()
