@@ -124,16 +124,18 @@ object Dedup {
     import graft.functions.BloomFilters._
     val probeShingles = shingled(probes)
       .select(explode(col("sh")).as("shingle")).distinct()
-    // the sketch is driver-sized by construction: aggregate it and inline
-    // the bytes as a binary literal (might_contain requires a constant /
-    // scalar-subquery sketch; the literal rides the task closure exactly
-    // like a broadcast, same pattern as the inlined IVF centroids)
-    val bloomBytes = probeShingles
+    // the sketch rides a SCALAR SUBQUERY (r16; replaces the r14 driver
+    // head() + lit(bytes) literal): the inlined ~1.2 MB binary rendered
+    // a 21 MB plan text (the Catalyst-literal blowup class the r15 ANN
+    // fix removed), shipped with every task binary, and cost a blocking
+    // driver job per call. Bloom bits are insertion-order-independent
+    // (set-bit ORs over a deterministic hash), so the sketch — and the
+    // one-sided candidate set it admits — is identical either way.
+    val sketch = probeShingles
       .agg(bloom_filter_agg(xxhash64(col("shingle")), expectedProbeShingles).as("bf"))
-      .head().getAs[Array[Byte]](0)
     val candidates = shingled(docs)
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
-      .filter(might_contain(lit(bloomBytes), xxhash64(col("shingle"))))
+      .filter(might_contain(bloom_sketch_subquery(sketch), xxhash64(col("shingle"))))
     // NO broadcast hint on the verify join — at the scale this function
     // exists for, the probe set is exactly what can't broadcast; the
     // bloom already shrank the candidate side to ~FPP of the corpus, so

@@ -49,4 +49,17 @@ object BloomFilters {
   def might_contain(bloom: Column, hashed: Column): Column =
     graftshim.column(BloomFilterMightContain(
       graftshim.expression(bloom), graftshim.expression(hashed)))
+
+  /** A one-row sketch frame as a SCALAR-SUBQUERY column — the
+    * [[might_contain]] attachment that keeps megabytes of sketch bytes
+    * OUT of the plan tree (r16): a `lit(bytes)` sketch is re-stringified
+    * on every explain/AQE log (a 1.2 MB sketch rendered a 21 MB plan
+    * text), serialized into every stage's task binary, and costs a
+    * blocking driver job to collect; the subquery is evaluated once by
+    * the engine at execution — exactly how SPARK-32268's runtime bloom
+    * filters attach. `BloomFilterMightContain` accepts precisely these
+    * two forms (foldable or scalar subquery). */
+  def bloom_sketch_subquery(sketchOneRow: org.apache.spark.sql.Dataset[_]): Column =
+    graftshim.column(org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+      graftshim.analyzed(sketchOneRow)))
 }

@@ -307,8 +307,8 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
       "q_dedup_clusters", "q_curate_full",
       // writes + re-reads the parquet signature store during construction
       "q_dedup_incremental",
-      // aggregates the bloom sketch into a literal during construction
-      "q_decontam_bloom",
+      // r16: q_decontam_bloom left the skip list — the sketch now rides
+      // a scalar subquery, so construction no longer runs a driver job
       // iterative: PageRank counts nodes + checkpoints while BUILDING
       "q_pagerank",
       // BPE collects the capped vocab + runs the merge loop while BUILDING
