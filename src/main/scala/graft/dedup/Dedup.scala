@@ -547,7 +547,15 @@ object Dedup {
     * for every doc that appears in some pair. */
   def dupClusters(pairs: DataFrame): DataFrame = {
     val fwd = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))).cache()
+    // src-partitioned cache (r16, guide §2.4 "two ops keyed the same
+    // way share one exchange"): the seed groupBy(src) and EVERY round's
+    // propagation join key on src, so capturing hashpartitioning(src)
+    // once at cache build means no round ever re-exchanges the |E|-row
+    // edge list — the per-round shuffle drops to the label frame plus
+    // the partial-agg'd propagation output (node-sized), which is what
+    // survives at 10⁹-edge pair graphs where labels can't broadcast.
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src")).cache()
     // convergence scalar: per-id labels only ever DECREASE (next =
     // min(current, neighbors)) over a fixed id set, so Σ cluster_id
     // strictly decreases until the fixpoint — an exact change detector
@@ -568,8 +576,13 @@ object Dedup {
       var prevSum = labelSum(labels)
       var converged = labels.isEmpty
       while (!converged) {
-        val prop = edges.join(labels, edges("dst") === labels("id"))
-          .select(edges("src").as("id"), col("cluster_id"))
+        // join keyed on src — the edge list is SYMMETRIC by construction
+        // (both directions unioned above), so {(dst, label(src))} is the
+        // same propagation set as the former {(src, label(dst))}; keying
+        // the join on src lets it reuse the cache's captured
+        // hashpartitioning(src) instead of re-shuffling edges per round
+        val prop = edges.join(labels, edges("src") === labels("id"))
+          .select(edges("dst").as("id"), col("cluster_id"))
         val next = labels.union(prop)
           .groupBy("id").agg(min("cluster_id").as("cluster_id"))
           .localCheckpoint()

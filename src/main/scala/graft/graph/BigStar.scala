@@ -38,8 +38,14 @@ object BigStar {
       .distinct()
       .localCheckpoint()
 
+    // one u-keyed exchange serves the whole half-round (r16, guide §2.4):
+    // hashpartitioning(u) satisfies the (u,v) distinct (partition keys ⊆
+    // grouping keys), the neighborhood-min groupBy(u), AND the se⋈mins
+    // equi-join on u — where the former (u,v)-hashed distinct forced the
+    // aggregate and the join to each re-exchange |E| rows
     def sym(e: DataFrame): DataFrame =
-      e.union(e.select(col("v").as("u"), col("u").as("v"))).distinct()
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+        .repartition(col("u")).distinct()
 
     def mins(se: DataFrame): DataFrame =
       se.groupBy("u").agg(min(least(col("u"), col("v"))).as("m"))
@@ -57,13 +63,13 @@ object BigStar {
       val large = se1.join(m1, "u").filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .union(m1.select(col("u"), col("m").as("v")))
-        .filter(col("u") =!= col("v")).distinct()
+        .filter(col("u") =!= col("v")).repartition(col("u")).distinct()
       val se2 = sym(large)
       val m2 = mins(se2)
       val small = se2.join(m2, "u").filter(col("v") <= col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .union(m2.select(col("u"), col("m").as("v")))
-        .filter(col("u") =!= col("v")).distinct()
+        .filter(col("u") =!= col("v")).repartition(col("u")).distinct()
         .localCheckpoint()
       labels = mins(sym(small)).localCheckpoint()
       done = prevLabels != null && labels.except(prevLabels).isEmpty

@@ -91,8 +91,17 @@ object Analytics16 {
       "p" -> expr("CAST(round(l_extendedprice * 100) AS BIGINT)"),
       "disc" -> expr("CAST(round(l_discount * 10000) AS BIGINT)"),
       "tax" -> expr("CAST(round(l_tax * 10000) AS BIGINT)"))
-    val base = Tables.lineitem(s, d).select(
-      vars.map { case (n, e) => e.cast("decimal(38,0)").as(n) }: _*)
+    // fan out the projected scan (r16, guide §2.5 — the q_partial_corr
+    // fix): the 14-moment DECIMAL(38,0) pass otherwise runs fused onto
+    // the lineitem scan's few row-group splits (measured: one 1.9 s
+    // 3-task job = 70% of the query on a 32-core box). The exchange
+    // carries the four RAW source columns — the round/scale/decimal
+    // casts run POST-exchange on all cores (casting before the fan-out
+    // left a 1.4 s 3-task map stage: the wide decimal rows also made
+    // the exchange itself heavier). Self-disables at scale.
+    val base = graft.operators.Scale.fanOutScan(Tables.lineitem(s, d)
+        .select("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      .select(vars.map { case (n, e) => e.cast("decimal(38,0)").as(n) }: _*)
     val pairs = for {
       (i, _) <- vars.zipWithIndex.collect { case ((n, _), i) => (n, i) }
       (j, _) <- vars.zipWithIndex.collect { case ((n, _), k) => (n, k) }

@@ -325,6 +325,99 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("dupClusters round: src-cached edges never re-exchange, seed rides the cache") {
+    // the r16 claim in Dedup.dupClusters: the edge list is cached
+    // hash-partitioned on src ONCE, the propagation join keys on src
+    // (legal because the edge set is symmetric by construction), so a
+    // round's only hash exchange is the node-sized label merge — the
+    // |E|-row cache is never re-shuffled. Broadcast off to force the
+    // shuffle-join shape the operator takes when labels outgrow
+    // broadcast at real pair-graph scale; AQE off so the asserted plan
+    // is the static one the claim is about.
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val (aqe, bc) = (conf.get("spark.sql.adaptive.enabled"),
+      conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val pairsDf = spark.range(500)
+        .select((col("id") % 50).as("a_id"), ((col("id") + 13) % 50).as("b_id"))
+        .filter(col("a_id") =!= col("b_id"))
+      val fwd = pairsDf.select(col("a_id").as("src"), col("b_id").as("dst"))
+      val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+        .repartition(col("src")).cache()
+      // count REAL exchange operators on the tree: string matching
+      // overcounts (InMemoryTableScan/ReusedExchange descriptions echo
+      // the cached/original exchange's text, which executes once at
+      // cache build, not per round)
+      def nShuffles(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }.size
+      try {
+        // seed labels = min(self, neighbors) grouped on src: must ride
+        // the cache's src partitioning, zero exchanges
+        val seed = edges
+          .select(col("src").as("id"), least(col("src"), col("dst")).as("cluster_id"))
+          .groupBy("id").agg(min("cluster_id").as("cluster_id"))
+        assert(nShuffles(seed) == 0,
+          "seed labels should ride the edge cache's src partitioning:\n" +
+            seed.queryExecution.executedPlan.toString)
+        val labels = seed.localCheckpoint()
+        val round = edges.join(labels, edges("src") === labels("id"))
+          .select(edges("dst").as("id"), col("cluster_id"))
+          .union(labels)
+          .groupBy("id").agg(min("cluster_id").as("cluster_id"))
+        // the union+merge aggregation = 1; a second would mean the join
+        // is re-shuffling the cached edge list every round
+        val shuffles = nShuffles(round)
+        assert(shuffles <= 1, s"expected ≤1 shuffle per round, got $shuffles:\n" +
+          round.queryExecution.executedPlan.toString)
+      } finally edges.unpersist()
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", aqe)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
+    }
+  }
+
+  test("BigStar half-round: one u-keyed exchange serves distinct, mins and join") {
+    // the r16 claim in graph/BigStar.sym: repartition(u) before the
+    // (u,v) distinct means hashpartitioning(u) satisfies the distinct,
+    // the neighborhood-min groupBy(u), and the se⋈mins join on u — a
+    // half-round plans exactly the ONE exchange it forces, where the
+    // (u,v)-hashed distinct made the aggregate and the join each
+    // re-exchange |E| rows
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val (aqe, bc) = (conf.get("spark.sql.adaptive.enabled"),
+      conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val e = spark.range(500)
+        .select((col("id") % 50).as("u"), ((col("id") + 13) % 50).as("v"))
+        .filter(col("u") =!= col("v"))
+      val se = e.union(e.select(col("v").as("u"), col("u").as("v")))
+        .repartition(col("u")).distinct()
+      val mins = se.groupBy("u").agg(min(least(col("u"), col("v"))).as("m"))
+      val joined = se.join(mins, "u")
+      val p = joined.queryExecution.executedPlan.toString
+      // the mins side arrives via ReusedExchange (whose description
+      // echoes the original exchange's text) — count tree nodes, not text
+      val shuffles = joined.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.size
+      assert(shuffles == 1,
+        s"expected the single repartition(u) exchange, got $shuffles:\n$p")
+      assert(p.contains("ReusedExchange"),
+        "mins side should reuse the repartition(u) exchange:\n" + p)
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", aqe)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
+    }
+  }
+
   test("q_semdedup plans no CartesianProduct (literal g, no count job)") {
     // the registry entry is excluded from the sweep above because its
     // construction resolves g with a count(); the plan SHAPE does not
